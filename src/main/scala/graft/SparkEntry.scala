@@ -1,13 +1,59 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{Oracles, Queries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * `queries` maps every implemented operator from SURVEY.md §2 to a
+  * runnable query; `oracleSql` holds the DuckDB-equivalent SQL for the
+  * hash-compare correctness gate.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.a3_wide_agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_scan_prune" -> (Queries.s1_scan_prune _),
+    "s9_gen_dimtable" -> (Queries.s9_gen_dimtable _),
+    "p1_filter_conj" -> (Queries.p1_filter_conj _),
+    "p2_regex_pred" -> (Queries.p2_regex_pred _),
+    "p3_cond_rewrite" -> (Queries.p3_cond_rewrite _),
+    "p6_hard_filter_annotate" -> (Queries.p6_hard_filter_annotate _),
+    "p8_clamp" -> (Queries.p8_clamp _),
+    "j1_interval_point_bcast" -> (Queries.j1_interval_point_bcast _),
+    "j2_interval_overlap_shuffle" -> (Queries.j2_interval_overlap_shuffle _),
+    "j3_bcast_equijoin" -> (Queries.j3_bcast_equijoin _),
+    "j4_semi_join" -> (Queries.j4_semi_join _),
+    "j5_anti_join" -> (Queries.j5_anti_join _),
+    "j6_pivot" -> (Queries.j6_pivot _),
+    "a1_distinct" -> (Queries.a1_distinct _),
+    "a2_group_having" -> (Queries.a2_group_having _),
+    "a3_wide_agg" -> (Queries.a3_wide_agg _),
+    "a4_dedup_keys" -> (Queries.a4_dedup_keys _),
+    "a5_typed_agg" -> (Queries.a5_typed_agg _),
+    "a6_ratio_agg" -> (Queries.a6_ratio_agg _),
+    "a7_array_agg" -> (Queries.a7_array_agg _),
+    "w1_sort_limit" -> (Queries.w1_sort_limit _),
+    "w2_running_sum" -> (Queries.w2_running_sum _),
+    "w4_top2_margin" -> (Queries.w4_top2_margin _),
+    "u1_union" -> (Queries.u1_union _),
+    "u3_token_intersect" -> (Queries.u3_token_intersect _),
+    "t1_token_count" -> (Queries.t1_token_count _),
+    "t2_quality_score" -> (Queries.t2_quality_score _),
+    "t3_lang_id" -> (Queries.t3_lang_id _),
+    "t4_fingerprint" -> (Queries.t4_fingerprint _),
+    "d1_dedup_exact" -> (Queries.d1_dedup_exact _),
+    "d2_ngram_jaccard_pairs" -> (Queries.d2_ngram_jaccard_pairs _),
+    "e1_cosine_score" -> (Queries.e1_cosine_score _),
+    "ev1_time_window_agg" -> (Queries.ev1_time_window_agg _),
+    "g1_discover_variants" -> (Queries.g1_discover_variants _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Oracles.sql
 }

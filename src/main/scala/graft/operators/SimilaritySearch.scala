@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Baseline: brute-force cosine scoring — a narrow map over the corpus
+  * (no shuffle), embarrassingly parallel, exact. Scale path: LSH via
+  * random hyperplanes buckets the corpus so a query probes only its
+  * bucket; at 100 TB the bucketed table is written partitioned by bucket
+  * so probe reads are partition-pruned.
+  */
+object SimilaritySearch {
+
+  /** Cosine similarity between an array<float|double> column and a fixed
+    * query vector, computed in double precision as a codegen'd
+    * higher-order expression (no UDF).
+    */
+  def cosine(emb: Column, query: Array[Double]): Column = {
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val qLit = typedlit(query.toSeq)
+    val v = emb.cast("array<double>")
+    val dot = aggregate(zip_with(v, qLit, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val vNorm = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+    dot / (vNorm * lit(qNorm))
+  }
+
+  /** Brute-force scoring of the whole corpus against one query vector. */
+  def scoreAll(df: DataFrame, idCol: String, embCol: String, query: Array[Double], scale: Int = 4): DataFrame =
+    df.select(col(idCol), round(cosine(col(embCol), query), scale).as("cos_sim"))
+
+  /** Exact top-k: brute-force score + ties broken by id. Spark plans a
+    * TakeOrderedAndProject — per-partition top-k then a single-driver
+    * merge of k·numPartitions rows, no global sort shuffle.
+    */
+  def topK(df: DataFrame, idCol: String, embCol: String, query: Array[Double], k: Int): DataFrame =
+    df.select(col(idCol), cosine(col(embCol), query).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+
+  /** Random-hyperplane LSH bucket id (nBits-bit signature) for each row.
+    * Deterministic seed; same planes bucket queries at probe time.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, embCol: String, dim: Int, nBits: Int = 8, seed: Long = 42): DataFrame = {
+    val planes = hyperplanes(dim, nBits, seed)
+    val v = col(embCol).cast("array<double>")
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(zip_with(v, typedlit(p.toSeq), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1), i)).otherwise(0)
+    }.reduce(_.bitwiseOR(_))
+    df.select(col(idCol), col(embCol), bucket.as("bucket"))
+  }
+
+  /** Approximate top-k: probe only rows in the query's LSH bucket. */
+  def annTopK(df: DataFrame, idCol: String, embCol: String, dim: Int, query: Array[Double], k: Int,
+      nBits: Int = 8, seed: Long = 42): DataFrame = {
+    val planes = hyperplanes(dim, nBits, seed)
+    val qBucket = planes.zipWithIndex.map { case (p, i) =>
+      val dot = p.zip(query).map { case (a, b) => a * b }.sum
+      if (dot >= 0) 1 << i else 0
+    }.sum
+    lshBuckets(df, idCol, embCol, dim, nBits, seed)
+      .where(col("bucket") === qBucket)
+      .select(col(idCol), cosine(col(embCol), query).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  private def hyperplanes(dim: Int, nBits: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+}

@@ -1,0 +1,257 @@
+package graft.queries
+
+/** DuckDB oracle SQL, one per Queries entry, computing the identical
+  * result (same column names, same rounding) over the same parquet
+  * tables. The driver sorts columns by name and hash-compares values, so
+  * names and value-level determinism are the contract.
+  */
+object Oracles {
+
+  val sql: Map[String, String] = Map(
+    "s1_scan_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity < 10""".stripMargin,
+
+    "s9_gen_dimtable" ->
+      """SELECT q.range AS quality, m.range AS mapq,
+        |  round((1 - pow(10, -q.range/10.0)) * (1 - pow(10, -m.range/10.0)), 6) AS p_correct
+        |FROM range(0, 46) q, range(1, 61) m""".stripMargin,
+
+    "p1_filter_conj" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_discount > 0.05 AND l_quantity >= 30 AND l_tax < 0.07""".stripMargin,
+
+    "p2_regex_pred" ->
+      """SELECT doc_id, lang FROM documents WHERE regexp_matches(text, 'spark (hash|join)')""".stripMargin,
+
+    "p3_cond_rewrite" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 300000 THEN 'BIG'
+        |       WHEN o_orderstatus = 'F' THEN 'DONE'
+        |       ELSE o_orderpriority END AS pri
+        |FROM orders""".stripMargin,
+
+    "p6_hard_filter_annotate" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  concat_ws(';',
+        |    CASE WHEN l_quantity < 3 THEN 'LOWQTY' END,
+        |    CASE WHEN l_discount > 0.08 THEN 'HIDISC' END,
+        |    CASE WHEN l_shipdate < TIMESTAMP '1995-06-01' THEN 'OLDSHIP' END) AS filters_failed,
+        |  (concat_ws(';',
+        |    CASE WHEN l_quantity < 3 THEN 'LOWQTY' END,
+        |    CASE WHEN l_discount > 0.08 THEN 'HIDISC' END,
+        |    CASE WHEN l_shipdate < TIMESTAMP '1995-06-01' THEN 'OLDSHIP' END) = '') AS filters_passed
+        |FROM lineitem""".stripMargin,
+
+    "p8_clamp" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  least(l_quantity, 25.0) AS qty_clamped,
+        |  greatest(l_discount, 0.02) AS disc_floor
+        |FROM lineitem""".stripMargin,
+
+    "j1_interval_point_bcast" ->
+      """SELECT s_suppkey, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM supplier JOIN customer
+        |  ON c_acctbal >= s_acctbal AND c_acctbal < s_acctbal + 500
+        |GROUP BY s_suppkey""".stripMargin,
+
+    "j2_interval_overlap_shuffle" ->
+      """SELECT s_suppkey, count(*) AS n_overlap
+        |FROM supplier JOIN customer
+        |  ON s_acctbal < c_acctbal + 500 AND c_acctbal < s_acctbal + 500
+        |GROUP BY s_suppkey""".stripMargin,
+
+    "j3_bcast_equijoin" ->
+      """SELECT p_brand, count(*) AS n_lines,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+
+    "j4_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+
+    "j5_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin,
+
+    "j6_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "a1_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""".stripMargin,
+
+    "a2_group_having" ->
+      """SELECT l_partkey, count(*) AS n_obs FROM lineitem
+        |GROUP BY l_partkey HAVING count(*) >= 40""".stripMargin,
+
+    "a3_wide_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a4_dedup_keys" ->
+      """SELECT l_partkey, l_suppkey, min(l_orderkey) AS first_order
+        |FROM lineitem GROUP BY l_partkey, l_suppkey""".stripMargin,
+
+    "a5_typed_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_total,
+        |  round(min(o_totalprice), 2) AS min_total,
+        |  round(max(o_totalprice), 2) AS max_total
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "a6_ratio_agg" ->
+      """SELECT l_returnflag,
+        |  round(count(CASE WHEN l_discount > 0 THEN 1 END)::DOUBLE / count(*), 6) AS disc_ratio
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "a7_array_agg" ->
+      """SELECT label,
+        |  round(sum(embedding[1]::DOUBLE), 3) AS sum_e0,
+        |  round(sum(embedding[64]::DOUBLE), 3) AS sum_e63
+        |FROM embeddings GROUP BY label""".stripMargin,
+
+    "w1_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "w2_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem""".stripMargin,
+
+    "w4_top2_margin" ->
+      """WITH r AS (
+        |  SELECT l_partkey, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT l_partkey,
+        |  max(CASE WHEN rn = 1 THEN l_extendedprice END) AS best,
+        |  max(CASE WHEN rn = 2 THEN l_extendedprice END) AS second,
+        |  round(max(CASE WHEN rn = 1 THEN l_extendedprice END)
+        |    - coalesce(max(CASE WHEN rn = 2 THEN l_extendedprice END),
+        |               max(CASE WHEN rn = 1 THEN l_extendedprice END)), 2) AS margin
+        |FROM r GROUP BY l_partkey""".stripMargin,
+
+    "u1_union" ->
+      """SELECT o_orderpriority AS pri, count(*) AS n
+        |FROM (SELECT DISTINCT * FROM (
+        |  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 400000
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F') u)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "u3_token_intersect" ->
+      """SELECT doc_id,
+        |  len(list_distinct(list_intersect(string_split(text, ' '),
+        |    ['spark','hash','join','merge','scan']))) AS n_shared
+        |FROM documents""".stripMargin,
+
+    "t1_token_count" ->
+      """SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents""".stripMargin,
+
+    "t2_quality_score" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |  round(length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+        |    / len(regexp_extract_all(text, '\S+')), 4) AS avg_tok_len,
+        |  round(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of')))::DOUBLE
+        |    / len(regexp_extract_all(text, '\S+')), 4) AS stop_ratio,
+        |  (len(regexp_extract_all(text, '\S+')) >= 10
+        |    AND round(length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+        |      / len(regexp_extract_all(text, '\S+')), 4) >= 2.0
+        |    AND round(length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+        |      / len(regexp_extract_all(text, '\S+')), 4) <= 8.0) AS quality_ok
+        |FROM documents""".stripMargin,
+
+    "t3_lang_id" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '), t -> t = 'the')) AS c_en,
+        |    len(list_filter(string_split(text, ' '), t -> t = 'der')) AS c_de,
+        |    len(list_filter(string_split(text, ' '), t -> t = 'el')) AS c_es,
+        |    len(list_filter(string_split(text, ' '), t -> t = 'le')) AS c_fr,
+        |    len(list_filter(string_split(text, ' '), t -> t = '的')) AS c_zh
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+        |       WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+        |       WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+        |       WHEN c_fr >= c_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang,
+        |  (lang = CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+        |       WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+        |       WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+        |       WHEN c_fr >= c_zh THEN 'fr'
+        |       ELSE 'zh' END) AS is_match
+        |FROM c""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "d2_ngram_jaccard_pairs" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)), 4) AS jaccard
+        |FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.5""".stripMargin,
+
+    "e1_cosine_score" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+        |    / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |       * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+        |FROM embeddings e, q""".stripMargin,
+
+    "ev1_time_window_agg" ->
+      """SELECT floor(epoch_ms(ts) / 300000.0)::BIGINT AS bucket, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "g1_discover_variants" ->
+      """SELECT concat('chr', l_returnflag) AS contigName,
+        |  (l_partkey % 1000) * 20 + (l_suppkey % 10) AS start,
+        |  'A' AS referenceAllele,
+        |  CASE WHEN l_orderkey % 3 = 0 THEN 'C'
+        |       WHEN l_orderkey % 3 = 1 THEN 'G'
+        |       ELSE 'T' END AS alternateAllele,
+        |  count(*) AS n_obs
+        |FROM lineitem
+        |GROUP BY 1, 2, 3, 4
+        |HAVING count(*) >= 2""".stripMargin
+  )
+}

@@ -1,0 +1,352 @@
+package graft.queries
+
+import graft.genomics.DiscoverVariants
+import graft.model.{Order, Read}
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The driver-checked query catalog: each query is a
+  * (SparkSession, sfDir) => DataFrame paired (in Oracles.scala) with
+  * DuckDB SQL computing the identical result on the same parquet tables.
+  * Every double that leaves an aggregation is rounded so engine-level
+  * summation-order differences can't flip the hash compare.
+  *
+  * Each query exercises one row of SURVEY.md §2's operator inventory —
+  * names carry the inventory id (s=scan, p=projection/filter, j=join,
+  * a=agg, w=window/sort, u=set-op, t=text, d=dedup, e=embedding,
+  * ev=events, g=genomics-pipeline).
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---- scans / generated sources (S1, S9) ------------------------------
+
+  def s1_scan_prune(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_shipdate") < lit("1996-01-01") && col("l_quantity") < 10)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  def s9_gen_dimtable(spark: SparkSession, dir: String): DataFrame = {
+    // generated score-dimension table, the shape of the reference's
+    // createScores (ScoredObservation.scala:101-165): small cross product
+    // of discrete quality domains, computed with codegen'd exprs.
+    val q = spark.range(0, 46).select(col("id").as("quality"))
+    val m = spark.range(1, 61).select(col("id").as("mapq"))
+    q.crossJoin(m).select(
+      col("quality"), col("mapq"),
+      round(
+        (lit(1.0) - pow(lit(10.0), -col("quality").cast("double") / 10.0)) *
+          (lit(1.0) - pow(lit(10.0), -col("mapq").cast("double") / 10.0)),
+        6).as("p_correct"))
+  }
+
+  // ---- projections / filters (P1, P2, P3, P6, P8) ----------------------
+
+  def p1_filter_conj(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_returnflag") === "R" && col("l_discount") > 0.05 &&
+        col("l_quantity") >= 30 && col("l_tax") < 0.07)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_discount")
+
+  def p2_regex_pred(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .where(col("text").rlike("spark (hash|join)"))
+      .select("doc_id", "lang")
+
+  def p3_cond_rewrite(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").select(
+      col("o_orderkey"),
+      when(col("o_totalprice") > 300000, "BIG")
+        .when(col("o_orderstatus") === "F", "DONE")
+        .otherwise(col("o_orderpriority")).as("pri"))
+
+  def p6_hard_filter_annotate(spark: SparkSession, dir: String): DataFrame = {
+    // annotate-don't-drop (reference HardFilterGenotypes.scala:571-614):
+    // every row kept; failed filter names recorded.
+    val failed = concat_ws(
+      ";",
+      when(col("l_quantity") < 3, "LOWQTY"),
+      when(col("l_discount") > 0.08, "HIDISC"),
+      when(col("l_shipdate") < lit("1995-06-01"), "OLDSHIP"))
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), failed.as("filters_failed"))
+      .withColumn("filters_passed", col("filters_failed") === "")
+  }
+
+  def p8_clamp(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      least(col("l_quantity"), lit(25.0)).as("qty_clamped"),
+      greatest(col("l_discount"), lit(0.02)).as("disc_floor"))
+
+  // ---- joins (J1, J2, J3, semi/anti, J6) -------------------------------
+
+  def j1_interval_point_bcast(spark: SparkSession, dir: String): DataFrame = {
+    val supp = t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_acctbal").as("s_lo"), (col("s_acctbal") + 500.0).as("s_hi"))
+    val cust = t(spark, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    IntervalJoin
+      .pointInInterval(supp, "s_lo", "s_hi", cust, "c_acctbal", binSize = 250.0, broadcastLeft = true)
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+  }
+
+  def j2_interval_overlap_shuffle(spark: SparkSession, dir: String): DataFrame = {
+    val supp = t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_acctbal").as("s_lo"), (col("s_acctbal") + 500.0).as("s_hi"))
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal").as("c_lo"), (col("c_acctbal") + 500.0).as("c_hi"))
+    IntervalJoin
+      .overlap(supp, "s_lo", "s_hi", cust, "c_lo", "c_hi", binSize = 500.0)
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  def j3_bcast_equijoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val part = t(spark, dir, "part").select("p_partkey", "p_brand")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  def j4_semi_join(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val big = t(spark, dir, "orders").where(col("o_totalprice") > 400000)
+    cust.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  def j5_anti_join(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val pend = t(spark, dir, "orders").where(col("o_orderstatus") === "P")
+    cust.join(pend, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey")
+  }
+
+  def j6_pivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val piv = t(spark, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    piv.select(col("user_id") +: types.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+  }
+
+  // ---- aggregations (A1, A2, A3, A4, A5, A6, A7) -----------------------
+
+  def a1_distinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+  def a2_group_having(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_obs"))
+      .where(col("n_obs") >= 40)
+
+  def a3_wide_agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("2000-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  def a4_dedup_keys(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("l_orderkey")).as("first_order"))
+
+  def a5_typed_agg(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    t(spark, dir, "orders")
+      .as[Order]
+      .groupByKey(_.o_orderpriority)
+      .agg(OrderStatsAgg.toColumn.name("stats"))
+      .toDF("o_orderpriority", "stats")
+      .select(
+        col("o_orderpriority"),
+        col("stats.n").as("n_orders"),
+        round(col("stats.sum"), 2).as("sum_total"),
+        round(col("stats.mn"), 2).as("min_total"),
+        round(col("stats.mx"), 2).as("max_total"))
+  }
+
+  def a6_ratio_agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(
+        sum(when(col("l_discount") > 0, 1L).otherwise(0L)).cast("double") / count(lit(1)),
+        6).as("disc_ratio"))
+
+  def a7_array_agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .groupBy("label")
+      .agg(
+        round(sum(element_at(col("embedding"), 1).cast("double")), 3).as("sum_e0"),
+        round(sum(element_at(col("embedding"), 64).cast("double")), 3).as("sum_e63"))
+
+  // ---- sorts / windows / top-k (W1, W2-analog, W4) ---------------------
+
+  def w1_sort_limit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_totalprice")
+      .limit(10)
+
+  def w2_running_sum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "lineitem").select(
+      col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      sum(col("l_quantity")).over(w).as("running_qty"))
+  }
+
+  def w4_top2_margin(spark: SparkSession, dir: String): DataFrame = {
+    // argmax + runner-up per key: the genotype-quality shape
+    // (reference BiallelicGenotyper.scala:622-668).
+    val w = Window.partitionBy("l_partkey")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice"), row_number().over(w).as("rn"))
+      .groupBy("l_partkey")
+      .agg(
+        max(when(col("rn") === 1, col("l_extendedprice"))).as("best"),
+        max(when(col("rn") === 2, col("l_extendedprice"))).as("second"))
+      .withColumn("margin", round(col("best") - coalesce(col("second"), col("best")), 2))
+  }
+
+  // ---- set ops (U1, U3) ------------------------------------------------
+
+  def u1_union(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val a = o.where(col("o_totalprice") > 400000).select("o_orderkey", "o_orderpriority")
+    val b = o.where(col("o_orderstatus") === "F").select("o_orderkey", "o_orderpriority")
+    a.union(b).distinct()
+      .withColumnRenamed("o_orderpriority", "pri")
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def u3_token_intersect(spark: SparkSession, dir: String): DataFrame = {
+    val kw = Seq("spark", "hash", "join", "merge", "scan")
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      size(array_distinct(array_intersect(
+        split(col("text"), " "),
+        array(kw.map(lit): _*)))).as("n_shared"))
+  }
+
+  // ---- text analysis (T1-T4) -------------------------------------------
+
+  def t1_token_count(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+
+  def t2_quality_score(spark: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val stop = Seq("the", "a", "of")
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(txt).as("n_tokens"),
+      TextAnalysis.avgTokenLen(txt).as("avg_tok_len"),
+      TextAnalysis.stopwordRatio(txt, stop).as("stop_ratio"))
+      .withColumn(
+        "quality_ok",
+        col("n_tokens") >= 10 && col("avg_tok_len") >= 2.0 && col("avg_tok_len") <= 8.0)
+  }
+
+  def t3_lang_id(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("pred_lang"))
+      .withColumn("is_match", col("lang") === col("pred_lang"))
+
+  def t4_fingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+
+  // ---- dedup (D1, D2) --------------------------------------------------
+
+  def d1_dedup_exact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(spark, dir, "documents"), "doc_id", "text")
+
+  def d2_ngram_jaccard_pairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
+
+  // ---- embeddings (E1) -------------------------------------------------
+
+  def e1_cosine_score(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    // fetch the query vector (a query *parameter*, not data movement)
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    SimilaritySearch.scoreAll(emb, "vec_id", "embedding", query)
+  }
+
+  // ---- events / time windows (EV1) -------------------------------------
+
+  /** `ts` arrives as epoch-nanos long (nanosAsLong session config, since
+    * parquet TIMESTAMP(NANOS) has no Spark type). Integer `div` — nanos
+    * overflow double precision.
+    */
+  def ev1_time_window_agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(
+        expr("ts div 300000000000").as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  // ---- genomics pipeline on synthesized reads (G1) ---------------------
+
+  /** End-to-end variant discovery over reads synthesized deterministically
+    * from lineitem: render CIGAR/MD/qual strings per row, then run the
+    * real kernel pipeline (CIGAR+MD parse -> per-read variant extraction
+    * -> min-support hash agg). The oracle computes the closed form of the
+    * same generator, so the whole kernel path is hash-checked.
+    */
+  def g1_discover_variants(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val snvOff = (col("l_suppkey") % 10).cast("int")
+    val altBase = when(col("l_orderkey") % 3 === 0, "C")
+      .when(col("l_orderkey") % 3 === 1, "G")
+      .otherwise("T")
+    val q = (lit(30) + col("l_linenumber") % 10).cast("int")
+    val reads = t(spark, dir, "lineitem").select(
+      concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("readName"),
+      concat(lit("chr"), col("l_returnflag")).as("contigName"),
+      ((col("l_partkey") % 1000) * 20).as("start"),
+      ((col("l_partkey") % 1000) * 20 + 10).as("end"),
+      concat(expr("repeat('A', l_suppkey % 10)"), altBase,
+        expr("repeat('A', 9 - l_suppkey % 10)")).as("sequence"),
+      expr(s"repeat(chr(63 + l_linenumber % 10), 10)").as("qual"),
+      lit("10M").as("cigar"),
+      concat(snvOff.cast("string"), lit("A"), (lit(9) - snvOff).cast("string")).as("mdTag"),
+      lit(60).as("mapq"),
+      lit(true).as("readMapped"),
+      lit(false).as("readNegativeStrand"),
+      lit(false).as("duplicateRead"),
+      lit(true).as("primaryAlignment"),
+      lit("s1").as("sampleId"),
+      lit(null).cast("string").as("mateContigName"),
+      lit(null).cast("long").as("mateStart"),
+      lit(false).as("mateMapped"))
+    DiscoverVariants.discover(reads.as[Read], minPhred = 20, minObservations = 2)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+      (4L, "completely different content about spark shuffles and joins here"),
+      (5L, "spark shuffles and joins here are completely different content about")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactGroups finds exact duplicates deterministically") {
+    import spark.implicits._
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .select("n_copies", "keep_id").as[(Long, Long)].collect().toSet
+    assert(g.contains((2L, 1L))) // docs 1,2 collapse, min id kept
+    assert(g.count(_._1 == 1L) === 3)
+  }
+
+  test("ngram jaccard finds exact and near dups, not unrelated docs") {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 2L)) === 1.0)
+    assert(m.contains((1L, 3L)) && m((1L, 3L)) < 1.0)
+    assert(!m.contains((1L, 4L)) && !m.contains((2L, 4L)))
+  }
+
+  test("minhash signature agreement tracks jaccard similarity") {
+    import spark.implicits._
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", n = 3, k = 64)
+      .as[(Long, Seq[Long])].collect().toMap
+    def agree(a: Long, b: Long): Double =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toDouble / 64
+    assert(agree(1L, 2L) === 1.0)      // identical docs -> identical sigs
+    assert(agree(1L, 3L) > 0.5)        // near dup -> high agreement
+    assert(agree(1L, 4L) < 0.4)        // unrelated -> low agreement
+  }
+
+  test("minhash LSH pairs surface the duplicate cluster only") {
+    import spark.implicits._
+    // narrow bands (2 rows) -> ~(1-(1-s^2)^32) candidate recall: >99.9%
+    // at the near-dup pair's s~0.5
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", n = 3, k = 64, bands = 32, minAgree = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._2 == 4L && p._1 <= 3L))
+  }
+
+  test("simhash: identical docs get identical hashes; near dups are close") {
+    import spark.implicits._
+    val hs = Dedup.simHash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(hs(1L) === hs(2L))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(hs(a) ^ hs(b))
+    assert(ham(1L, 3L) <= 16)
+    assert(ham(1L, 3L) < ham(1L, 4L))
+  }
+
+  test("simhash LSH pair finder obeys hamming cap") {
+    import spark.implicits._
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.forall(_._3 <= 3))
+    assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
+  }
+}
