@@ -49,7 +49,14 @@ object SparkEntry {
     "d2_ngram_jaccard_pairs" -> (Queries.d2_ngram_jaccard_pairs _),
     "e1_cosine_score" -> (Queries.e1_cosine_score _),
     "ev1_time_window_agg" -> (Queries.ev1_time_window_agg _),
-    "g1_discover_variants" -> (Queries.g1_discover_variants _)
+    "ev2_sessionize" -> (Queries.ev2_sessionize _),
+    "g1_discover_variants" -> (Queries.g1_discover_variants _),
+    "g2_genotype_calls" -> (Queries.g2_genotype_calls _),
+    "w3_coverage_cap" -> (Queries.w3_coverage_cap _),
+    "d3_minhash_lsh_pairs" -> (Queries.d3_minhash_lsh_pairs _),
+    "d4_simhash_pairs" -> (Queries.d4_simhash_pairs _),
+    "e2_ann_topk" -> (Queries.e2_ann_topk _),
+    "m1_multimodal_meta" -> (Queries.m1_multimodal_meta _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,130 @@
+package graft.genomics
+
+import graft.kernels.{AlignmentOps, AlnClip, AlnDel, AlnIns, AlnMatch}
+import graft.model.{DiscoveredVariant, Read}
+
+import scala.util.Try
+
+/** One read's evidence at one candidate variant site (the flattened,
+  * discrete observation key that joins the score table; the shape of the
+  * reference's SummarizedObservation, SummarizedObservation.scala:37-43).
+  * support: 2 = read shows the alt allele, 1 = read shows the reference,
+  * 0 = read shows some other allele.
+  */
+case class SiteObservation(
+    contigName: String,
+    start: Long,
+    referenceAllele: String,
+    alternateAllele: String,
+    sampleId: String,
+    support: Int,
+    forwardStrand: Boolean,
+    qual: Int,
+    mapq: Int)
+
+/** Per-read allele observation kernel (SURVEY.md K6; reference
+  * Observer.scala:48-140): classify what a read shows at each overlapping
+  * candidate site. SNVs are classified from the aligned base at the site;
+  * indels by whether the read's own extracted variants contain the
+  * candidate, with reference support requiring an intact match across the
+  * deleted/anchor span.
+  */
+object Observer {
+
+  final val SupportOther = 0
+  final val SupportRef = 1
+  final val SupportAlt = 2
+
+  /** Aligned per-reference-position view of a read: base, phred, and
+    * whether the position is a pure match (no indel adjacency needed for
+    * SNV calls).
+    */
+  private case class SitePileup(
+      base: Map[Long, (Char, Int)],
+      variants: Map[(Long, String, String), Int]) // (start, ref, alt) -> qual
+
+  private def walk(read: Read): SitePileup = {
+    val ops = AlignmentOps.parse(read.cigar, read.mdTag)
+    val bases = Map.newBuilder[Long, (Char, Int)]
+    val vars = Map.newBuilder[(Long, String, String), Int]
+    var pos = read.start
+    var idx = 0
+    def phred(i: Int): Int = read.qual.charAt(i) - 33
+    ops.foreach {
+      case AlnMatch(n, None) =>
+        var i = 0
+        while (i < n) {
+          bases += (pos + i) -> ((read.sequence.charAt(idx + i), phred(idx + i)))
+          i += 1
+        }
+        pos += n; idx += n
+      case AlnMatch(n, Some(refBases)) =>
+        var i = 0
+        while (i < n) {
+          bases += (pos + i) -> ((read.sequence.charAt(idx + i), phred(idx + i)))
+          vars += ((pos + i, refBases.substring(i, i + 1),
+            read.sequence.substring(idx + i, idx + i + 1))) -> phred(idx + i)
+          i += 1
+        }
+        pos += n; idx += n
+      case AlnIns(n) =>
+        if (idx > 0) {
+          val meanQ = (idx until (idx + n)).map(phred).sum / n
+          vars += ((pos - 1, read.sequence.substring(idx - 1, idx),
+            read.sequence.substring(idx - 1, idx + n))) -> meanQ
+        }
+        idx += n
+      case AlnDel(del) =>
+        if (idx > 0) {
+          vars += ((pos - 1, read.sequence.substring(idx - 1, idx) + del,
+            read.sequence.substring(idx - 1, idx))) -> phred(idx - 1)
+        }
+        pos += del.length
+      case AlnClip(n, true)  => idx += n
+      case AlnClip(_, false) => ()
+    }
+    SitePileup(bases.result(), vars.result())
+  }
+
+  /** Observations of one read at the given candidate variants. Malformed
+    * reads observe nothing (per-row failure isolation).
+    */
+  def observe(read: Read, variants: Seq[DiscoveredVariant]): Seq[SiteObservation] = {
+    Try {
+      val p = walk(read)
+      variants.flatMap { v =>
+        val alt = v.alternateAllele.getOrElse("")
+        def obs(support: Int, q: Int) = Some(SiteObservation(
+          v.contigName, v.start, v.referenceAllele, alt, read.sampleId,
+          support, !read.readNegativeStrand, q, read.mapq))
+        val isSnv = v.referenceAllele.length == 1 && alt.length == 1
+        if (isSnv) {
+          p.base.get(v.start) match {
+            case Some((b, q)) if b.toString == alt              => obs(SupportAlt, q)
+            case Some((b, q)) if b.toString == v.referenceAllele => obs(SupportRef, q)
+            case Some((_, q))                                    => obs(SupportOther, q)
+            case None                                            => None
+          }
+        } else {
+          val key = (v.start, v.referenceAllele, alt)
+          p.variants.get(key) match {
+            case Some(q) => obs(SupportAlt, q)
+            case None =>
+              val span = v.start until v.end
+              // reference support: read aligns a pure-matching base at
+              // every position of the variant span and carries no
+              // competing variant anchored at the site
+              val covered = span.forall(p.base.contains)
+              val competing = p.variants.keys.exists(_._1 == v.start)
+              if (covered && !competing) {
+                val quals = span.map(p.base(_)._2)
+                obs(SupportRef, quals.sum / quals.length)
+              } else if (covered) {
+                obs(SupportOther, p.base(v.start)._2)
+              } else None
+          }
+        }
+      }
+    }.getOrElse(Nil)
+  }
+}

@@ -252,6 +252,74 @@ object Oracles {
         |  count(*) AS n_obs
         |FROM lineitem
         |GROUP BY 1, 2, 3, 4
-        |HAVING count(*) >= 2""".stripMargin
+        |HAVING count(*) >= 2""".stripMargin,
+
+    // closed form of the full genotyping pipeline over the synthesized
+    // reads: same Li-model likelihoods, same argmax/tie-break, same
+    // top-2 genotype quality.
+    "g2_genotype_calls" ->
+      """WITH v AS (
+        |  SELECT concat('chr', l_returnflag) AS contig, (l_partkey % 1000) AS blk,
+        |         (l_partkey % 1000) * 20 + (l_suppkey % 10) AS vstart,
+        |         CASE WHEN l_orderkey % 3 = 0 THEN 'C'
+        |              WHEN l_orderkey % 3 = 1 THEN 'G' ELSE 'T' END AS valt
+        |  FROM lineitem GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+        |r AS (
+        |  SELECT concat('chr', l_returnflag) AS contig, (l_partkey % 1000) AS blk,
+        |         (l_partkey % 1000) * 20 + (l_suppkey % 10) AS rpos,
+        |         CASE WHEN l_orderkey % 3 = 0 THEN 'C'
+        |              WHEN l_orderkey % 3 = 1 THEN 'G' ELSE 'T' END AS ralt,
+        |         1 - (1 - pow(10, -(30 + l_linenumber % 10)/10.0)) * (1 - pow(10, -6.0)) AS eps
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT v.contig, v.vstart, v.valt,
+        |         CASE WHEN r.rpos = v.vstart AND r.ralt = v.valt THEN 2
+        |              WHEN r.rpos = v.vstart THEN 0 ELSE 1 END AS support,
+        |         r.eps
+        |  FROM v JOIN r ON v.contig = r.contig AND v.blk = r.blk),
+        |g AS (
+        |  SELECT contig AS contigName, vstart, valt,
+        |    sum(CASE WHEN support = 2 THEN ln(2*eps) - ln(2)
+        |             ELSE ln(2*(1-eps)) - ln(2) END) AS gl0,
+        |    sum(ln(eps + (1-eps)) - ln(2)) AS gl1,
+        |    sum(CASE WHEN support = 2 THEN ln(2*(1-eps)) - ln(2)
+        |             ELSE ln(2*eps) - ln(2) END) AS gl2,
+        |    count(*)::INT AS readDepth,
+        |    sum(CASE WHEN support = 1 THEN 1 ELSE 0 END)::INT AS referenceReadDepth,
+        |    sum(CASE WHEN support = 2 THEN 1 ELSE 0 END)::INT AS alternateReadDepth,
+        |    sum(CASE WHEN support = 0 THEN 1 ELSE 0 END)::INT AS otherReadDepth
+        |  FROM p GROUP BY 1, 2, 3)
+        |SELECT contigName, vstart AS start, 'A' AS referenceAllele,
+        |  valt AS alternateAllele, 's1' AS sampleId,
+        |  CASE WHEN gl0 >= gl1 AND gl0 >= gl2 THEN 0
+        |       WHEN gl1 >= gl2 THEN 1 ELSE 2 END AS genotypeState,
+        |  round(10/ln(10) * (greatest(gl0, gl1, gl2)
+        |    - greatest(least(gl0, gl1), least(gl1, gl2), least(gl0, gl2))), 3) AS genotypeQuality,
+        |  round(gl0, 3) AS gl_0, round(gl1, 3) AS gl_1, round(gl2, 3) AS gl_2,
+        |  readDepth, referenceReadDepth, alternateReadDepth, otherReadDepth
+        |FROM g""".stripMargin,
+
+    "m1_multimodal_meta" ->
+      """SELECT doc_id, strlen(text) AS n_bytes,
+        |  strlen(text) % 640 AS width,
+        |  strlen(text) % 480 AS height,
+        |  strlen(text) % 16 AS n_frames
+        |FROM documents""".stripMargin,
+
+    "ev2_sessionize" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |t2 AS (
+        |  SELECT user_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM s),
+        |c AS (SELECT user_id, session_id, count(*) AS n_events FROM t2 GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+        |FROM c GROUP BY user_id""".stripMargin
   )
 }

@@ -1,9 +1,9 @@
 package graft.queries
 
-import graft.genomics.DiscoverVariants
-import graft.model.{Order, Read}
+import graft.genomics.{BiallelicGenotyper, DiscoverVariants}
+import graft.model.{DiscoveredVariant, Order, Read}
 import graft.operators._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -312,23 +312,22 @@ object Queries {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
 
-  // ---- genomics pipeline on synthesized reads (G1) ---------------------
+  // ---- genomics pipeline on synthesized reads (G1, G2) -----------------
 
-  /** End-to-end variant discovery over reads synthesized deterministically
-    * from lineitem: render CIGAR/MD/qual strings per row, then run the
-    * real kernel pipeline (CIGAR+MD parse -> per-read variant extraction
-    * -> min-support hash agg). The oracle computes the closed form of the
-    * same generator, so the whole kernel path is hash-checked.
+  /** Reads synthesized deterministically from lineitem: 10bp reads, all-A
+    * reference, one SNV per read at offset (l_suppkey % 10) with alt base
+    * from (l_orderkey % 3), phred 30 + (l_linenumber % 10), CIGAR/MD/qual
+    * rendered as real strings so the kernel pipeline parses them for
+    * real. The closed form is mirrored by the DuckDB oracles.
     */
-  def g1_discover_variants(spark: SparkSession, dir: String): DataFrame = {
+  private def syntheticReads(spark: SparkSession, dir: String): Dataset[Read] = {
     val spark2 = spark
     import spark2.implicits._
     val snvOff = (col("l_suppkey") % 10).cast("int")
     val altBase = when(col("l_orderkey") % 3 === 0, "C")
       .when(col("l_orderkey") % 3 === 1, "G")
       .otherwise("T")
-    val q = (lit(30) + col("l_linenumber") % 10).cast("int")
-    val reads = t(spark, dir, "lineitem").select(
+    t(spark, dir, "lineitem").select(
       concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("readName"),
       concat(lit("chr"), col("l_returnflag")).as("contigName"),
       ((col("l_partkey") % 1000) * 20).as("start"),
@@ -346,7 +345,100 @@ object Queries {
       lit("s1").as("sampleId"),
       lit(null).cast("string").as("mateContigName"),
       lit(null).cast("long").as("mateStart"),
-      lit(false).as("mateMapped"))
-    DiscoverVariants.discover(reads.as[Read], minPhred = 20, minObservations = 2)
+      lit(false).as("mateMapped")).as[Read]
+  }
+
+  /** End-to-end variant discovery: CIGAR+MD parse -> per-read variant
+    * extraction -> min-support hash agg, hash-checked against the
+    * generator's closed form.
+    */
+  def g1_discover_variants(spark: SparkSession, dir: String): DataFrame =
+    DiscoverVariants.discover(syntheticReads(spark, dir), minPhred = 20, minObservations = 2)
+
+  /** End-to-end genotyping: discovery, interval join of reads x variants,
+    * observer kernel, broadcast score-table join, wide per-site hash agg,
+    * genotype emission — the full flagship pipeline, with the oracle
+    * computing the same likelihood model in closed form.
+    */
+  def g2_genotype_calls(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val reads = syntheticReads(spark, dir)
+    val variants = DiscoverVariants
+      .discover(reads, minPhred = 20, minObservations = 2)
+      .select("contigName", "start", "referenceAllele", "alternateAllele")
+      .as[DiscoveredVariant]
+    BiallelicGenotyper.call(reads, variants, ploidy = 2, binSize = 20.0)
+      .select(
+        col("contigName"), col("start"), col("referenceAllele"), col("alternateAllele"),
+        col("sampleId"), col("genotypeState"), col("genotypeQuality"),
+        round(col("gl_0"), 3).as("gl_0"),
+        round(col("gl_1"), 3).as("gl_1"),
+        round(col("gl_2"), 3).as("gl_2"),
+        col("readDepth"), col("referenceReadDepth"),
+        col("alternateReadDepth"), col("otherReadDepth"))
+  }
+
+  // ---- coverage cap (W3), LSH dedup (D3, D4), ANN (E2) — rows-only -----
+
+  /** Stateful running coverage cap over customer balance intervals,
+    * exact per-key semantics (hash-partitioned by key). Not
+    * SQL-expressible (admission depends on the admitted set), so
+    * correctness is spec-tested rather than oracle-checked.
+    */
+  def w3_coverage_cap(spark: SparkSession, dir: String): DataFrame =
+    HardLimiter.capCoverage(
+      t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          (col("c_acctbal") * 100).cast("long").as("lo"),
+          (col("c_acctbal") * 100).cast("long") + 5000L as "hi"),
+      keyCol = "c_mktsegment", startCol = "lo", endCol = "hi",
+      maxCoverage = 8, exact = true, tieCols = Seq("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_admitted"))
+
+  def d3_minhash_lsh_pairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLshPairs(t(spark, dir, "documents"), "doc_id", "text",
+      n = 3, k = 64, bands = 32, minAgree = 0.5)
+
+  def d4_simhash_pairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(t(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)
+
+  def e2_ann_topk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    SimilaritySearch.annTopK(emb, "vec_id", "embedding", dim = query.length,
+      query = query, k = 20, nBits = 4)
+  }
+
+  // ---- multimodal plumbing (M1) ----------------------------------------
+
+  def m1_multimodal_meta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractMeta(
+      Multimodal.attachBinary(t(spark, dir, "documents"), "text"))
+      .select("doc_id", "n_bytes", "width", "height", "n_frames")
+
+  // ---- sessionization (EV2) --------------------------------------------
+
+  /** Gap-based sessionization (30 min) over the events stream table —
+    * the batch shape of the streaming session operator; window-function
+    * oracle in DuckDB.
+    */
+  def ev2_sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val newSession = when(
+      col("ts") - lag(col("ts"), 1).over(w) > 1800000000000L, 1
+    ).otherwise(when(lag(col("ts"), 1).over(w).isNull, 1).otherwise(0))
+    t(spark, dir, "events")
+      .withColumn("new_s", newSession)
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"))
   }
 }

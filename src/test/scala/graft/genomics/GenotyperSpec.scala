@@ -1,0 +1,95 @@
+package graft.genomics
+
+import graft.SparkSpec
+import graft.kernels.Likelihood
+import graft.model.{DiscoveredVariant, Read}
+
+class GenotyperSpec extends SparkSpec {
+
+  /** A 10bp read on an all-A reference, optionally carrying a C SNV at
+    * `snvOff`, with uniform phred `q`.
+    */
+  private def read(name: String, start: Long = 100, snvOff: Int = -1,
+      q: Int = 30, mapq: Int = 60, negStrand: Boolean = false): Read = {
+    val seq = if (snvOff < 0) "A" * 10
+      else "A" * snvOff + "C" + "A" * (9 - snvOff)
+    val md = if (snvOff < 0) "10" else s"${snvOff}A${9 - snvOff}"
+    Read(name, "chr1", start, start + 10, seq, (33 + q).toChar.toString * 10,
+      "10M", md, mapq, readMapped = true, readNegativeStrand = negStrand,
+      duplicateRead = false, primaryAlignment = true, sampleId = "s1")
+  }
+
+  private def call(reads: Seq[Read]) = {
+    import spark.implicits._
+    val rds = reads.toDS()
+    val variants = Seq(DiscoveredVariant("chr1", 105, "A", Some("C"))).toDS()
+    BiallelicGenotyper.call(rds, variants, ploidy = 2, binSize = 100.0)
+      .collect().map(r => r.getAs[String]("contigName") -> r).toMap.values.head
+  }
+
+  test("het pileup calls REF/ALT with hand-computed likelihoods") {
+    val reads = (0 until 6).map(i => read(s"alt$i", snvOff = 5)) ++
+      (0 until 4).map(i => read(s"ref$i"))
+    val row = call(reads)
+    assert(row.getAs[Int]("genotypeState") === 1)
+    assert(row.getSeq[String](row.fieldIndex("alleles")).toList === Seq("REF", "ALT"))
+    assert(row.getAs[Int]("readDepth") === 10)
+    assert(row.getAs[Int]("alternateReadDepth") === 6)
+    assert(row.getAs[Int]("referenceReadDepth") === 4)
+
+    // hand-computed GL under the Li model
+    val aLL = Likelihood.alleleLogLikelihoods(30, 60, 2)
+    val oLL = Likelihood.otherLogLikelihoods(30, 60, 2)
+    val expected = (0 to 2).map(g => 6 * aLL(g) + 4 * oLL(g))
+    val got = row.getSeq[Double](row.fieldIndex("genotypeLikelihoods"))
+    (0 to 2).foreach(g => assert(math.abs(got(g) - expected(g)) < 1e-9, s"state $g"))
+
+    val sorted = expected.sorted.reverse
+    val gq = 10.0 / math.log(10.0) * (sorted(0) - sorted(1))
+    assert(math.abs(row.getAs[Double]("genotypeQuality") - gq) < 1e-3)
+  }
+
+  test("hom-alt pileup calls ALT/ALT") {
+    val row = call((0 until 8).map(i => read(s"alt$i", snvOff = 5, negStrand = i % 2 == 0)))
+    assert(row.getAs[Int]("genotypeState") === 2)
+    assert(row.getSeq[String](row.fieldIndex("alleles")).toList === Seq("ALT", "ALT"))
+    assert(row.getAs[Int]("alternateReadDepth") === 8)
+  }
+
+  test("hom-ref pileup calls REF/REF with zero alt depth") {
+    val row = call((0 until 8).map(i => read(s"ref$i")))
+    assert(row.getAs[Int]("genotypeState") === 0)
+    assert(row.getAs[Int]("alternateReadDepth") === 0)
+  }
+
+  test("non-overlapping reads are excluded from the pileup") {
+    val reads = (0 until 4).map(i => read(s"alt$i", snvOff = 5)) ++
+      Seq(read("far", start = 5000))
+    assert(call(reads).getAs[Int]("readDepth") === 4)
+  }
+
+  test("other-allele reads count as otherReadDepth") {
+    // reads showing G at the site, scored against the A->C variant
+    val gReads = (0 until 3).map { i =>
+      val r = read(s"g$i", snvOff = 5)
+      r.copy(sequence = r.sequence.updated(5, 'G'))
+    }
+    val row = call((0 until 5).map(i => read(s"alt$i", snvOff = 5)) ++ gReads)
+    assert(row.getAs[Int]("otherReadDepth") === 3)
+    assert(row.getAs[Int]("alternateReadDepth") === 5)
+  }
+
+  test("observer classifies indel support") {
+    // read with a 2bp deletion: 4M2D4M over read AAAAAAAA, ref AAAA,CC,AAAA
+    val del = Read("d1", "chr1", 100, 110, "A" * 8, "I" * 8, "4M2D4M", "4^CC4",
+      60, readMapped = true, readNegativeStrand = false, duplicateRead = false,
+      primaryAlignment = true, sampleId = "s1")
+    val v = DiscoveredVariant("chr1", 103, "ACC", Some("A"))
+    val obs = Observer.observe(del, Seq(v))
+    assert(obs.map(_.support) === Seq(Observer.SupportAlt))
+
+    // a pure-match read across the span supports REF
+    val ref = read("r1")
+    assert(Observer.observe(ref, Seq(v)).map(_.support) === Seq(Observer.SupportRef))
+  }
+}
