@@ -22,15 +22,38 @@ object Dedup {
   /** Word n-gram (shingle) sets per document: distinct n-token shingles
     * from single-space tokenization. Documents with fewer than n tokens
     * are dropped.
+    *
+    * PERF: built by a kernel UDF, deliberately. The Column-expression
+    * form (transform/sequence/concat_ws over split) has two pathologies:
+    * higher-order lambdas run interpreted, and — much worse — a Generate
+    * (explode) whose input is an inline expression re-evaluates that
+    * expression per OUTPUT row: measured 4.3s vs 0.17s (~the shingle
+    * fan-out, 52x) on the sf0.1 corpus. A UDF is opaque to that inlining
+    * and evaluates once per document.
     */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val shingles = array_distinct(
-      transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
-    df.where(size(toks) >= n)
-      .select(col(idCol).as("doc_id"), shingles.as("shingles"))
+    val mk = udf((toks: Seq[String]) =>
+      if (toks.length < n) Seq.empty[String]
+      else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct)
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), mk(col("toks")).as("shingles"))
+  }
+
+  /** Exploded shingle index (doc_id, g) and per-doc set sizes.
+    *
+    * PERF NOTE: the shingle array must be referenced exactly once, by the
+    * explode — if `size(shingles)` rides alongside (or projections
+    * collapse it into the Generate), Catalyst re-evaluates the whole
+    * shingle-building expression per OUTPUT row (~50x the input count;
+    * measured 25x slowdown). Set sizes are therefore recovered from the
+    * exploded index (shingles are distinct, so count == set size).
+    */
+  private def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): (DataFrame, DataFrame) = {
+    val ex = shingleSets(df, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+    val nsh = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    (ex, nsh)
   }
 
   /** Near-duplicate pairs by n-gram Jaccard similarity >= threshold.
@@ -45,16 +68,69 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val ex = shingleSets(df, idCol, textCol, n)
-      .select(col("doc_id"), size(col("shingles")).as("n_sh"), explode(col("shingles")).as("g"))
+    val (ex, nsh) = shingleIndex(df, idCol, textCol, n)
     val a = ex.alias("a")
     val b = ex.alias("b")
     a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
-      .groupBy("doc_a", "doc_b", "na", "nb")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))
+      .join(nsh.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(nsh.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard_raw", col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .where(col("jaccard_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
+  }
+
+  /** Exact near-dup pairs by n-gram Jaccard >= threshold, with prefix
+    * filtering (AllPairs/Bayardo et al. 2007): under a global shingle
+    * order (frequency asc, then lexical), any pair with J >= t must share
+    * a shingle within each side's first (n - ceil(t*n) + 1) shingles — so
+    * only those prefixes are indexed/joined, and candidates are verified
+    * with an exact set intersection. Same output as ngramJaccardPairs,
+    * but the inverted index shrinks from every shingle to the rare
+    * prefix, which is what survives a corpus whose common shingles occur
+    * in most documents.
+    *
+    * Crossover: when shingle document-frequencies are power-law (real
+    * text corpora), sum(df^2) explodes and this wins by orders of
+    * magnitude; when frequencies are uniform and sum(df^2) is modest
+    * (e.g. the synthetic test corpus), ngramJaccardPairs' direct count
+    * is cheaper because the candidate-verify probe re-walks the index.
+    */
+  def ngramJaccardPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val (ex, nsh) = shingleIndex(df, idCol, textCol, n)
+
+    // global shingle frequency -> total order (freq asc, shingle asc)
+    val freq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("g"))
+    val prefix = ex.join(freq, "g").join(nsh, "doc_id")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("doc_id"), col("g"))
+
+    // candidates: prefix-to-prefix collisions only
+    val cand = prefix.alias("pa")
+      .join(prefix.alias("pb"),
+        col("pa.g") === col("pb.g") && col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .distinct()
+
+    // exact verification: count common shingles of each candidate pair
+    // through the inverted index (equi-joins only, no array recompute)
+    val ea = ex.select(col("doc_id").as("doc_a"), col("g"))
+    val eb = ex.select(col("doc_id").as("doc_b"), col("g"))
+    cand.join(ea, "doc_a").join(eb, Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+      .join(nsh.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(nsh.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
       .withColumn("jaccard_raw", col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .where(col("jaccard_raw") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
@@ -122,17 +198,20 @@ object Dedup {
     * xxhash64(token)). Near-dups then differ in few bits (Hamming).
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = array_distinct(split(col(textCol), " "))
-    val hashes = transform(toks, t => xxhash64(t))
+    // materialize token hashes once — lambdas are interpreted, so the
+    // hash array must be an attribute, not a repeated subtree
+    val hashed = df.select(
+      col(idCol).as("doc_id"),
+      transform(array_distinct(split(col(textCol), " ")), t => xxhash64(t)).as("hs"))
     val bitCols = (0 until 64).map { j =>
       // sum of ±1 per token for bit j; sign -> bit j of simhash
       val vote = aggregate(
-        hashes,
+        col("hs"),
         lit(0L),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(vote > 0, shiftleft(lit(1L), j)).otherwise(0L)
     }
-    df.select(col(idCol).as("doc_id"), bitCols.reduce(_.bitwiseOR(_)).as("simhash"))
+    hashed.select(col("doc_id"), bitCols.reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
   /** SimHash near-dup pairs within maxHamming bits, LSH-bucketed by

@@ -34,6 +34,30 @@ class DedupSpec extends SparkSpec {
     assert(!m.contains((1L, 4L)) && !m.contains((2L, 4L)))
   }
 
+  test("prefix-filtered jaccard join == naive join on a random corpus") {
+    import spark.implicits._
+    // random docs over a deliberately tiny vocabulary so shingles collide
+    // heavily (the degenerate case prefix filtering exists for), with
+    // mutated copies to create true near-dups
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val rnd = new scala.util.Random(5)
+    val base = (0 until 60).map(i => (i.toLong, Seq.fill(12 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))))
+    val mutated = base.take(20).map { case (id, toks) =>
+      val t2 = toks.updated(rnd.nextInt(toks.size), vocab(rnd.nextInt(vocab.size)))
+      (id + 1000, t2)
+    }
+    val corpus = (base ++ mutated).map { case (id, toks) => (id, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val naive = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, t)
+        .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val fast = Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text", 3, t)
+        .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(fast === naive, s"threshold $t")
+      assert(naive.nonEmpty, s"test corpus produced no pairs at $t — weak test")
+    }
+  }
+
   test("minhash signature agreement tracks jaccard similarity") {
     import spark.implicits._
     val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", n = 3, k = 64)
