@@ -52,6 +52,8 @@ object SparkEntry {
     "ev2_sessionize" -> (Queries.ev2_sessionize _),
     "g1_discover_variants" -> (Queries.g1_discover_variants _),
     "g2_genotype_calls" -> (Queries.g2_genotype_calls _),
+    "g3_realign" -> (Queries.g3_realign _),
+    "g4_joint_recall" -> (Queries.g4_joint_recall _),
     "w3_coverage_cap" -> (Queries.w3_coverage_cap _),
     "d3_minhash_lsh_pairs" -> (Queries.d3_minhash_lsh_pairs _),
     "d4_simhash_pairs" -> (Queries.d4_simhash_pairs _),

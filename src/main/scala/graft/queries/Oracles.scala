@@ -299,6 +299,64 @@ object Oracles {
         |  readDepth, referenceReadDepth, alternateReadDepth, otherReadDepth
         |FROM g""".stripMargin,
 
+    // closed form of genotyping per sample + cohort MAF + binomial-prior
+    // recall (posterior_g = logC(2,g) + g ln maf + (2-g) ln(1-maf) + GL_g)
+    "g4_joint_recall" ->
+      """WITH v AS (
+        |  SELECT concat('chr', l_returnflag) AS contig, (l_partkey % 1000) AS blk,
+        |         (l_partkey % 1000) * 20 + (l_suppkey % 10) AS vstart,
+        |         CASE WHEN l_orderkey % 3 = 0 THEN 'C'
+        |              WHEN l_orderkey % 3 = 1 THEN 'G' ELSE 'T' END AS valt
+        |  FROM lineitem GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+        |r AS (
+        |  SELECT concat('chr', l_returnflag) AS contig, (l_partkey % 1000) AS blk,
+        |         (l_partkey % 1000) * 20 + (l_suppkey % 10) AS rpos,
+        |         CASE WHEN l_orderkey % 3 = 0 THEN 'C'
+        |              WHEN l_orderkey % 3 = 1 THEN 'G' ELSE 'T' END AS ralt,
+        |         's' || l_linestatus AS sample,
+        |         1 - (1 - pow(10, -(30 + l_linenumber % 10)/10.0)) * (1 - pow(10, -6.0)) AS eps
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT v.contig, v.vstart, v.valt, r.sample,
+        |         CASE WHEN r.rpos = v.vstart AND r.ralt = v.valt THEN 2
+        |              WHEN r.rpos = v.vstart THEN 0 ELSE 1 END AS support,
+        |         r.eps
+        |  FROM v JOIN r ON v.contig = r.contig AND v.blk = r.blk),
+        |g AS (
+        |  SELECT contig AS contigName, vstart, valt, sample,
+        |    sum(CASE WHEN support = 2 THEN ln(2*eps) - ln(2)
+        |             ELSE ln(2*(1-eps)) - ln(2) END) AS gl0,
+        |    sum(ln(eps + (1-eps)) - ln(2)) AS gl1,
+        |    sum(CASE WHEN support = 2 THEN ln(2*(1-eps)) - ln(2)
+        |             ELSE ln(2*eps) - ln(2) END) AS gl2,
+        |    count(*)::INT AS depth
+        |  FROM p GROUP BY 1, 2, 3, 4),
+        |st AS (
+        |  SELECT *, CASE WHEN gl0 >= gl1 AND gl0 >= gl2 THEN 0
+        |                 WHEN gl1 >= gl2 THEN 1 ELSE 2 END AS state
+        |  FROM g),
+        |j AS (
+        |  SELECT *,
+        |    sum(state) OVER w ::DOUBLE / (2 * count(*) OVER w) AS maf,
+        |    sum(depth) OVER w AS siteDepth,
+        |    count(*) OVER w AS siteSamples
+        |  FROM st WINDOW w AS (PARTITION BY contigName, vstart, valt)),
+        |q AS (
+        |  SELECT *,
+        |    0 + 2*ln(1-maf) + gl0 AS p0,
+        |    ln(2) + ln(maf) + ln(1-maf) + gl1 AS p1,
+        |    0 + 2*ln(maf) + gl2 AS p2
+        |  FROM j WHERE maf > 0)
+        |SELECT contigName, vstart AS start, 'A' AS referenceAllele,
+        |  valt AS alternateAllele, sample AS sampleId,
+        |  round(maf, 6) AS maf, state AS genotypeState,
+        |  CASE WHEN p0 >= p1 AND p0 >= p2 THEN 0
+        |       WHEN p1 >= p2 THEN 1 ELSE 2 END AS recalledState,
+        |  round(10/ln(10) * (greatest(p0, p1, p2)
+        |    - greatest(least(p0, p1), least(p1, p2), least(p0, p2))), 3) AS recalledQuality,
+        |  siteDepth, siteSamples
+        |FROM q""".stripMargin,
+
     "m1_multimodal_meta" ->
       """SELECT doc_id, strlen(text) AS n_bytes,
         |  strlen(text) % 640 AS width,

@@ -379,6 +379,93 @@ object Queries {
         col("alternateReadDepth"), col("otherReadDepth"))
   }
 
+  /** Realignment at scale: synthesize reads whose true story is a 2-base
+    * deletion but whose alignment was written as a sloppy mismatch run,
+    * realign with the k-mer aligner (narrow map, zero shuffle), and
+    * count recovered indel representations per contig. Rows-only check
+    * (realignment is not SQL-expressible); kernel correctness is
+    * spec-tested.
+    */
+  def g3_realign(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val sloppy = t(spark, dir, "lineitem")
+      .select(
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("readName"),
+        concat(lit("chr"), col("l_returnflag")).as("contigName"),
+        ((col("l_partkey") % 1000) * 40).as("start"),
+        // 30bp pseudorandom reference from md5 hex -> ACGT alphabet
+        translate(substring(md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))), 1, 30),
+          "0123456789abcdef", "ACGTACGTACGTACGT").as("ref"))
+      .as[(String, String, Long, String)]
+      .map { case (name, contig, start, ref) =>
+        // true story: delete ref[12:14] from the read; sloppy alignment:
+        // 28M against ref[0:28] with whatever mismatches that implies
+        val readSeq = ref.substring(0, 12) + ref.substring(14)
+        val refWindow = ref.substring(0, 28)
+        val ops = readSeq.zip(refWindow).map { case (r, f) =>
+          if (r == f) graft.kernels.AlnMatch(1)
+          else graft.kernels.AlnMatch(1, Some(f.toString))
+        }
+        val (cigar, md) = graft.kernels.AlignmentOps.render(ops)
+        Read(name, contig, start, start + 28, readSeq, "I" * 28, cigar, md,
+          60, readMapped = true, readNegativeStrand = false,
+          duplicateRead = false, primaryAlignment = true, sampleId = "s1")
+      }
+    import org.apache.spark.sql.functions.{col => c}
+    graft.genomics.Realigner.realign(sloppy, k = 6)
+      .groupBy("contigName")
+      .agg(
+        count(lit(1)).as("n_reads"),
+        sum(when(c("cigar").contains("D"), 1L).otherwise(0L)).as("n_indel_recovered"))
+  }
+
+  /** Joint calling over a 3-sample cohort (samples derived from
+    * l_linestatus): full genotyper per sample, then cohort MAF +
+    * binomial-prior recall. Oracle mirrors the entire two-stage model in
+    * closed form.
+    */
+  def g4_joint_recall(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    // same synthetic reads as g1/g2, but sample derived from l_linestatus
+    val snvOff = (col("l_suppkey") % 10).cast("int")
+    val altBase = when(col("l_orderkey") % 3 === 0, "C")
+      .when(col("l_orderkey") % 3 === 1, "G")
+      .otherwise("T")
+    val rds = t(spark, dir, "lineitem").select(
+      concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("readName"),
+      concat(lit("chr"), col("l_returnflag")).as("contigName"),
+      ((col("l_partkey") % 1000) * 20).as("start"),
+      ((col("l_partkey") % 1000) * 20 + 10).as("end"),
+      concat(expr("repeat('A', l_suppkey % 10)"), altBase,
+        expr("repeat('A', 9 - l_suppkey % 10)")).as("sequence"),
+      expr(s"repeat(chr(63 + l_linenumber % 10), 10)").as("qual"),
+      lit("10M").as("cigar"),
+      concat(snvOff.cast("string"), lit("A"), (lit(9) - snvOff).cast("string")).as("mdTag"),
+      lit(60).as("mapq"),
+      lit(true).as("readMapped"),
+      lit(false).as("readNegativeStrand"),
+      lit(false).as("duplicateRead"),
+      lit(true).as("primaryAlignment"),
+      concat(lit("s"), col("l_linestatus")).as("sampleId"),
+      lit(null).cast("string").as("mateContigName"),
+      lit(null).cast("long").as("mateStart"),
+      lit(false).as("mateMapped")).as[Read]
+    val variants = DiscoverVariants
+      .discover(rds, minPhred = 20, minObservations = 2)
+      .select("contigName", "start", "referenceAllele", "alternateAllele")
+      .as[DiscoveredVariant]
+    val called = BiallelicGenotyper.call(rds, variants, ploidy = 2, binSize = 20.0)
+      .withColumn("end", col("start") + 1)
+    graft.genomics.JointAnnotatorCaller(called)
+      .select(
+        col("contigName"), col("start"), col("referenceAllele"), col("alternateAllele"),
+        col("sampleId"), round(col("maf"), 6).as("maf"),
+        col("genotypeState"), col("recalledState"), col("recalledQuality"),
+        col("siteDepth"), col("siteSamples"))
+  }
+
   // ---- coverage cap (W3), LSH dedup (D3, D4), ANN (E2) — rows-only -----
 
   /** Stateful running coverage cap over customer balance intervals,

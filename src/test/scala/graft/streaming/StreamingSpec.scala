@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+
+  // the streaming file source needs a directory containing ONLY events
+  // files; stage one via symlink
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.createSymbolicLink(
+      d.resolve("events.parquet"),
+      java.nio.file.Paths.get(sf("0.001"), "events.parquet"))
+    d.toString
+  }
+
+  test("windowed streaming agg over events matches the batch computation") {
+    val streamed = StreamingOps.runToMemorySink(
+      StreamingOps.windowedCounts(StreamingOps.readEvents(spark, dir)),
+      "win_counts", OutputMode.Append())
+
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+    val s = streamed.select("window_start", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val b = batch.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    // append mode emits only watermark-closed windows: the streamed set
+    // is the batch set minus windows within the 10-minute watermark of
+    // the max event time
+    assert(s.subsetOf(b))
+    assert(s.nonEmpty)
+    assert(b.size - s.size <= 5, s"too many unclosed windows: ${b.size - s.size}")
+  }
+
+  test("stateful running user totals accumulate across the stream") {
+    val streamed = StreamingOps.runToMemorySink(
+      StreamingOps.runningUserTotals(StreamingOps.readEvents(spark, dir)).toDF(),
+      "user_totals", OutputMode.Update())
+
+    // final state per user == batch per-user aggregate
+    val lastPerUser = streamed
+      .groupBy("user_id").agg(max(col("n_events")).as("n_events"))
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val s = lastPerUser.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = batch.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s === b)
+  }
+}
