@@ -1,0 +1,69 @@
+package graft.genomics
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Copy-number map (SURVEY.md A8/J5; reference CopyNumberMap.scala:45-112):
+  * CNV calls (DUP/DEL features) adjust the local ploidy around the base.
+  * The call set is small (thousands of intervals), so — exactly as the
+  * reference does — it is collected to the driver, sorted per contig,
+  * and broadcast; per-row probes are a binary search inside a codegen'd
+  * UDF (the in-memory interval probe J5). This is the one deliberate
+  * driver-side collect in the engine, and it is bounded by the CNV call
+  * set size, never the data size.
+  */
+object CopyNumberMap {
+
+  /** contig -> intervals (start, end, copyNumber) sorted by start. */
+  type CnMap = Map[String, Array[(Long, Long, Int)]]
+
+  case class Built(bc: Broadcast[CnMap], minPloidy: Int, maxPloidy: Int, basePloidy: Int) {
+
+    /** Copy number at a point (first overlapping interval wins, as with
+      * the reference's sorted-scan probe).
+      */
+    def at(contig: String, pos: Long): Int = {
+      val ivs = bc.value.getOrElse(contig, Array.empty)
+      // binary search for the last interval with start <= pos
+      var lo = 0; var hi = ivs.length - 1; var found = basePloidy
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (ivs(mid)._1 <= pos) {
+          if (pos < ivs(mid)._2) { found = ivs(mid)._3; hi = -1 /* break */ }
+          else lo = mid + 1
+        } else hi = mid - 1
+      }
+      found
+    }
+
+    /** Column-level probe for use in declarative pipelines. */
+    def copyNumberAt(contig: Column, pos: Column): Column = {
+      val probe = udf((c: String, p: Long) => at(c, p))
+      probe(contig, pos)
+    }
+  }
+
+  /** Build from a feature table with columns (contigName, start, end,
+    * featureType 'DUP'|'DEL'): DUP -> base+1, DEL -> base-1.
+    */
+  def fromFeatures(features: DataFrame, basePloidy: Int = 2): Built = {
+    val spark = features.sparkSession
+    val rows = features
+      .select(col("contigName"), col("start"), col("end"),
+        when(col("featureType") === "DUP", basePloidy + 1)
+          .when(col("featureType") === "DEL", basePloidy - 1)
+          .otherwise(basePloidy).as("cn"))
+      .collect() // deliberately small: the CNV call set
+    val byContig: CnMap = rows
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .groupBy(_._1)
+      .map { case (c, rs) => c -> rs.map(t => (t._2, t._3, t._4)).sortBy(_._1) }
+    val cns = rows.map(_.getInt(3))
+    Built(
+      spark.sparkContext.broadcast(byContig),
+      if (cns.isEmpty) basePloidy else math.min(basePloidy, cns.min),
+      if (cns.isEmpty) basePloidy else math.max(basePloidy, cns.max),
+      basePloidy)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.queries.Queries
+
+/** Physical-plan regression guards: the scale properties (pushdown,
+  * pruning, broadcast choice, partial aggregation, no nested-loop
+  * fallbacks) asserted against the actual planned strings, so a future
+  * change that silently degrades a plan fails the suite.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("s1: filter pushed to parquet scan, columns pruned") {
+    val plan = planOf(Queries.s1_scan_prune(spark, sf("0.001")))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("LessThan(l_shipdate"), plan) // (later filters truncate in toString)
+    // pruned read schema: only the 5 referenced columns reach the scan
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+    assert(readSchema.contains("l_quantity"), readSchema)
+  }
+
+  test("j3: dimension join plans as broadcast hash join") {
+    val plan = planOf(Queries.j3_bcast_equijoin(spark, sf("0.001")))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("interval joins never fall back to nested-loop/cartesian") {
+    for (q <- Seq(Queries.j1_interval_point_bcast _, Queries.j2_interval_overlap_shuffle _)) {
+      val plan = planOf(q(spark, sf("0.001")))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(plan.contains("Join"), plan)
+    }
+  }
+
+  test("a3: hash aggregation is partial+final (map-side combine)") {
+    val plan = planOf(Queries.a3_wide_agg(spark, sf("0.001")))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("partial_sum") || plan.contains("merge_sum") || plan.contains("sum"), plan)
+  }
+
+  test("w1: sort+limit plans as TakeOrderedAndProject, not global sort") {
+    val plan = planOf(Queries.w1_sort_limit(spark, sf("0.001")))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("semi/anti joins plan as join strategies, not filters with subqueries") {
+    assert(planOf(Queries.j4_semi_join(spark, sf("0.001"))).contains("LeftSemi"))
+    assert(planOf(Queries.j5_anti_join(spark, sf("0.001"))).contains("LeftAnti"))
+  }
+
+  test("genotyper: score table joins broadcast; no nested loop anywhere") {
+    val plan = planOf(Queries.g2_genotype_calls(spark, sf("0.001")))
+    assert(plan.contains("BroadcastHashJoin"), "score-table join should broadcast")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}

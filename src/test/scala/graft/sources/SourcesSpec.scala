@@ -1,0 +1,78 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.genomics.CopyNumberMap
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkSpec {
+
+  test("SAM line parse: coordinates, flags, MD tag, mate fields") {
+    val line = "r1\t99\tchr1\t101\t60\t5M1I4M\tchr2\t301\t0\tACGTACGTAC\tIIIIIIIIII\tNM:i:1\tMD:Z:9"
+    val r = Sam.parseLine(line, "s1").get
+    assert(r.readName === "r1")
+    assert(r.start === 100) // 1-based -> 0-based
+    assert(r.end === 109)   // 9 ref-consumed bases
+    assert(r.mdTag === "9")
+    assert(r.readMapped && r.primaryAlignment && !r.readNegativeStrand && !r.duplicateRead)
+    assert(r.mateContigName === Some("chr2"))
+    assert(r.mateStart === Some(300L))
+    assert(Sam.parseLine("@HD\tVN:1.6") === None)
+    assert(Sam.parseLine("garbage") === None)
+
+    // flag decoding: 1024 duplicate, 16 reverse, 256 secondary, '=' mate
+    val r2 = Sam.parseLine("r2\t1299\tchr1\t11\t3\t10M\t=\t101\t0\tACGTACGTAC\tIIIIIIIIII").get
+    assert(r2.duplicateRead && r2.readNegativeStrand && !r2.primaryAlignment)
+    assert(r2.mateContigName === Some("chr1"))
+  }
+
+  test("VCF round trip: render -> write -> read recovers calls") {
+    import spark.implicits._
+    val calls = Seq(
+      ("chr1", 100L, "A", "C", 1, 45.2, 30),
+      ("chr1", 222L, "AGG", "A", 2, 99.0, 41),
+      ("chr2", 5L, "T", "G", 0, 10.0, 12)
+    ).toDF("contigName", "start", "referenceAllele", "alternateAllele",
+      "genotypeState", "genotypeQuality", "readDepth")
+    val dir = java.nio.file.Files.createTempDirectory("vcf").toString + "/out"
+    Vcf.write(calls, dir, singleFile = true)
+    val back = Vcf.read(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getInt(r.fieldIndex("genotypeState")), r.getInt(r.fieldIndex("readDepth")))).toSet
+    assert(back === Set(
+      ("chr1", 100L, "A", "C", 1, 30),
+      ("chr1", 222L, "AGG", "A", 2, 41),
+      ("chr2", 5L, "T", "G", 0, 12)))
+  }
+
+  test("VCF render emits 1-based positions and GT strings") {
+    import spark.implicits._
+    val calls = Seq(("chr1", 100L, "A", "C", 1, 45.2, 30))
+      .toDF("contigName", "start", "referenceAllele", "alternateAllele",
+        "genotypeState", "genotypeQuality", "readDepth")
+    val line = Vcf.renderLines(calls).head()
+    assert(line === "chr1\t101\t.\tA\tC\t45\tPASS\t.\tGT:GQ:DP\t0/1:45:30")
+  }
+
+  test("copy number map: broadcast probe with binary search") {
+    import spark.implicits._
+    val features = Seq(
+      ("chr1", 100L, 200L, "DUP"),
+      ("chr1", 500L, 600L, "DEL"),
+      ("chr2", 0L, 50L, "DUP")
+    ).toDF("contigName", "start", "end", "featureType")
+    val m = CopyNumberMap.fromFeatures(features)
+    assert(m.basePloidy === 2 && m.minPloidy === 1 && m.maxPloidy === 3)
+    assert(m.at("chr1", 150) === 3)  // inside DUP
+    assert(m.at("chr1", 550) === 1)  // inside DEL
+    assert(m.at("chr1", 300) === 2)  // between
+    assert(m.at("chr1", 200) === 2)  // half-open end
+    assert(m.at("chr3", 10) === 2)   // unknown contig
+
+    // column probe inside a distributed pipeline
+    val probed = Seq(("chr1", 150L), ("chr1", 700L), ("chr2", 10L))
+      .toDF("c", "p")
+      .select(m.copyNumberAt(col("c"), col("p")).as("cn"))
+      .as[Int].collect().toSeq
+    assert(probed === Seq(3, 2, 3))
+  }
+}
