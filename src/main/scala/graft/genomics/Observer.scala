@@ -41,12 +41,16 @@ object Observer {
     */
   private case class SitePileup(
       base: Map[Long, (Char, Int)],
-      variants: Map[(Long, String, String), Int]) // (start, ref, alt) -> qual
+      variants: Map[(Long, String, String), Int], // (start, ref, alt) -> qual
+      indelAnchors: Set[Long], // reference positions adjacent to an indel
+      clipBoundaries: Set[Long]) // aligned positions where a soft clip abuts
 
   private def walk(read: Read): SitePileup = {
     val ops = AlignmentOps.parse(read.cigar, read.mdTag)
     val bases = Map.newBuilder[Long, (Char, Int)]
     val vars = Map.newBuilder[(Long, String, String), Int]
+    val anchors = Set.newBuilder[Long]
+    val clips = Set.newBuilder[Long]
     var pos = read.start
     var idx = 0
     def phred(i: Int): Int = read.qual.charAt(i) - 33
@@ -73,17 +77,22 @@ object Observer {
           vars += ((pos - 1, read.sequence.substring(idx - 1, idx),
             read.sequence.substring(idx - 1, idx + n))) -> meanQ
         }
+        anchors += (pos - 1)
         idx += n
       case AlnDel(del) =>
         if (idx > 0) {
           vars += ((pos - 1, read.sequence.substring(idx - 1, idx) + del,
             read.sequence.substring(idx - 1, idx))) -> phred(idx - 1)
         }
+        anchors += (pos - 1)
         pos += del.length
-      case AlnClip(n, true)  => idx += n
+      case AlnClip(n, true) =>
+        // boundary position where the clip meets the aligned core
+        clips += (if (idx == 0) pos else pos - 1)
+        idx += n
       case AlnClip(_, false) => ()
     }
-    SitePileup(bases.result(), vars.result())
+    SitePileup(bases.result(), vars.result(), anchors.result(), clips.result())
   }
 
   /** Observations of one read at the given candidate variants. Malformed
@@ -111,12 +120,19 @@ object Observer {
             case Some(q) => obs(SupportAlt, q)
             case None =>
               val span = v.start until v.end
-              // reference support: read aligns a pure-matching base at
-              // every position of the variant span and carries no
-              // competing variant anchored at the site
+              // ambiguity window: a nearby indel anchor or a soft-clip
+              // boundary means this read's alignment cannot attest
+              // presence/absence of the indel (fragmented insertions,
+              // clipped-out inserts) -> observe nothing (the reference's
+              // nullOut reclassification, BiallelicGenotyper.scala:287-373)
+              val w = math.max(v.referenceAllele.length, alt.length) + 8L
+              val ambiguous =
+                p.indelAnchors.exists(a => a >= v.start - w && a <= v.end + w) ||
+                  p.clipBoundaries.exists(c => c >= v.start - w && c <= v.end + w)
               val covered = span.forall(p.base.contains)
               val competing = p.variants.keys.exists(_._1 == v.start)
-              if (covered && !competing) {
+              if (ambiguous) None
+              else if (covered && !competing) {
                 val quals = span.map(p.base(_)._2)
                 obs(SupportRef, quals.sum / quals.length)
               } else if (covered) {
