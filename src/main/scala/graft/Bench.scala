@@ -19,7 +19,9 @@ object Bench {
     "e1_cosine_score",
     "t2_quality_score",
     "ev1_time_window_agg",
-    "g1_discover_variants")
+    "g1_discover_variants",
+    "g2_genotype_calls",
+    "g4_joint_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

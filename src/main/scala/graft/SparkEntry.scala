@@ -10,9 +10,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The flagship is the genotyping pipeline itself: discovery, interval
+    * join, observer kernel, broadcast score join, wide agg, emission.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Queries.a3_wide_agg(spark, "/root/testdata/sf0.001")
+    Queries.g2_genotype_calls(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -58,6 +61,7 @@ object SparkEntry {
     "d3_minhash_lsh_pairs" -> (Queries.d3_minhash_lsh_pairs _),
     "d4_simhash_pairs" -> (Queries.d4_simhash_pairs _),
     "e2_ann_topk" -> (Queries.e2_ann_topk _),
+    "e3_embedding_dedup" -> (Queries.e3_embedding_dedup _),
     "m1_multimodal_meta" -> (Queries.m1_multimodal_meta _)
   )
 

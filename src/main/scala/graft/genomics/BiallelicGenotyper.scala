@@ -39,29 +39,67 @@ object BiallelicGenotyper {
     import spark.implicits._
     val states = 0 to ploidy
 
-    // -- interval join reads x variants (J1)
+    // -- split candidate variants: SNVs ride the fully-declarative fast
+    // path; indels need the alignment-aware object kernel
+    // the candidate set is small by construction; cache it so the SNV and
+    // indel branches don't each re-run the (possibly expensive) upstream
+    // discovery plan
     val vdf = variants.toDF.select(
       col("contigName").as("v_contig"),
       col("start").as("v_start"),
       col("referenceAllele").as("v_ref"),
       col("alternateAllele").as("v_alt"),
       (col("start") + greatest(length(col("referenceAllele")), lit(1))).as("v_end"))
-    val joined = IntervalJoin.overlap(
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isSnv = length(col("v_ref")) === 1 && length(col("v_alt")) === 1
+    val snvV = vdf.where(col("v_alt").isNotNull && isSnv)
+    val indelV = vdf.where(col("v_alt").isNull || !isSnv)
+    val haveIndels = indelV.limit(1).count() > 0
+
+    // -- SNV fast path: explode each read ONCE into per-base pileup rows
+    // (kernel cost is per aligned base, independent of variant density),
+    // then an equi-join on (contig, position) and codegen'd support
+    // classification — no per-(read,variant) object kernel, no group-by.
+    val pileup = reads.flatMap(Observer.basePileup).toDF()
+    val snvSide = if (broadcastVariants) broadcast(snvV) else snvV
+    val snvObs = pileup
+      .join(snvSide,
+        pileup("contigName") === snvV("v_contig") && pileup("pos") === snvV("v_start"))
+      .select(
+        col("contigName"),
+        col("v_start").as("start"),
+        col("v_ref").as("referenceAllele"),
+        col("v_alt").as("alternateAllele"),
+        col("sampleId"),
+        when(col("base") === col("v_alt"), Observer.SupportAlt)
+          .when(col("base") === col("v_ref"), Observer.SupportRef)
+          .otherwise(Observer.SupportOther).as("support"),
+        col("forwardStrand"), col("qual"), col("mapq"))
+
+    // -- indel path (K6/K8): interval join + per-read observation kernel
+    // with nullOut ambiguity handling; indel candidate sets are orders of
+    // magnitude smaller than the base pileup. Skipped entirely when no
+    // indel candidates exist.
+    lazy val indelJoined = IntervalJoin.overlap(
       reads.toDF, "start", "end",
-      vdf, "v_start", "v_end",
+      indelV, "v_start", "v_end",
       binSize, keys = Seq("contigName" -> "v_contig"),
       broadcastRight = broadcastVariants)
-
-    // -- per-(read, variant) observation kernel (K6)
-    val obs = joined
+    lazy val indelObs = indelJoined
       .select(
         struct(reads.columns.map(col): _*).as("r"),
-        col("v_start"), col("v_ref"), col("v_alt"))
-      .as[(Read, Long, String, Option[String])]
-      .flatMap { case (r, vs, vr, va) =>
-        Observer.observe(r, Seq(DiscoveredVariant(r.contigName, vs, vr, va)))
+        struct(col("v_start"), col("v_ref"), col("v_alt")).as("v"))
+      .groupBy(col("r"))
+      .agg(collect_list(col("v")).as("vs"))
+      .as[(Read, Seq[(Long, String, Option[String])])]
+      .flatMap { case (r, vs) =>
+        Observer.observe(r, vs.map(t => DiscoveredVariant(r.contigName, t._1, t._2, t._3)))
       }
       .toDF()
+      .select("contigName", "start", "referenceAllele", "alternateAllele",
+        "sampleId", "support", "forwardStrand", "qual", "mapq")
+
+    val obs = if (haveIndels) snvObs.unionByName(indelObs) else snvObs
 
     // -- broadcast score-table join (S9 + J3); clamp quals to the domain
     val scores = ScoreTable.build(spark, ploidy, maxQual, maxMapQ)

@@ -95,6 +95,52 @@ object Observer {
     SitePileup(bases.result(), vars.result(), anchors.result(), clips.result())
   }
 
+  /** One aligned base of one read: the exploded pileup row for the
+    * declarative SNV path (support classification happens as codegen'd
+    * column expressions after an equi-join on position, not in this
+    * kernel).
+    */
+  case class BaseObs(
+      contigName: String,
+      pos: Long,
+      base: String,
+      qual: Int,
+      forwardStrand: Boolean,
+      mapq: Int,
+      sampleId: String)
+
+  /** Explode a read into per-aligned-base pileup rows — runs ONCE per
+    * read regardless of how many variants overlap it. Malformed reads
+    * emit nothing.
+    */
+  def basePileup(read: Read): Seq[BaseObs] = {
+    Try {
+      val ops = AlignmentOps.parse(read.cigar, read.mdTag)
+      val out = new scala.collection.mutable.ArrayBuffer[BaseObs](read.sequence.length)
+      var pos = read.start
+      var idx = 0
+      def phred(i: Int): Int = read.qual.charAt(i) - 33
+      def emit(n: Int): Unit = {
+        var i = 0
+        while (i < n) {
+          out += BaseObs(read.contigName, pos + i,
+            read.sequence.substring(idx + i, idx + i + 1), phred(idx + i),
+            !read.readNegativeStrand, read.mapq, read.sampleId)
+          i += 1
+        }
+        pos += n; idx += n
+      }
+      ops.foreach {
+        case AlnMatch(n, _)    => emit(n)
+        case AlnIns(n)         => idx += n
+        case AlnDel(b)         => pos += b.length
+        case AlnClip(n, true)  => idx += n
+        case AlnClip(_, false) => ()
+      }
+      out.toSeq
+    }.getOrElse(Nil)
+  }
+
   /** Observations of one read at the given candidate variants. Malformed
     * reads observe nothing (per-row failure isolation).
     */

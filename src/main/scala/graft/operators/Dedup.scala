@@ -193,6 +193,41 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("agree"), 4).as("sig_agreement"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: cosine similarity >=
+    * threshold over an array<float|double> column.
+    *
+    * exact=true: block self-join (O(n²) compares) — right for
+    * oracle-checkable correctness and moderate corpus sizes. exact=false:
+    * random-hyperplane LSH buckets generate candidates (recall < 1,
+    * scale path) verified by exact cosine.
+    */
+  def embeddingCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      threshold: Double,
+      exact: Boolean = false,
+      nBits: Int = 8,
+      seed: Long = 42): DataFrame = {
+    val base =
+      if (exact)
+        df.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"))
+          .withColumn("bucket", lit(0))
+      else SimilaritySearch.lshBuckets(df, idCol, embCol, dim, nBits, seed)
+        .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"), col("bucket"))
+    val a = base.alias("a")
+    val b = base.alias("b")
+    val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(col("a.v"), x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(col("b.v"), x => x * x), lit(0.0), (acc, x) => acc + x))
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos_raw", dot / (na * nb))
+      .where(col("cos_raw") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
   /** 64-bit SimHash per document from token hashes: bit j of the simhash
     * is the sign of the sum over tokens of (+1/-1 for bit j of
     * xxhash64(token)). Near-dups then differ in few bits (Hamming).

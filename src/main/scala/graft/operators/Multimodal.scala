@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media carried as opaque `binary` columns
@@ -37,4 +37,30 @@ object Multimodal {
   def sampleFrames(df: DataFrame, everyNth: Int = 4): DataFrame =
     df.withColumn("frame_idx",
         explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(everyNth))))
+
+  case class DecodedFeature(doc_id: Long, n_bytes: Int, checksum: Long, feature: Array[Float])
+
+  /** Batched decode kernel: the Scala analog of a pandas-UDF
+    * `mapInPandas` — one invocation per PARTITION, iterating records, so
+    * per-batch setup (codec init, model load) is amortized exactly as a
+    * real media decoder needs. The decode itself is a STUB (deterministic
+    * checksum + fake 8-dim feature from the payload bytes); the
+    * iterator-in/iterator-out shape, schema, and partition amortization
+    * are the real plumbing.
+    */
+  def decodeBatch(df: DataFrame, idCol: String, binCol: String = "payload"): Dataset[DecodedFeature] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // per-partition setup would init the codec here, once
+        batch.map { case (id, bytes) =>
+          var sum = 0L
+          var i = 0
+          while (i < bytes.length) { sum = sum * 31 + (bytes(i) & 0xff); i += 1 }
+          val feat = Array.tabulate(8)(j => ((sum >>> (j * 8)) & 0xff).toFloat / 255f)
+          DecodedFeature(id, bytes.length, sum, feat)
+        }
+      }
+  }
 }

@@ -357,6 +357,15 @@ object Oracles {
         |  siteDepth, siteSamples
         |FROM q""".stripMargin,
 
+    "e3_embedding_dedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35""".stripMargin,
+
     "m1_multimodal_meta" ->
       """SELECT doc_id, strlen(text) AS n_bytes,
         |  strlen(text) % 640 AS width,

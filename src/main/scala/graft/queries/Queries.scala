@@ -499,6 +499,14 @@ object Queries {
       query = query, k = 20, nBits = 4)
   }
 
+  /** Exact embedding-cosine near-dup pairs (threshold join) — the
+    * oracle-checkable flavor; the LSH candidate path is the same
+    * operator with exact=false.
+    */
+  def e3_embedding_dedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, threshold = 0.35, exact = true)
+
   // ---- multimodal plumbing (M1) ----------------------------------------
 
   def m1_multimodal_meta(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,42 @@
+package graft.cli
+
+import graft.SparkSpec
+
+/** End-to-end CLI smoke: each command mirrors a reference entry point;
+  * run them against a real SAM fixture and check outputs land.
+  */
+class CliSpec extends SparkSpec {
+
+  private val sam = "/root/reference/avocado-core/src/test/resources/NA12878.chr1.875159.sam"
+  private lazy val tmp = java.nio.file.Files.createTempDirectory("cli").toString
+
+  // CLI builds its own session via getOrCreate — warm ours first so it
+  // reuses the test session instead of fighting over configs
+  private def run(args: String*): Unit = { spark; Main.main(args.toArray) }
+
+  test("discover writes a variant parquet") {
+    run("discover", sam, s"$tmp/disc")
+    val v = spark.read.parquet(s"$tmp/disc")
+    assert(v.count() > 0)
+    assert(v.columns.contains("referenceAllele"))
+  }
+
+  test("biallelicGenotyper writes filtered calls") {
+    run("biallelicGenotyper", sam, s"$tmp/calls")
+    val g = spark.read.parquet(s"$tmp/calls")
+    assert(g.count() > 0)
+    assert(g.columns.contains("filtersPassed"))
+  }
+
+  test("reassemble writes realigned reads") {
+    run("reassemble", sam, s"$tmp/realigned")
+    assert(spark.read.parquet(s"$tmp/realigned").count() > 0)
+  }
+
+  test("mergeDiscovered dedups variant sets") {
+    run("discover", sam, s"$tmp/d1")
+    run("mergeDiscovered", s"$tmp/d1", s"$tmp/merged")
+    assert(spark.read.parquet(s"$tmp/merged").count() ===
+      spark.read.parquet(s"$tmp/d1").count()) // already distinct
+  }
+}
