@@ -75,8 +75,8 @@ def main():
             continue
         gi = [got_cols.index(c) for c in sorted(got_cols)]
         wi = [want_cols.index(c) for c in sorted(want_cols)]
-        g = sorted(tuple(norm(r[i]) for i in gi) for r in got)
-        w = sorted(tuple(norm(r[i]) for i in wi) for r in want)
+        g = sorted((tuple(norm(r[i]) for i in gi) for r in got), key=repr)
+        w = sorted((tuple(norm(r[i]) for i in wi) for r in want), key=repr)
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             n_fail += 1

@@ -366,6 +366,71 @@ object Oracles {
         |WHERE list_dot_product(a.v, b.v)
         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35""".stripMargin,
 
+    // genotyping per trio sample + pivot + Mendelian phase cascade
+    "g5_trio_phase" ->
+      """WITH v AS (
+        |  SELECT concat('chr', l_linestatus) AS contig, (l_partkey % 1000) AS blk,
+        |         (l_partkey % 1000) * 20 + (l_suppkey % 10) AS vstart,
+        |         CASE WHEN l_orderkey % 3 = 0 THEN 'C'
+        |              WHEN l_orderkey % 3 = 1 THEN 'G' ELSE 'T' END AS valt
+        |  FROM lineitem GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+        |r AS (
+        |  SELECT concat('chr', l_linestatus) AS contig, (l_partkey % 1000) AS blk,
+        |         (l_partkey % 1000) * 20 + (l_suppkey % 10) AS rpos,
+        |         CASE WHEN l_orderkey % 3 = 0 THEN 'C'
+        |              WHEN l_orderkey % 3 = 1 THEN 'G' ELSE 'T' END AS ralt,
+        |         's' || l_returnflag AS sample,
+        |         1 - (1 - pow(10, -(30 + l_linenumber % 10)/10.0)) * (1 - pow(10, -6.0)) AS eps
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT v.contig, v.vstart, v.valt, r.sample,
+        |         CASE WHEN r.rpos = v.vstart AND r.ralt = v.valt THEN 2
+        |              WHEN r.rpos = v.vstart THEN 0 ELSE 1 END AS support,
+        |         r.eps
+        |  FROM v JOIN r ON v.contig = r.contig AND v.blk = r.blk),
+        |g AS (
+        |  SELECT contig, vstart, valt, sample,
+        |    sum(CASE WHEN support = 2 THEN ln(2*eps) - ln(2)
+        |             ELSE ln(2*(1-eps)) - ln(2) END) AS gl0,
+        |    sum(ln(eps + (1-eps)) - ln(2)) AS gl1,
+        |    sum(CASE WHEN support = 2 THEN ln(2*(1-eps)) - ln(2)
+        |             ELSE ln(2*eps) - ln(2) END) AS gl2
+        |  FROM p GROUP BY 1, 2, 3, 4),
+        |st AS (
+        |  SELECT contig, vstart, valt,
+        |         sample,
+        |         CASE WHEN gl0 >= gl1 AND gl0 >= gl2 THEN 0
+        |              WHEN gl1 >= gl2 THEN 1 ELSE 2 END AS state
+        |  FROM g),
+        |piv AS (
+        |  SELECT contig AS contigName, vstart, valt,
+        |    max(CASE WHEN sample = 'sN' THEN state END) AS motherState,
+        |    max(CASE WHEN sample = 'sA' THEN state END) AS fatherState,
+        |    max(CASE WHEN sample = 'sR' THEN state END) AS childState
+        |  FROM st GROUP BY 1, 2, 3),
+        |ph AS (
+        |  SELECT *,
+        |    coalesce(motherState, 0) AS m, coalesce(fatherState, 0) AS f, childState AS c,
+        |    ((childState = 2 AND NOT (coalesce(motherState,0) > 0 AND coalesce(fatherState,0) > 0)) OR
+        |     (childState = 0 AND NOT (coalesce(motherState,0) < 2 AND coalesce(fatherState,0) < 2)) OR
+        |     (childState = 1 AND NOT ((coalesce(motherState,0) > 0 AND coalesce(fatherState,0) < 2) OR
+        |                              (coalesce(motherState,0) < 2 AND coalesce(fatherState,0) > 0)))) AS violation
+        |  FROM piv WHERE childState IS NOT NULL)
+        |SELECT contigName, vstart AS start, 'A' AS referenceAllele, valt AS alternateAllele,
+        |  coalesce(motherState, -1) AS motherState,
+        |  coalesce(fatherState, -1) AS fatherState,
+        |  childState, violation AS mendelError,
+        |  (NOT violation AND (c <> 1
+        |     OR (NOT (m > 0 AND f > 0) AND m > 0)
+        |     OR (NOT (m > 0 AND f > 0) AND f > 0))) AS phased,
+        |  CASE WHEN violation THEN 'NO_CALL|NO_CALL'
+        |       WHEN c = 0 THEN 'REF|REF'
+        |       WHEN c = 2 THEN 'ALT|ALT'
+        |       WHEN (NOT (m > 0 AND f > 0) AND m > 0) THEN 'ALT|REF'
+        |       WHEN (NOT (m > 0 AND f > 0) AND f > 0) THEN 'REF|ALT'
+        |       ELSE 'REF|ALT' END AS child_alleles
+        |FROM ph""".stripMargin,
+
     "m1_multimodal_meta" ->
       """SELECT doc_id, strlen(text) AS n_bytes,
         |  strlen(text) % 640 AS width,

@@ -466,6 +466,52 @@ object Queries {
         col("siteDepth"), col("siteSamples"))
   }
 
+  /** Trio calling at scale: three samples from l_returnflag (sN=mother,
+    * sA=father, sR=child), contigs from l_linestatus; full genotyper per
+    * sample then Mendelian phasing. Oracle mirrors genotyping + pivot +
+    * phase cascade in closed form.
+    */
+  def g5_trio_phase(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val snvOff = (col("l_suppkey") % 10).cast("int")
+    val altBase = when(col("l_orderkey") % 3 === 0, "C")
+      .when(col("l_orderkey") % 3 === 1, "G")
+      .otherwise("T")
+    val rds = t(spark, dir, "lineitem").select(
+      concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("readName"),
+      concat(lit("chr"), col("l_linestatus")).as("contigName"),
+      ((col("l_partkey") % 1000) * 20).as("start"),
+      ((col("l_partkey") % 1000) * 20 + 10).as("end"),
+      concat(expr("repeat('A', l_suppkey % 10)"), altBase,
+        expr("repeat('A', 9 - l_suppkey % 10)")).as("sequence"),
+      expr(s"repeat(chr(63 + l_linenumber % 10), 10)").as("qual"),
+      lit("10M").as("cigar"),
+      concat(snvOff.cast("string"), lit("A"), (lit(9) - snvOff).cast("string")).as("mdTag"),
+      lit(60).as("mapq"),
+      lit(true).as("readMapped"),
+      lit(false).as("readNegativeStrand"),
+      lit(false).as("duplicateRead"),
+      lit(true).as("primaryAlignment"),
+      concat(lit("s"), col("l_returnflag")).as("sampleId"),
+      lit(null).cast("string").as("mateContigName"),
+      lit(null).cast("long").as("mateStart"),
+      lit(false).as("mateMapped")).as[Read]
+    val variants = DiscoverVariants
+      .discover(rds, minPhred = 20, minObservations = 2)
+      .select("contigName", "start", "referenceAllele", "alternateAllele")
+      .as[DiscoveredVariant]
+    val called = BiallelicGenotyper.call(rds, variants, ploidy = 2, binSize = 20.0)
+    graft.genomics.TrioCaller(called, "sN", "sA", "sR")
+      .select(
+        col("contigName"), col("start"), col("referenceAllele"), col("alternateAllele"),
+        coalesce(col("motherState"), lit(-1)).as("motherState"),
+        coalesce(col("fatherState"), lit(-1)).as("fatherState"),
+        col("childState"),
+        col("mendelError"), col("phased"),
+        concat_ws("|", col("childAlleles")).as("child_alleles"))
+  }
+
   // ---- coverage cap (W3), LSH dedup (D3, D4), ANN (E2) — rows-only -----
 
   /** Stateful running coverage cap over customer balance intervals,
