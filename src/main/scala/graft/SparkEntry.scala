@@ -53,6 +53,7 @@ object SparkEntry {
     "e1_cosine_score" -> (Queries.e1_cosine_score _),
     "ev1_time_window_agg" -> (Queries.ev1_time_window_agg _),
     "ev2_sessionize" -> (Queries.ev2_sessionize _),
+    "ev3_stream_window" -> (Queries.ev3_stream_window _),
     "g1_discover_variants" -> (Queries.g1_discover_variants _),
     "g2_genotype_calls" -> (Queries.g2_genotype_calls _),
     "g3_realign" -> (Queries.g3_realign _),

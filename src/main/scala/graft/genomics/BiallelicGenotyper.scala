@@ -26,6 +26,11 @@ object BiallelicGenotyper {
   /** Genotype calls for `variants` given `reads`. Output is flat
     * (scalar + array columns), one row per (site, sample).
     */
+  /** Genotype calls. `copyNumbers` switches on variable-ploidy calling:
+    * each site's state space follows the CNV map's local copy number
+    * (SURVEY.md A8/J5 integration — the reference threads copyNumber
+    * through the observation key the same way).
+    */
   def call(
       reads: Dataset[Read],
       variants: Dataset[DiscoveredVariant],
@@ -33,11 +38,16 @@ object BiallelicGenotyper {
       maxQual: Int = 93,
       maxMapQ: Int = 93,
       binSize: Double = 1000.0,
-      broadcastVariants: Boolean = true): DataFrame = {
+      broadcastVariants: Boolean = true,
+      copyNumbers: Option[CopyNumberMap.Built] = None): DataFrame = {
 
     val spark = reads.sparkSession
     import spark.implicits._
-    val states = 0 to ploidy
+    val maxP = math.max(ploidy, copyNumbers.map(_.maxPloidy).getOrElse(ploidy))
+    val states = 0 to maxP
+    val cnValues = copyNumbers
+      .map(m => (m.minPloidy to m.maxPloidy) :+ m.basePloidy)
+      .getOrElse(Seq(ploidy)).distinct
 
     // -- split candidate variants: SNVs ride the fully-declarative fast
     // path; indels need the alignment-aware object kernel
@@ -101,12 +111,17 @@ object BiallelicGenotyper {
 
     val obs = if (haveIndels) snvObs.unionByName(indelObs) else snvObs
 
-    // -- broadcast score-table join (S9 + J3); clamp quals to the domain
-    val scores = ScoreTable.build(spark, ploidy, maxQual, maxMapQ)
+    // -- broadcast score-table join (S9 + J3); clamp quals to the domain;
+    // per-site copy number from the broadcast CNV map (or flat ploidy)
+    val scores = ScoreTable.buildForCopyNumbers(spark, cnValues, maxP, maxQual, maxMapQ)
+    val cnCol = copyNumbers
+      .map(m => m.copyNumberAt(col("contigName"), col("start")))
+      .getOrElse(lit(ploidy))
     val keyed = obs
+      .withColumn("copyNumber", cnCol)
       .withColumn("qual", least(col("qual"), lit(maxQual)))
       .withColumn("mapq", least(col("mapq"), lit(maxMapQ)))
-      .join(broadcast(scores), Seq("qual", "mapq"))
+      .join(broadcast(scores), Seq("copyNumber", "qual", "mapq"))
 
     // -- per-row per-state contribution, then the wide hash agg (A3)
     val contribs = states.map { g =>
@@ -116,9 +131,9 @@ object BiallelicGenotyper {
     val glSums = states.map(g => sum(col(s"c_$g")).as(s"gl_$g"))
     val aggd = keyed
       .select(col("contigName") +: col("start") +: col("referenceAllele") +:
-        col("alternateAllele") +: col("sampleId") +: col("support") +:
-        col("forwardStrand") +: col("mapq") +: contribs: _*)
-      .groupBy("contigName", "start", "referenceAllele", "alternateAllele", "sampleId")
+        col("alternateAllele") +: col("sampleId") +: col("copyNumber") +:
+        col("support") +: col("forwardStrand") +: col("mapq") +: contribs: _*)
+      .groupBy("contigName", "start", "referenceAllele", "alternateAllele", "sampleId", "copyNumber")
       .agg(
         glSums.head, (glSums.tail ++ Seq(
           count(lit(1)).cast("int").as("readDepth"),
@@ -131,9 +146,11 @@ object BiallelicGenotyper {
           sum(when(col("support") =!= Observer.SupportAlt && !col("forwardStrand"), 1).otherwise(0)).cast("int").as("otherRev"),
           sum(col("mapq") * col("mapq")).as("sumSqMapQ"))): _*)
 
-    // -- emission (K9/W4/K10): argmax state, GQ from top-2 margin,
-    //    Fisher strand bias, RMS mapQ
-    val glArr = array(states.map(g => col(s"gl_$g")): _*)
+    // -- emission (K9/W4/K10): argmax over the site's own state space
+    //    (sliced to copyNumber+1), GQ from top-2 margin, Fisher strand
+    //    bias, RMS mapQ
+    val glArr = slice(
+      array(states.map(g => col(s"gl_$g")): _*), lit(1), col("copyNumber") + 1)
     val sorted = reverse(array_sort(glArr))
     val fisher = udf((a: Int, b: Int, c: Int, d: Int) => LogMath.fisherExactPhred(a, b, c, d))
     aggd
@@ -144,7 +161,7 @@ object BiallelicGenotyper {
         round(lit(10.0 / math.log(10.0)) * (element_at(sorted, 1) - element_at(sorted, 2)), 3))
       .withColumn("alleles",
         concat(
-          array_repeat(lit("REF"), lit(ploidy) - col("genotypeState")),
+          array_repeat(lit("REF"), col("copyNumber") - col("genotypeState")),
           array_repeat(lit("ALT"), col("genotypeState"))))
       .withColumn("strandBiasPhred",
         round(fisher(col("altFwd"), col("altRev"), col("otherFwd"), col("otherRev")), 3))

@@ -17,18 +17,36 @@ import org.apache.spark.sql.functions._
   */
 object ScoreTable {
 
-  def build(spark: SparkSession, ploidy: Int = 2, maxQual: Int = 93, maxMapQ: Int = 93): DataFrame = {
+  def build(spark: SparkSession, ploidy: Int = 2, maxQual: Int = 93, maxMapQ: Int = 93): DataFrame =
+    buildForCopyNumbers(spark, Seq(ploidy), ploidy, maxQual, maxMapQ)
+
+  /** Variable-ploidy variant: one row per (copyNumber, qual, mapq), with
+    * per-state columns sized for maxPloidy and zero-padded above each
+    * row's own copy number (padding contributes nothing to the sums; the
+    * emission slices to the site's real state count).
+    */
+  def buildForCopyNumbers(
+      spark: SparkSession,
+      copyNumbers: Seq[Int],
+      maxPloidy: Int,
+      maxQual: Int = 93,
+      maxMapQ: Int = 93): DataFrame = {
     import spark.implicits._
+    require(copyNumbers.nonEmpty && copyNumbers.max <= maxPloidy)
     val rows = for {
+      cn <- copyNumbers.distinct
       q <- 0 to maxQual
       mq <- 0 to maxMapQ
-    } yield (q, mq,
-      Likelihood.alleleLogLikelihoods(q, mq, ploidy).toSeq,
-      Likelihood.otherLogLikelihoods(q, mq, ploidy).toSeq)
-    val nested = rows.toDF("qual", "mapq", "a_ll", "o_ll")
-    val states = 0 to ploidy
+    } yield {
+      val a = Likelihood.alleleLogLikelihoods(q, mq, cn)
+      val o = Likelihood.otherLogLikelihoods(q, mq, cn)
+      def pad(xs: Array[Double]) = (xs ++ Array.fill(maxPloidy + 1 - xs.length)(0.0)).toSeq
+      (cn, q, mq, pad(a), pad(o))
+    }
+    val nested = rows.toDF("copyNumber", "qual", "mapq", "a_ll", "o_ll")
+    val states = 0 to maxPloidy
     nested.select(
-      col("qual") +: col("mapq") +:
+      col("copyNumber") +: col("qual") +: col("mapq") +:
         (states.map(g => col("a_ll").getItem(g).as(s"a_ll_$g")) ++
           states.map(g => col("o_ll").getItem(g).as(s"o_ll_$g"))): _*)
   }

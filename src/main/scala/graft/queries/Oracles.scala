@@ -438,6 +438,11 @@ object Oracles {
         |  strlen(text) % 16 AS n_frames
         |FROM documents""".stripMargin,
 
+    "ev3_stream_window" ->
+      """SELECT floor(epoch_ms(ts) / 300000.0)::BIGINT AS bucket, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "ev2_sessionize" ->
       """WITH s AS (
         |  SELECT user_id, event_id, ts,

@@ -312,6 +312,29 @@ object Queries {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
 
+  /** The same windowed aggregation ev1 computes in batch, executed
+    * through Structured Streaming (micro-batch over the events file,
+    * Complete mode, memory sink) — the streaming surface inside the
+    * driver-checked catalog. The oracle is plain SQL: tumbling 5-minute
+    * windows align to the epoch.
+    */
+  def ev3_stream_window(spark: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory("ev3_stream")
+    java.nio.file.Files.createSymbolicLink(
+      staged.resolve("events.parquet"), java.nio.file.Paths.get(dir, "events.parquet"))
+    val counts = graft.streaming.StreamingOps
+      .windowedCounts(graft.streaming.StreamingOps.readEvents(spark, staged.toString))
+    val name = "ev3_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = counts.writeStream
+      .outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).select(
+      expr("unix_millis(window_start) div 300000").as("bucket"),
+      col("event_type"), col("n"),
+      round(col("sum_value"), 2).as("sum_value"))
+  }
+
   // ---- genomics pipeline on synthesized reads (G1, G2) -----------------
 
   /** Reads synthesized deterministically from lineitem: 10bp reads, all-A

@@ -79,6 +79,34 @@ class GenotyperSpec extends SparkSpec {
     assert(row.getAs[Int]("alternateReadDepth") === 5)
   }
 
+  test("variable ploidy: a site inside a DUP region calls triploid states") {
+    import spark.implicits._
+    // DUP region covering the site -> copy number 3
+    val features = Seq(("chr1", 100L, 120L, "DUP")).toDF("contigName", "start", "end", "featureType")
+    val cnMap = CopyNumberMap.fromFeatures(features)
+    val reads = (0 until 9).map(i => read(s"alt$i", snvOff = 5)) ++
+      (0 until 3).map(i => read(s"ref$i"))
+    val rds = reads.toDS()
+    val variants = Seq(DiscoveredVariant("chr1", 105, "A", Some("C"))).toDS()
+    val row = BiallelicGenotyper
+      .call(rds, variants, ploidy = 2, binSize = 100.0, copyNumbers = Some(cnMap))
+      .collect().head
+    assert(row.getAs[Int]("copyNumber") === 3)
+    assert(row.getSeq[Double](row.fieldIndex("genotypeLikelihoods")).length === 4)
+    // 9 alt / 3 ref at cn=3 -> 2 alt copies most likely
+    assert(row.getAs[Int]("genotypeState") === 2)
+    assert(row.getSeq[String](row.fieldIndex("alleles")).toList === List("REF", "ALT", "ALT"))
+
+    // outside any CNV -> diploid unchanged
+    val far = Seq(DiscoveredVariant("chr1", 505, "A", Some("C"))).toDS()
+    val farReads = (0 until 6).map(i => read(s"fa$i", start = 500, snvOff = 5)).toDS()
+    val frow = BiallelicGenotyper
+      .call(farReads, far, ploidy = 2, binSize = 100.0, copyNumbers = Some(cnMap))
+      .collect().head
+    assert(frow.getAs[Int]("copyNumber") === 2)
+    assert(frow.getAs[Int]("genotypeState") === 2)
+  }
+
   test("observer classifies indel support") {
     // read with a 2bp deletion: 4M2D4M over read AAAAAAAA, ref AAAA,CC,AAAA
     val del = Read("d1", "chr1", 100, 110, "A" * 8, "I" * 8, "4M2D4M", "4^CC4",
