@@ -56,22 +56,39 @@ object Vcf {
     out.write.mode("overwrite").text(path)
   }
 
-  /** Parse VCF data lines back to the genotype schema (subset). */
+  /** Parse VCF data lines back to the genotype schema, one row per
+    * (site, sample). Sample ids come from the #CHROM header line
+    * (headerless dumps — e.g. this sink's own output — get a single
+    * "sample"); per-sample read depth is located via the FORMAT column.
+    */
   def read(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.text(path)
+    val samples: Seq[String] = raw
+      .where(col("value").startsWith("#CHROM"))
+      .collect().headOption
+      .map(_.getString(0).split("\t").drop(9).toSeq)
+      .filter(_.nonEmpty)
+      .getOrElse(Seq("sample"))
+    val sampleArr = typedlit(samples)
     raw.where(!col("value").startsWith("#"))
       .withColumn("f", split(col("value"), "\t"))
+      .withColumn("idx", explode(sequence(lit(0), lit(samples.length - 1))))
+      .withColumn("sampleId", element_at(sampleArr, col("idx") + 1))
+      .withColumn("smp", split(element_at(col("f"), col("idx") + 10), ":"))
+      .withColumn("gt", col("smp").getItem(0))
+      .withColumn("dpIdx",
+        array_position(split(element_at(col("f"), 9), ":"), "DP").cast("int"))
       .select(
         col("f").getItem(0).as("contigName"),
         (col("f").getItem(1).cast("long") - 1).as("start"),
         col("f").getItem(3).as("referenceAllele"),
         when(col("f").getItem(4) === ".", lit(null).cast("string"))
           .otherwise(col("f").getItem(4)).as("alternateAllele"),
-        split(col("f").getItem(9), ":").getItem(0).as("gt"),
-        split(col("f").getItem(9), ":").getItem(2).cast("int").as("readDepth"))
-      .withColumn("genotypeState",
-        when(col("gt") === "0/0", 0).when(col("gt") === "0/1", 1)
-          .when(col("gt") === "1/1", 2).otherwise(-1))
-      .drop("gt")
+        col("sampleId"),
+        when(col("gt").contains("."), -1)
+          .otherwise(size(filter(split(col("gt"), "[/|]"), a => a === "1")))
+          .as("genotypeState"),
+        when(col("dpIdx") > 0, element_at(col("smp"), col("dpIdx")))
+          .cast("int").as("readDepth"))
   }
 }
