@@ -68,9 +68,16 @@ object BiallelicGenotyper {
 
     // -- SNV fast path: explode each read ONCE into per-base pileup rows
     // (kernel cost is per aligned base, independent of variant density),
-    // then an equi-join on (contig, position) and codegen'd support
-    // classification — no per-(read,variant) object kernel, no group-by.
+    // COMPRESS identical observations (same position/base/qual/strand/
+    // mapQ/sample) into one weighted row — the reference's
+    // SummarizedObservation insight (SummarizedObservation.scala:37-43):
+    // the discrete observation key has tiny cardinality, so the
+    // variant-density fan-out multiplies compressed rows, not raw bases —
+    // then equi-join on (contig, position) with codegen'd support
+    // classification. No per-(read,variant) object kernel.
     val pileup = reads.flatMap(Observer.basePileup).toDF()
+      .groupBy("contigName", "pos", "base", "qual", "forwardStrand", "mapq", "sampleId")
+      .agg(count(lit(1)).as("w"))
     val snvSide = if (broadcastVariants) broadcast(snvV) else snvV
     val snvObs = pileup
       .join(snvSide,
@@ -84,7 +91,7 @@ object BiallelicGenotyper {
         when(col("base") === col("v_alt"), Observer.SupportAlt)
           .when(col("base") === col("v_ref"), Observer.SupportRef)
           .otherwise(Observer.SupportOther).as("support"),
-        col("forwardStrand"), col("qual"), col("mapq"))
+        col("forwardStrand"), col("qual"), col("mapq"), col("w"))
 
     // -- indel path (K6/K8): interval join + per-read observation kernel
     // with nullOut ambiguity handling; indel candidate sets are orders of
@@ -106,8 +113,9 @@ object BiallelicGenotyper {
         Observer.observe(r, vs.map(t => DiscoveredVariant(r.contigName, t._1, t._2, t._3)))
       }
       .toDF()
-      .select("contigName", "start", "referenceAllele", "alternateAllele",
-        "sampleId", "support", "forwardStrand", "qual", "mapq")
+      .select(col("contigName"), col("start"), col("referenceAllele"),
+        col("alternateAllele"), col("sampleId"), col("support"),
+        col("forwardStrand"), col("qual"), col("mapq"), lit(1L).as("w"))
 
     val obs = if (haveIndels) snvObs.unionByName(indelObs) else snvObs
 
@@ -123,28 +131,30 @@ object BiallelicGenotyper {
       .withColumn("mapq", least(col("mapq"), lit(maxMapQ)))
       .join(broadcast(scores), Seq("copyNumber", "qual", "mapq"))
 
-    // -- per-row per-state contribution, then the wide hash agg (A3)
+    // -- per-row per-state contribution (weighted by the compressed
+    // multiplicity), then the wide hash agg (A3)
+    val w = col("w")
     val contribs = states.map { g =>
-      when(col("support") === Observer.SupportAlt, col(s"a_ll_$g"))
-        .otherwise(col(s"o_ll_$g")).as(s"c_$g")
+      (when(col("support") === Observer.SupportAlt, col(s"a_ll_$g"))
+        .otherwise(col(s"o_ll_$g")) * w).as(s"c_$g")
     }
     val glSums = states.map(g => sum(col(s"c_$g")).as(s"gl_$g"))
     val aggd = keyed
       .select(col("contigName") +: col("start") +: col("referenceAllele") +:
         col("alternateAllele") +: col("sampleId") +: col("copyNumber") +:
-        col("support") +: col("forwardStrand") +: col("mapq") +: contribs: _*)
+        col("support") +: col("forwardStrand") +: col("mapq") +: col("w") +: contribs: _*)
       .groupBy("contigName", "start", "referenceAllele", "alternateAllele", "sampleId", "copyNumber")
       .agg(
         glSums.head, (glSums.tail ++ Seq(
-          count(lit(1)).cast("int").as("readDepth"),
-          sum(when(col("support") === Observer.SupportRef, 1).otherwise(0)).cast("int").as("referenceReadDepth"),
-          sum(when(col("support") === Observer.SupportAlt, 1).otherwise(0)).cast("int").as("alternateReadDepth"),
-          sum(when(col("support") === Observer.SupportOther, 1).otherwise(0)).cast("int").as("otherReadDepth"),
-          sum(when(col("support") === Observer.SupportAlt && col("forwardStrand"), 1).otherwise(0)).cast("int").as("altFwd"),
-          sum(when(col("support") === Observer.SupportAlt && !col("forwardStrand"), 1).otherwise(0)).cast("int").as("altRev"),
-          sum(when(col("support") =!= Observer.SupportAlt && col("forwardStrand"), 1).otherwise(0)).cast("int").as("otherFwd"),
-          sum(when(col("support") =!= Observer.SupportAlt && !col("forwardStrand"), 1).otherwise(0)).cast("int").as("otherRev"),
-          sum(col("mapq") * col("mapq")).as("sumSqMapQ"))): _*)
+          sum(w).cast("int").as("readDepth"),
+          sum(when(col("support") === Observer.SupportRef, w).otherwise(0L)).cast("int").as("referenceReadDepth"),
+          sum(when(col("support") === Observer.SupportAlt, w).otherwise(0L)).cast("int").as("alternateReadDepth"),
+          sum(when(col("support") === Observer.SupportOther, w).otherwise(0L)).cast("int").as("otherReadDepth"),
+          sum(when(col("support") === Observer.SupportAlt && col("forwardStrand"), w).otherwise(0L)).cast("int").as("altFwd"),
+          sum(when(col("support") === Observer.SupportAlt && !col("forwardStrand"), w).otherwise(0L)).cast("int").as("altRev"),
+          sum(when(col("support") =!= Observer.SupportAlt && col("forwardStrand"), w).otherwise(0L)).cast("int").as("otherFwd"),
+          sum(when(col("support") =!= Observer.SupportAlt && !col("forwardStrand"), w).otherwise(0L)).cast("int").as("otherRev"),
+          sum(col("mapq") * col("mapq") * w).as("sumSqMapQ"))): _*)
 
     // -- emission (K9/W4/K10): argmax over the site's own state space
     //    (sliced to copyNumber+1), GQ from top-2 margin, Fisher strand
