@@ -39,6 +39,8 @@ object SparkEntry {
     "a5_typed_agg" -> (Queries.a5_typed_agg _),
     "a6_ratio_agg" -> (Queries.a6_ratio_agg _),
     "a7_array_agg" -> (Queries.a7_array_agg _),
+    "a8_rollup" -> (Queries.a8_rollup _),
+    "t5_json_extract" -> (Queries.t5_json_extract _),
     "w1_sort_limit" -> (Queries.w1_sort_limit _),
     "w2_running_sum" -> (Queries.w2_running_sum _),
     "w4_top2_margin" -> (Queries.w4_top2_margin _),

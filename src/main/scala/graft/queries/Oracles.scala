@@ -131,6 +131,14 @@ object Oracles {
         |  round(sum(embedding[64]::DOUBLE), 3) AS sum_e63
         |FROM embeddings GROUP BY label""".stripMargin,
 
+    "a8_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "t5_json_extract" ->
+      """SELECT event_id, (props->>'k')::INT AS k FROM events""".stripMargin,
+
     "w1_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,

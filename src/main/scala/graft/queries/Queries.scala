@@ -252,6 +252,19 @@ object Queries {
         array(kw.map(lit): _*)))).as("n_shared"))
   }
 
+  /** Rollup (grouping-sets family — beyond the reference's surface). */
+  def a8_rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+
+  /** JSON extraction from the events props column. */
+  def t5_json_extract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+
   // ---- text analysis (T1-T4) -------------------------------------------
 
   def t1_token_count(spark: SparkSession, dir: String): DataFrame =
