@@ -346,7 +346,7 @@ object Oracles {
         |j AS (
         |  SELECT *,
         |    sum(state) OVER w ::DOUBLE / (2 * count(*) OVER w) AS maf,
-        |    sum(depth) OVER w AS siteDepth,
+        |    (sum(depth) OVER w)::BIGINT AS siteDepth,
         |    count(*) OVER w AS siteSamples
         |  FROM st WINDOW w AS (PARTITION BY contigName, vstart, valt)),
         |q AS (
