@@ -125,10 +125,16 @@ object BiallelicGenotyper {
     val cnCol = copyNumbers
       .map(m => m.copyNumberAt(col("contigName"), col("start")))
       .getOrElse(lit(ploidy))
+    // P8 clamp: real quals to [1, maxQual] (a phred-0 base would make
+    // ε = 1 and poison a whole genotype state with log 0 = -Inf); the
+    // NoQual sentinel (deletion observations, mapQ-only model) passes
+    // through; mapq to [1, maxMapQ] for the same -Inf reason.
     val keyed = obs
       .withColumn("copyNumber", cnCol)
-      .withColumn("qual", least(col("qual"), lit(maxQual)))
-      .withColumn("mapq", least(col("mapq"), lit(maxMapQ)))
+      .withColumn("qual",
+        when(col("qual") < 0, lit(graft.kernels.Likelihood.NoQual))
+          .otherwise(greatest(least(col("qual"), lit(maxQual)), lit(1))))
+      .withColumn("mapq", greatest(least(col("mapq"), lit(maxMapQ)), lit(1)))
       .join(broadcast(scores), Seq("copyNumber", "qual", "mapq"))
 
     // -- per-row per-state contribution (weighted by the compressed

@@ -41,6 +41,7 @@ object Observer {
     */
   private case class SitePileup(
       base: Map[Long, (Char, Int)],
+      refBase: Map[Long, Char], // aligned reference base per position (from MD)
       variants: Map[(Long, String, String), Int], // (start, ref, alt) -> qual
       indelAnchors: Set[Long], // reference positions adjacent to an indel
       clipBoundaries: Set[Long]) // aligned positions where a soft clip abuts
@@ -48,6 +49,7 @@ object Observer {
   private def walk(read: Read): SitePileup = {
     val ops = AlignmentOps.parse(read.cigar, read.mdTag)
     val bases = Map.newBuilder[Long, (Char, Int)]
+    val refs = Map.newBuilder[Long, Char]
     val vars = Map.newBuilder[(Long, String, String), Int]
     val anchors = Set.newBuilder[Long]
     val clips = Set.newBuilder[Long]
@@ -59,6 +61,7 @@ object Observer {
         var i = 0
         while (i < n) {
           bases += (pos + i) -> ((read.sequence.charAt(idx + i), phred(idx + i)))
+          refs += (pos + i) -> read.sequence.charAt(idx + i)
           i += 1
         }
         pos += n; idx += n
@@ -66,6 +69,7 @@ object Observer {
         var i = 0
         while (i < n) {
           bases += (pos + i) -> ((read.sequence.charAt(idx + i), phred(idx + i)))
+          refs += (pos + i) -> refBases.charAt(i)
           vars += ((pos + i, refBases.substring(i, i + 1),
             read.sequence.substring(idx + i, idx + i + 1))) -> phred(idx + i)
           i += 1
@@ -80,9 +84,11 @@ object Observer {
         anchors += (pos - 1)
         idx += n
       case AlnDel(del) =>
+        // deleted bases carry no read quality: score on mapQ alone
+        // (reference Observer.scala:120-137 emits optQuality = None)
         if (idx > 0) {
           vars += ((pos - 1, read.sequence.substring(idx - 1, idx) + del,
-            read.sequence.substring(idx - 1, idx))) -> phred(idx - 1)
+            read.sequence.substring(idx - 1, idx))) -> graft.kernels.Likelihood.NoQual
         }
         anchors += (pos - 1)
         pos += del.length
@@ -92,7 +98,7 @@ object Observer {
         idx += n
       case AlnClip(_, false) => ()
     }
-    SitePileup(bases.result(), vars.result(), anchors.result(), clips.result())
+    SitePileup(bases.result(), refs.result(), vars.result(), anchors.result(), clips.result())
   }
 
   /** One aligned base of one read: the exploded pileup row for the
@@ -177,10 +183,31 @@ object Observer {
                   p.clipBoundaries.exists(c => c >= v.start - w && c <= v.end + w)
               val covered = span.forall(p.base.contains)
               val competing = p.variants.keys.exists(_._1 == v.start)
+              // Insertion tail-matching (reference BiallelicGenotyper
+              // .scala:306-330): in a repeat tract, a read whose aligned
+              // tail past the anchor is consistent with BOTH haplotypes
+              // (its bases equal the alt haplotype insBases ++ refTail for
+              // as far as it reaches) cannot attest absence of the
+              // insertion — observe nothing rather than reference support.
+              def insertionTailAmbiguous: Boolean = {
+                val isIns = v.referenceAllele.length == 1 && alt.length > 1
+                if (!isIns) false
+                else {
+                  val tailPos = Iterator.from(1).map(v.start + _)
+                    .takeWhile(p.base.contains).toSeq
+                  val readTail = tailPos.map(p.base(_)._1).mkString
+                  val refTail = tailPos.map(p.refBase(_)).mkString
+                  val altHap = (alt.drop(1) + refTail).take(readTail.length)
+                  readTail.isEmpty || readTail == altHap
+                }
+              }
               if (ambiguous) None
               else if (covered && !competing) {
-                val quals = span.map(p.base(_)._2)
-                obs(SupportRef, quals.sum / quals.length)
+                if (insertionTailAmbiguous) None
+                else {
+                  val quals = span.map(p.base(_)._2)
+                  obs(SupportRef, quals.sum / quals.length)
+                }
               } else if (covered) {
                 obs(SupportOther, p.base(v.start)._2)
               } else None

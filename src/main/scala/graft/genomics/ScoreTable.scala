@@ -33,9 +33,13 @@ object ScoreTable {
       maxMapQ: Int = 93): DataFrame = {
     import spark.implicits._
     require(copyNumbers.nonEmpty && copyNumbers.max <= maxPloidy)
+    // qual domain starts at the NoQual sentinel (-1): deletion
+    // observations have no base quality and score on mapQ alone
+    // (reference ScoredObservation.createScores seeds the table with
+    // optQuality = None before 1..maxQual, ScoredObservation.scala:110-112)
     val rows = for {
       cn <- copyNumbers.distinct
-      q <- 0 to maxQual
+      q <- Likelihood.NoQual to maxQual
       mq <- 0 to maxMapQ
     } yield {
       val a = Likelihood.alleleLogLikelihoods(q, mq, cn)

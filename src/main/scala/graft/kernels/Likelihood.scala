@@ -16,9 +16,21 @@ package graft.kernels
   */
 object Likelihood {
 
-  /** ε = 1 − P(map ok)·P(base ok). */
-  def epsilon(baseQ: Int, mapQ: Int): Double =
-    1.0 - LogMath.phredToSuccessProbability(baseQ) * LogMath.phredToSuccessProbability(mapQ)
+  /** Sentinel for "no base quality": deletion observations carry no
+    * per-base quality (the deleted bases aren't in the read), so their
+    * error model is mapping-quality-only — the reference's
+    * optQuality = None (Observer.scala:120-137, ScoredObservation
+    * .scala:163-165: baseSuccessProb defaults to 1.0).
+    */
+  final val NoQual = -1
+
+  /** ε = 1 − P(map ok)·P(base ok); baseQ < 0 means no base quality
+    * (P(base ok) = 1).
+    */
+  def epsilon(baseQ: Int, mapQ: Int): Double = {
+    val baseOk = if (baseQ < 0) 1.0 else LogMath.phredToSuccessProbability(baseQ)
+    1.0 - baseOk * LogMath.phredToSuccessProbability(mapQ)
+  }
 
   /** Log-likelihoods of a read *supporting the allele*, indexed by
     * g = 0..m alt copies.

@@ -42,34 +42,30 @@ class GoldenSitesSpec extends SparkSpec {
     assert(gts.head.getAs[Int]("genotypeState") === 2, "expected hom alt")
   }
 
-  test("alt called for C->CCCCT insertion at 1/866511") {
-    // The reference calls this site hom-alt; after nullOut of
-    // fragmented-insertion and clip-boundary reads our pileup still holds
-    // 21 alt vs 7 clean ref reads, and the symmetric Li model calls het
-    // (a hom call would need those 7 intact anchor-spanning reads
-    // discounted further than the reference's published reconciliation
-    // rules justify). Assert the alt is called and strongly alt-biased;
-    // the exact-zygosity divergence is documented, not hidden.
+  test("hom alt C->CCCCT insertion at 1/866511") {
+    // The anchor sits in a CCCT repeat tract: every non-carrier read
+    // ends a few bases past the anchor, INSIDE the tract, so its tail is
+    // consistent with both haplotypes. Insertion tail-matching
+    // (Observer.insertionTailAmbiguous; reference BiallelicGenotyper
+    // .scala:306-330) nulls that pseudo-reference evidence -> 21 alt,
+    // 0 ref -> hom alt, matching the reference's truth call.
     val gts = callSite("NA12878.chr1.866511.sam", 866510L, "C", "CCCCT")
     assert(gts.length === 1)
     val gt = gts.head
-    assert(gt.getAs[Int]("genotypeState") >= 1, "expected alt called")
-    assert(gt.getAs[Int]("alternateReadDepth") > 2 * gt.getAs[Int]("referenceReadDepth"))
+    assert(gt.getAs[Int]("genotypeState") === 2, "expected hom alt")
+    assert(gt.getAs[Int]("referenceReadDepth") === 0)
   }
 
-  test("alt called for CAG->C deletion at 1/1067596 (CAG repeat)") {
-    // Reference calls hom-alt. This locus is a CAG repeat: 15 of 96
-    // reads align clean 250M across it (genuine per-alignment ref
-    // evidence), 28 carry the exact deletion; the symmetric Li model
-    // calls het at 28:15. Same documented divergence class as 1/866511 —
-    // matching the reference exactly needs its per-observation quality
-    // weakening for indel-adjacent matches. Assert alt-called and
-    // alt-dominant.
+  test("hom alt CAG->C deletion at 1/1067596 (CAG repeat)") {
+    // No read spans the full CAG with clean matches (the 250M reads all
+    // end before the site or start after it), so reference support is 0;
+    // deletion observations score on mapQ alone (NoQual, the reference's
+    // optQuality=None), so a low-phred anchor base can no longer poison
+    // the hom-alt state with log(0) -> 28 alt, 0 ref -> hom alt.
     val gts = callSite("NA12878.1_1067596.sam", 1067595L, "CAG", "C")
     assert(gts.length === 1)
-    assert(gts.head.getAs[Int]("genotypeState") >= 1)
-    assert(gts.head.getAs[Int]("alternateReadDepth") >
-      gts.head.getAs[Int]("referenceReadDepth"))
+    assert(gts.head.getAs[Int]("genotypeState") === 2, "expected hom alt")
+    assert(gts.head.getAs[Int]("referenceReadDepth") === 0)
   }
 
   test("hom alt ACAG->A deletion at 1/886049") {
