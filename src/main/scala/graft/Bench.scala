@@ -8,6 +8,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  // NOTE on g2 vs g4: g4 re-runs a full genotyping pass, but over a
+  // DIFFERENT cohort than g2 (3 samples derived from l_linestatus vs
+  // g2's single sample), so their called tables cannot be shared without
+  // changing query semantics; g4's cost is its honest two-stage cost.
   val headline: Seq[String] = Seq(
     "a3_wide_agg",
     "j3_bcast_equijoin",
@@ -16,6 +20,7 @@ object Bench {
     "w2_running_sum",
     "w4_top2_margin",
     "d2_ngram_jaccard_pairs",
+    "d4_simhash_pairs",
     "e1_cosine_score",
     "t2_quality_score",
     "ev1_time_window_agg",
@@ -51,7 +56,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout (unprefixed via fork + StdoutOutput) AND a file artifact,
+    // so the driver's parse can't be defeated by log interleaving
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
     spark.stop()
   }
 }

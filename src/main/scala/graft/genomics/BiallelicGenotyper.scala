@@ -50,21 +50,22 @@ object BiallelicGenotyper {
       .getOrElse(Seq(ploidy)).distinct
 
     // -- split candidate variants: SNVs ride the fully-declarative fast
-    // path; indels need the alignment-aware object kernel
-    // the candidate set is small by construction; cache it so the SNV and
-    // indel branches don't each re-run the (possibly expensive) upstream
-    // discovery plan
+    // path; indels need the alignment-aware object kernel.
+    // No persist and no driver-side action here: call() must stay a pure
+    // plan constructor (a limit(1).count() probe would launch a Spark job
+    // on every call and the persist it guarded was never unpersisted — a
+    // cache leak in long-lived sessions). The indel branch is always
+    // unioned in; when no indel candidates exist it scans an empty
+    // filtered side, which AQE collapses at runtime.
     val vdf = variants.toDF.select(
       col("contigName").as("v_contig"),
       col("start").as("v_start"),
       col("referenceAllele").as("v_ref"),
       col("alternateAllele").as("v_alt"),
       (col("start") + greatest(length(col("referenceAllele")), lit(1))).as("v_end"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val isSnv = length(col("v_ref")) === 1 && length(col("v_alt")) === 1
     val snvV = vdf.where(col("v_alt").isNotNull && isSnv)
     val indelV = vdf.where(col("v_alt").isNull || !isSnv)
-    val haveIndels = indelV.limit(1).count() > 0
 
     // -- SNV fast path: explode each read ONCE into per-base pileup rows
     // (kernel cost is per aligned base, independent of variant density),
@@ -95,14 +96,15 @@ object BiallelicGenotyper {
 
     // -- indel path (K6/K8): interval join + per-read observation kernel
     // with nullOut ambiguity handling; indel candidate sets are orders of
-    // magnitude smaller than the base pileup. Skipped entirely when no
-    // indel candidates exist.
-    lazy val indelJoined = IntervalJoin.overlap(
+    // magnitude smaller than the base pileup. Always unioned in: with no
+    // indel candidates the join side is an empty filter (near-zero cost
+    // under AQE), which keeps call() action-free.
+    val indelJoined = IntervalJoin.overlap(
       reads.toDF, "start", "end",
       indelV, "v_start", "v_end",
       binSize, keys = Seq("contigName" -> "v_contig"),
       broadcastRight = broadcastVariants)
-    lazy val indelObs = indelJoined
+    val indelObs = indelJoined
       .select(
         struct(reads.columns.map(col): _*).as("r"),
         struct(col("v_start"), col("v_ref"), col("v_alt")).as("v"))
@@ -117,7 +119,7 @@ object BiallelicGenotyper {
         col("alternateAllele"), col("sampleId"), col("support"),
         col("forwardStrand"), col("qual"), col("mapq"), lit(1L).as("w"))
 
-    val obs = if (haveIndels) snvObs.unionByName(indelObs) else snvObs
+    val obs = snvObs.unionByName(indelObs)
 
     // -- broadcast score-table join (S9 + J3); clamp quals to the domain;
     // per-site copy number from the broadcast CNV map (or flat ploidy)

@@ -11,15 +11,19 @@ import org.apache.spark.sql.functions._
 object RewriteHets {
 
   def apply(df: DataFrame, maxHetFraction: Double = 0.8, ploidy: Int = 2): DataFrame = {
-    val isHet = col("genotypeState") > 0 && col("genotypeState") < ploidy
+    // variable ploidy: genotyper output carries the site's copyNumber
+    // (CNV-aware calling); fall back to the flat ploidy argument when
+    // the column is absent
+    val p = if (df.columns.contains("copyNumber")) col("copyNumber") else lit(ploidy)
+    val isHet = col("genotypeState") > 0 && col("genotypeState") < p
     val af = col("alternateReadDepth").cast("double") / col("readDepth")
     // materialize the condition BEFORE rewriting genotypeState — later
     // withColumns must not re-evaluate it against the rewritten state
     df.withColumn("__rw", isHet && col("readDepth") > 0 && af >= maxHetFraction)
       .withColumn("genotypeState",
-        when(col("__rw"), lit(ploidy)).otherwise(col("genotypeState")))
+        when(col("__rw"), p.cast("int")).otherwise(col("genotypeState")))
       .withColumn("alleles",
-        when(col("__rw"), array_repeat(lit("ALT"), lit(ploidy))).otherwise(col("alleles")))
+        when(col("__rw"), array_repeat(lit("ALT"), p)).otherwise(col("alleles")))
       .withColumn("genotypeQuality",
         when(col("__rw"), lit(null).cast("double")).otherwise(col("genotypeQuality")))
       .drop("__rw")

@@ -68,13 +68,27 @@ object SquareOff {
       gts, "start", "end",
       binSize, keys = Seq("v_contig" -> "contigName"))
 
+    // compare CANONICALIZED alleles on both sides: v_ref/v_alt come out
+    // of extractVariants right-trimmed, so the genotype row's alleles
+    // must be trimmed identically or any call whose alleles needed
+    // trimming silently degrades to a reference-model match
+    val gtTrim = trimUdf(col("referenceAllele"), coalesce(col("alternateAllele"), lit("")))
+    val gtRef = when(col("alternateAllele").isNotNull,
+      expr("substring(referenceAllele, 1, length(referenceAllele) - __gt)"))
+      .otherwise(col("referenceAllele"))
+    val gtAlt = when(col("alternateAllele").isNotNull,
+      expr("substring(alternateAllele, 1, length(alternateAllele) - __gt)"))
+      .otherwise(lit(""))
     val exact = col("start") === col("v_start") &&
-      col("referenceAllele") === col("v_ref") &&
-      coalesce(col("alternateAllele"), lit("")) === col("v_alt")
+      col("__gtRef") === col("v_ref") &&
+      col("__gtAlt") === col("v_alt")
     val w = Window
       .partitionBy("v_contig", "v_start", "v_end", "v_ref", "v_alt", "sampleId")
       .orderBy(col("__exact").desc, col("readDepth").desc, col("start"))
     joined
+      .withColumn("__gt", gtTrim)
+      .withColumn("__gtRef", gtRef)
+      .withColumn("__gtAlt", gtAlt)
       .withColumn("__exact", exact)
       .withColumn("__rank", row_number().over(w))
       .where(col("__rank") === 1)

@@ -29,31 +29,40 @@ object TrioCaller {
       childId: String): DataFrame = {
 
     val site = Seq("contigName", "start", "end", "referenceAllele", "alternateAllele")
+    // max(), not first(): first() is pick-any under Spark's execution
+    // model, so a duplicated (site, sample) row would make the pivot
+    // nondeterministic across runs
     val piv = gts
       .where(col("sampleId").isin(motherId, fatherId, childId))
       .groupBy(site.map(col): _*)
       .pivot("sampleId", Seq(motherId, fatherId, childId))
-      .agg(first(col("genotypeState")))
+      .agg(max(col("genotypeState")))
       .withColumnRenamed(motherId, "motherState")
       .withColumnRenamed(fatherId, "fatherState")
       .withColumnRenamed(childId, "childState")
 
+    // absent row (null) = implicit hom-ref from the squared-off cohort;
+    // state -1 (VCF './.') = NO_CALL — for a parent that means *unknown*,
+    // i.e. either donation is possible, NOT hom-ref
     val m = coalesce(col("motherState"), lit(0))
     val f = coalesce(col("fatherState"), lit(0))
     val c = col("childState")
+    val mUnknown = m < 0 || m > 2
+    val fUnknown = f < 0 || f > 2
+    val cNoCall = c < 0 || c > 2
 
     // each parent donates exactly one allele: child alt count must be
     // achievable as (maternal donation 0/1) + (paternal donation 0/1),
     // where a parent can donate alt iff state>0 and ref iff state<2
-    val maternalAltPossible = m > 0
-    val maternalRefPossible = m < 2
-    val paternalAltPossible = f > 0
-    val paternalRefPossible = f < 2
-    val violation =
+    val maternalAltPossible = mUnknown || m > 0
+    val maternalRefPossible = mUnknown || m < 2
+    val paternalAltPossible = fUnknown || f > 0
+    val paternalRefPossible = fUnknown || f < 2
+    val violation = !cNoCall && (
       (c === 2 && !(maternalAltPossible && paternalAltPossible)) ||
         (c === 0 && !(maternalRefPossible && paternalRefPossible)) ||
         (c === 1 && !((maternalAltPossible && paternalRefPossible) ||
-          (maternalRefPossible && paternalAltPossible)))
+          (maternalRefPossible && paternalAltPossible))))
 
     // phasing a het: unambiguous only if exactly one parent can donate alt
     val maternalAltOnly = (maternalAltPossible && paternalAltPossible) === lit(false) && maternalAltPossible
@@ -63,9 +72,9 @@ object TrioCaller {
       .where(c.isNotNull)
       .withColumn("mendelError", violation)
       .withColumn("phased",
-        !violation && (c =!= 1 || maternalAltOnly || paternalAltOnly))
+        !cNoCall && !violation && (c =!= 1 || maternalAltOnly || paternalAltOnly))
       .withColumn("childAlleles",
-        when(violation, array(lit("NO_CALL"), lit("NO_CALL")))
+        when(cNoCall || violation, array(lit("NO_CALL"), lit("NO_CALL")))
           .when(c === 0, array(lit("REF"), lit("REF")))
           .when(c === 2, array(lit("ALT"), lit("ALT")))
           .when(maternalAltOnly, array(lit("ALT"), lit("REF"))) // maternal|paternal

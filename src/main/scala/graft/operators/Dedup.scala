@@ -231,22 +231,36 @@ object Dedup {
   /** 64-bit SimHash per document from token hashes: bit j of the simhash
     * is the sign of the sum over tokens of (+1/-1 for bit j of
     * xxhash64(token)). Near-dups then differ in few bits (Hamming).
+    *
+    * PERF: a single-pass kernel UDF — one walk over the distinct tokens
+    * updates all 64 bit-votes at once. The Column-expression alternative
+    * (64 `aggregate` lambdas) evaluates 64 interpreted passes over the
+    * hash array per document. Token hashing replicates the SQL
+    * `xxhash64(token)` (XXH64 over UTF-8 bytes, seed 42) so the output
+    * is bit-identical to the expression form.
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // materialize token hashes once — lambdas are interpreted, so the
-    // hash array must be an attribute, not a repeated subtree
-    val hashed = df.select(
-      col(idCol).as("doc_id"),
-      transform(array_distinct(split(col(textCol), " ")), t => xxhash64(t)).as("hs"))
-    val bitCols = (0 until 64).map { j =>
-      // sum of ±1 per token for bit j; sign -> bit j of simhash
-      val vote = aggregate(
-        col("hs"),
-        lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), j)).otherwise(0L)
-    }
-    hashed.select(col("doc_id"), bitCols.reduce(_.bitwiseOR(_)).as("simhash"))
+    val sim = udf((toks: Seq[String]) => {
+      val votes = new Array[Int](64)
+      val seen = new java.util.HashSet[String]()
+      toks.foreach { t =>
+        if (seen.add(t)) {
+          val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(u, org.apache.spark.sql.types.StringType, 42L)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+            j += 1
+          }
+        }
+      }
+      var out = 0L
+      var j = 0
+      while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+      out
+    })
+    df.select(col(idCol).as("doc_id"), sim(split(col(textCol), " ")).as("simhash"))
   }
 
   /** SimHash near-dup pairs within maxHamming bits, LSH-bucketed by

@@ -81,9 +81,20 @@ case class IntervalJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper 
             Cast(Floor(Divide(Cast(e, DoubleType), bs)), LongType)
           def binsOf(lo: Expression, hi: Expression, child: LogicalPlan, name: String) = {
             val attr = AttributeReference(name, LongType, nullable = false)()
+            // guard the generator: a malformed end<start interval (or a
+            // pair of unrelated columns that matched the crossing-'<'
+            // shape) would make Sequence throw at runtime, turning a
+            // query that previously just matched nothing into a failure.
+            // Explode of an empty array emits no rows — same silent
+            // tolerance as the manual IntervalJoin.overlap.
+            val seq = If(
+              LessThanOrEqual(bin(lo), bin(hi)),
+              Sequence(bin(lo), bin(hi), Some(Literal(1L)),
+                Some(conf.sessionLocalTimeZone)),
+              Literal.create(Seq.empty[Long],
+                org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
             val gen = Generate(
-              Explode(Sequence(bin(lo), bin(hi), Some(Literal(1L)),
-                Some(conf.sessionLocalTimeZone))),
+              Explode(seq),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(attr), child = child)
             (gen, attr)

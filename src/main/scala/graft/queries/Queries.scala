@@ -298,8 +298,14 @@ object Queries {
   def d1_dedup_exact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(t(spark, dir, "documents"), "doc_id", "text")
 
+  /** Wired to the AllPairs prefix-filtered plan: the raw inverted-index
+    * self-join's candidate volume is Σ df(g)² — one stopword shingle
+    * shared by 10⁵ docs is 10¹⁰ pairs at 100× scale. Prefix filtering
+    * only indexes each doc's (n_sh − ⌈t·n_sh⌉ + 1) rarest shingles, so
+    * candidate volume tracks the RARE tail of the df distribution.
+    */
   def d2_ngram_jaccard_pairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
+    Dedup.ngramJaccardPairsPrefix(t(spark, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
 
   // ---- embeddings (E1) -------------------------------------------------
 

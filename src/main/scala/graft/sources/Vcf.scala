@@ -47,11 +47,56 @@ object Vcf {
         col("readDepth").cast("string"))).as("line")).as[String]
   }
 
-  /** Write VCF; singleFile concatenates through one task (small outputs
-    * only — a cohort VCF at scale stays distributed).
+  /** Write a valid multi-sample VCF: per-sample cells are pivoted onto
+    * one line per site (fixed sample-column order from the data's
+    * distinct sample ids — a driver-side collect of the tiny sample set,
+    * like the reference's sample metadata), and the header (with those
+    * sample ids) is prepended via a sort key so it lands at the head of
+    * part-00000. singleFile concatenates through one task (small outputs
+    * only — a cohort VCF at scale stays distributed; a cat of the part
+    * files in name order is a valid VCF either way).
     */
-  def write(gts: DataFrame, path: String, singleFile: Boolean = false): Unit = {
-    val lines = renderLines(gts.orderBy(col("contigName"), col("start")))
+  def write(gtsIn: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val spark = gtsIn.sparkSession
+    import spark.implicits._
+    // single-sample dumps without a sampleId column get the default id
+    val gts =
+      if (gtsIn.columns.contains("sampleId")) gtsIn
+      else gtsIn.withColumn("sampleId", lit("sample"))
+    val samples = gts.select("sampleId").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val gt = when(col("genotypeState") === 0, "0/0")
+      .when(col("genotypeState") === 1, "0/1")
+      .when(col("genotypeState") === 2, "1/1")
+      .otherwise("./.")
+    val gq = coalesce(round(col("genotypeQuality"), 0).cast("int").cast("string"), lit("."))
+    val cell = concat_ws(":", gt, gq, coalesce(col("readDepth").cast("string"), lit(".")))
+    val site = Seq("contigName", "start", "referenceAllele", "alternateAllele")
+    val pivoted = gts
+      .withColumn("__cell", cell)
+      .groupBy(site.map(col): _*)
+      .pivot("sampleId", samples)
+      .agg(max(col("__cell")))
+    val dataLine = concat_ws("\t",
+      Seq(
+        col("contigName"),
+        (col("start") + 1).cast("string"),
+        lit("."),
+        col("referenceAllele"),
+        coalesce(col("alternateAllele"), lit(".")),
+        lit("."),
+        lit("PASS"),
+        lit("."),
+        lit("GT:GQ:DP")) ++
+        samples.map(s => coalesce(col(s), lit("./.:.:."))): _*)
+    val data = pivoted
+      .select(lit(1).as("__k"), col("contigName"), col("start"), dataLine.as("value"))
+    val head = header(samples).split("\n").toSeq.zipWithIndex
+      .map { case (l, i) => (0, "", i.toLong, l) }
+      .toDF("__k", "contigName", "start", "value")
+    val lines = head.unionByName(data)
+      .orderBy(col("__k"), col("contigName"), col("start"))
+      .select("value").as[String]
     val out = if (singleFile) lines.coalesce(1) else lines
     out.write.mode("overwrite").text(path)
   }

@@ -89,6 +89,26 @@ class DedupSpec extends SparkSpec {
     assert(ham(1L, 3L) < ham(1L, 4L))
   }
 
+  test("simhash kernel is bit-identical to the Column-expression form") {
+    import spark.implicits._
+    // the reference (pre-kernel) formulation: 64 aggregate lambdas over
+    // xxhash64(token) — kept here as the ground truth the one-pass kernel
+    // must reproduce exactly (same pair set downstream)
+    val hashed = docs.select(
+      col("doc_id"),
+      transform(array_distinct(split(col("text"), " ")), t => xxhash64(t)).as("hs"))
+    val bitCols = (0 until 64).map { j =>
+      val vote = aggregate(
+        col("hs"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }
+    val expected = hashed.select(col("doc_id"), bitCols.reduce(_.bitwiseOR(_)).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val got = Dedup.simHash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
   test("simhash LSH pair finder obeys hamming cap") {
     import spark.implicits._
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
