@@ -60,6 +60,7 @@ object SparkEntry {
     "g2_genotype_calls" -> (Queries.g2_genotype_calls _),
     "g3_realign" -> (Queries.g3_realign _),
     "g4_joint_recall" -> (Queries.g4_joint_recall _),
+    "g6_gvcf_squareoff" -> (Queries.g6_gvcf_squareoff _),
     "g5_trio_phase" -> (Queries.g5_trio_phase _),
     "w3_coverage_cap" -> (Queries.w3_coverage_cap _),
     "d3_minhash_lsh_pairs" -> (Queries.d3_minhash_lsh_pairs _),

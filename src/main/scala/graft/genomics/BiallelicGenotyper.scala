@@ -39,7 +39,8 @@ object BiallelicGenotyper {
       maxMapQ: Int = 93,
       binSize: Double = 1000.0,
       broadcastVariants: Boolean = true,
-      copyNumbers: Option[CopyNumberMap.Built] = None): DataFrame = {
+      copyNumbers: Option[CopyNumberMap.Built] = None,
+      scoreAllSites: Boolean = false): DataFrame = {
 
     val spark = reads.sparkSession
     import spark.implicits._
@@ -77,7 +78,7 @@ object BiallelicGenotyper {
     // then equi-join on (contig, position) with codegen'd support
     // classification. No per-(read,variant) object kernel.
     val pileup = reads.flatMap(Observer.basePileup).toDF()
-      .groupBy("contigName", "pos", "base", "qual", "forwardStrand", "mapq", "sampleId")
+      .groupBy("contigName", "pos", "base", "refBase", "qual", "forwardStrand", "mapq", "sampleId")
       .agg(count(lit(1)).as("w"))
     val snvSide = if (broadcastVariants) broadcast(snvV) else snvV
     val snvObs = pileup
@@ -119,7 +120,32 @@ object BiallelicGenotyper {
         col("alternateAllele"), col("sampleId"), col("support"),
         col("forwardStrand"), col("qual"), col("mapq"), lit(1L).as("w"))
 
-    val obs = snvObs.unionByName(indelObs)
+    // -- gVCF non-ref model (P10/§2 gVCF; reference DiscoveredVariant
+    // .scala:81 alternateAllele=None + ScoredObservation nonRef arrays):
+    // when scoring all sites, every pileup position NOT under a candidate
+    // variant emits a symbolic non-ref observation — support is "shows
+    // the reference" vs "shows anything else", the alternate allele is
+    // null, and the downstream likelihood blend gives the log-odds of
+    // 0..m copies of an unknown non-reference allele. Anti-join on the
+    // (tiny, broadcast) candidate-position set keeps this narrow.
+    lazy val vPos = vdf.select(col("v_contig"), col("v_start")).distinct()
+    lazy val nonRefObs = pileup
+      .join(if (broadcastVariants) broadcast(vPos) else vPos,
+        pileup("contigName") === col("v_contig") && pileup("pos") === col("v_start"),
+        "left_anti")
+      .select(
+        col("contigName"),
+        col("pos").as("start"),
+        col("refBase").as("referenceAllele"),
+        lit(null).cast("string").as("alternateAllele"),
+        col("sampleId"),
+        when(col("base") === col("refBase"), Observer.SupportRef)
+          .otherwise(Observer.SupportAlt).as("support"),
+        col("forwardStrand"), col("qual"), col("mapq"), col("w"))
+
+    val obs =
+      if (scoreAllSites) snvObs.unionByName(indelObs).unionByName(nonRefObs)
+      else snvObs.unionByName(indelObs)
 
     // -- broadcast score-table join (S9 + J3); clamp quals to the domain;
     // per-site copy number from the broadcast CNV map (or flat ploidy)

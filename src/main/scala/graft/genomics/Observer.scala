@@ -110,6 +110,7 @@ object Observer {
       contigName: String,
       pos: Long,
       base: String,
+      refBase: String, // aligned reference base (from MD; = base on match)
       qual: Int,
       forwardStrand: Boolean,
       mapq: Int,
@@ -126,18 +127,20 @@ object Observer {
       var pos = read.start
       var idx = 0
       def phred(i: Int): Int = read.qual.charAt(i) - 33
-      def emit(n: Int): Unit = {
+      def emit(n: Int, refBases: Option[String]): Unit = {
         var i = 0
         while (i < n) {
+          val rb = refBases.fold(read.sequence.substring(idx + i, idx + i + 1))(
+            r => r.substring(i, i + 1))
           out += BaseObs(read.contigName, pos + i,
-            read.sequence.substring(idx + i, idx + i + 1), phred(idx + i),
+            read.sequence.substring(idx + i, idx + i + 1), rb, phred(idx + i),
             !read.readNegativeStrand, read.mapq, read.sampleId)
           i += 1
         }
         pos += n; idx += n
       }
       ops.foreach {
-        case AlnMatch(n, _)    => emit(n)
+        case AlnMatch(n, r)    => emit(n, r)
         case AlnIns(n)         => idx += n
         case AlnDel(b)         => pos += b.length
         case AlnClip(n, true)  => idx += n

@@ -82,9 +82,12 @@ object SquareOff {
     val exact = col("start") === col("v_start") &&
       col("__gtRef") === col("v_ref") &&
       col("__gtAlt") === col("v_alt")
+    // full-key order: (ref, alt) tie-breaks make the rank deterministic
+    // when a sample carries two different alts at the same position
     val w = Window
       .partitionBy("v_contig", "v_start", "v_end", "v_ref", "v_alt", "sampleId")
-      .orderBy(col("__exact").desc, col("readDepth").desc, col("start"))
+      .orderBy(col("__exact").desc, col("readDepth").desc, col("start"),
+        col("referenceAllele"), col("alternateAllele"))
     joined
       .withColumn("__gt", gtTrim)
       .withColumn("__gtRef", gtRef)

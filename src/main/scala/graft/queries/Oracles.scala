@@ -365,6 +365,87 @@ object Oracles {
         |  siteDepth, siteSamples
         |FROM q""".stripMargin,
 
+    // gVCF square-off + joint recall in closed form. Model notes:
+    //  - every read in a (contig, blk) covers all 10 site offsets of the
+    //    block, so coverage at a site == the sample's reads in the block;
+    //  - per-sample discovery: (site, alt) with >= 2 observations IN THAT
+    //    SAMPLE gets an exact call (support classified vs that alt);
+    //  - fallback when the sample lacks the exact variant: if the sample
+    //    called a DIFFERENT alt at the same position, square-off selects
+    //    that row (min (ref, alt) on ties — deterministic rank); else the
+    //    symbolic non-ref block row at the position (support = shows ref
+    //    vs shows anything else); squared genotypeState is 0 either way;
+    //  - joint recall = g4's binomial-MAF model over the squared matrix.
+    "g6_gvcf_squareoff" ->
+      """WITH r AS (
+        |  SELECT concat('chr', l_returnflag) AS contig, (l_partkey % 1000) AS blk,
+        |         (l_partkey % 1000) * 20 + (l_suppkey % 10) AS rpos,
+        |         CASE WHEN l_orderkey % 3 = 0 THEN 'C'
+        |              WHEN l_orderkey % 3 = 1 THEN 'G' ELSE 'T' END AS ralt,
+        |         's' || l_linestatus AS sample,
+        |         1 - (1 - pow(10, -(30 + l_linenumber % 10)/10.0)) * (1 - pow(10, -6.0)) AS eps
+        |  FROM lineitem),
+        |vs AS (
+        |  SELECT contig, blk, rpos AS vstart, ralt AS valt, sample
+        |  FROM r GROUP BY 1, 2, 3, 4, 5 HAVING count(*) >= 2),
+        |v AS (SELECT DISTINCT contig, blk, vstart, valt FROM vs),
+        |cov AS (SELECT DISTINCT contig, blk, sample FROM r),
+        |pairs AS (
+        |  SELECT v.contig, v.blk, v.vstart, v.valt, c.sample,
+        |    EXISTS(SELECT 1 FROM vs WHERE vs.contig = v.contig AND vs.blk = v.blk
+        |           AND vs.vstart = v.vstart AND vs.valt = v.valt
+        |           AND vs.sample = c.sample) AS exact,
+        |    (SELECT min(valt) FROM vs WHERE vs.contig = v.contig AND vs.blk = v.blk
+        |           AND vs.vstart = v.vstart AND vs.sample = c.sample) AS own_alt
+        |  FROM v JOIN cov c ON v.contig = c.contig AND v.blk = c.blk),
+        |p AS (
+        |  SELECT pr.contig, pr.vstart, pr.valt, pr.sample, pr.exact,
+        |    CASE
+        |      WHEN pr.exact AND r.rpos = pr.vstart AND r.ralt = pr.valt THEN 2
+        |      WHEN NOT pr.exact AND pr.own_alt IS NOT NULL
+        |           AND r.rpos = pr.vstart AND r.ralt = pr.own_alt THEN 2
+        |      WHEN NOT pr.exact AND pr.own_alt IS NULL
+        |           AND r.rpos = pr.vstart THEN 2
+        |      WHEN r.rpos = pr.vstart THEN 0 ELSE 1 END AS support,
+        |    r.eps
+        |  FROM pairs pr JOIN r ON pr.contig = r.contig AND pr.blk = r.blk
+        |    AND pr.sample = r.sample),
+        |g AS (
+        |  SELECT contig AS contigName, vstart, valt, sample, any_value(exact) AS exact,
+        |    sum(CASE WHEN support = 2 THEN ln(2*eps) - ln(2)
+        |             ELSE ln(2*(1-eps)) - ln(2) END) AS gl0,
+        |    sum(ln(eps + (1-eps)) - ln(2)) AS gl1,
+        |    sum(CASE WHEN support = 2 THEN ln(2*(1-eps)) - ln(2)
+        |             ELSE ln(2*eps) - ln(2) END) AS gl2,
+        |    count(*)::INT AS depth
+        |  FROM p GROUP BY 1, 2, 3, 4),
+        |st AS (
+        |  SELECT *, CASE WHEN NOT exact THEN 0
+        |                 WHEN gl0 >= gl1 AND gl0 >= gl2 THEN 0
+        |                 WHEN gl1 >= gl2 THEN 1 ELSE 2 END AS state
+        |  FROM g),
+        |j AS (
+        |  SELECT *,
+        |    sum(state) OVER w ::DOUBLE / (2 * count(*) OVER w) AS maf,
+        |    (sum(depth) OVER w)::BIGINT AS siteDepth,
+        |    count(*) OVER w AS siteSamples
+        |  FROM st WINDOW w AS (PARTITION BY contigName, vstart, valt)),
+        |q AS (
+        |  SELECT *,
+        |    0 + 2*ln(1-maf) + gl0 AS p0,
+        |    ln(2) + ln(maf) + ln(1-maf) + gl1 AS p1,
+        |    0 + 2*ln(maf) + gl2 AS p2
+        |  FROM j WHERE maf > 0)
+        |SELECT contigName, vstart AS start, 'A' AS referenceAllele,
+        |  valt AS alternateAllele, sample AS sampleId,
+        |  round(maf, 6) AS maf, state AS genotypeState, exact AS exactCall,
+        |  CASE WHEN p0 >= p1 AND p0 >= p2 THEN 0
+        |       WHEN p1 >= p2 THEN 1 ELSE 2 END AS recalledState,
+        |  round(10/ln(10) * (greatest(p0, p1, p2)
+        |    - greatest(least(p0, p1), least(p1, p2), least(p0, p2))), 3) AS recalledQuality,
+        |  siteDepth, siteSamples
+        |FROM q""".stripMargin,
+
     "e3_embedding_dedup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -467,15 +467,17 @@ object Queries {
     * binomial-prior recall. Oracle mirrors the entire two-stage model in
     * closed form.
     */
-  def g4_joint_recall(spark: SparkSession, dir: String): DataFrame = {
+  /** The g4/g6 synthetic cohort: same reads as g1/g2, sample derived
+    * from l_linestatus.
+    */
+  private def cohortReads(spark: SparkSession, dir: String): Dataset[Read] = {
     val spark2 = spark
     import spark2.implicits._
-    // same synthetic reads as g1/g2, but sample derived from l_linestatus
     val snvOff = (col("l_suppkey") % 10).cast("int")
     val altBase = when(col("l_orderkey") % 3 === 0, "C")
       .when(col("l_orderkey") % 3 === 1, "G")
       .otherwise("T")
-    val rds = t(spark, dir, "lineitem").select(
+    t(spark, dir, "lineitem").select(
       concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("readName"),
       concat(lit("chr"), col("l_returnflag")).as("contigName"),
       ((col("l_partkey") % 1000) * 20).as("start"),
@@ -494,6 +496,12 @@ object Queries {
       lit(null).cast("string").as("mateContigName"),
       lit(null).cast("long").as("mateStart"),
       lit(false).as("mateMapped")).as[Read]
+  }
+
+  def g4_joint_recall(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val rds = cohortReads(spark, dir)
     val variants = DiscoverVariants
       .discover(rds, minPhred = 20, minObservations = 2)
       .select("contigName", "start", "referenceAllele", "alternateAllele")
@@ -506,6 +514,43 @@ object Queries {
         col("sampleId"), round(col("maf"), 6).as("maf"),
         col("genotypeState"), col("recalledState"), col("recalledQuality"),
         col("siteDepth"), col("siteSamples"))
+  }
+
+  /** gVCF square-off + joint recall (the reference's end-to-end gVCF
+    * workflow, SquareOffReferenceModel.scala:87-245 + Jointer): each
+    * sample is discovered and called INDEPENDENTLY with scoreAllSites
+    * (per-sample variants + symbolic non-ref blocks at every other
+    * covered position), the per-sample gVCFs are squared off against the
+    * cohort variant union — exact calls win, reference blocks fill the
+    * gaps — and the joint layer re-calls with the cohort MAF prior.
+    * Oracle mirrors per-sample discovery, block fallback (incl. the
+    * own-different-alt case), and the recall in closed form.
+    */
+  def g6_gvcf_squareoff(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val rds = cohortReads(spark, dir)
+    val sampleIds = rds.select("sampleId").distinct().as[String].collect().sorted
+    val gvcfs = sampleIds.toSeq.map { s =>
+      val rs = rds.filter(col("sampleId") === s)
+      val vs = DiscoverVariants
+        .discover(rs, minPhred = 20, minObservations = 2)
+        .select("contigName", "start", "referenceAllele", "alternateAllele")
+        .as[DiscoveredVariant]
+      BiallelicGenotyper.call(rs, vs, ploidy = 2, binSize = 20.0, scoreAllSites = true)
+        .withColumn("end", col("start") + greatest(length(col("referenceAllele")), lit(1)))
+        .select("contigName", "start", "end", "referenceAllele", "alternateAllele",
+          "sampleId", "genotypeState", "genotypeQuality", "readDepth",
+          "gl_0", "gl_1", "gl_2")
+    }
+    val cohort = gvcfs.reduce(_.unionByName(_))
+    val squared = graft.genomics.SquareOff.squareOff(cohort, binSize = 20.0)
+    graft.genomics.JointAnnotatorCaller(squared)
+      .select(
+        col("contigName"), col("start"), col("referenceAllele"), col("alternateAllele"),
+        col("sampleId"), round(col("maf"), 6).as("maf"),
+        col("genotypeState"), col("exactCall"), col("recalledState"),
+        col("recalledQuality"), col("siteDepth"), col("siteSamples"))
   }
 
   /** Trio calling at scale: three samples from l_returnflag (sN=mother,

@@ -102,9 +102,20 @@ object Vcf {
   }
 
   /** Parse VCF data lines back to the genotype schema, one row per
-    * (site, sample). Sample ids come from the #CHROM header line
-    * (headerless dumps — e.g. this sink's own output — get a single
-    * "sample"); per-sample read depth is located via the FORMAT column.
+    * (site, sample, alternate allele). Sample ids come from the #CHROM
+    * header line (headerless dumps — e.g. this sink's own output — get a
+    * single "sample"); per-sample fields are located via the FORMAT
+    * column.
+    *
+    * gVCF semantics (reference SquareOffReferenceModel.scala:140-188 +
+    * loadGenotypes' VCF codec):
+    *  - multiallelic ALT splits into one row per alternate allele, with
+    *    genotypeState = count of that allele's index in GT;
+    *  - symbolic `<NON_REF>` alleles are the reference model — an ALT of
+    *    only `.`/`<NON_REF>` yields a null-alt reference-block row;
+    *  - INFO END=n sets the block's end (else start + len(ref));
+    *  - PL (phred-scaled likelihoods) recovers gl_0..2 for the allele's
+    *    diploid genotypes via the VCF ordering PL[k(k+1)/2 + j].
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.text(path)
@@ -115,25 +126,65 @@ object Vcf {
       .filter(_.nonEmpty)
       .getOrElse(Seq("sample"))
     val sampleArr = typedlit(samples)
+    def fmtField(name: String) = {
+      val i = array_position(split(element_at(col("f"), 9), ":"), name).cast("int")
+      when(i > 0, element_at(col("smp"), i))
+    }
+    val glFromPl = (a: org.apache.spark.sql.Column, g: Int) => {
+      // PL index of genotype with g copies of allele a (diploid):
+      // (j,k) -> k(k+1)/2 + j with (j,k) = (0,0)/(0,a)/(a,a)
+      val idx = g match {
+        case 0 => lit(0)
+        case 1 => (a * (a + 1)) / 2
+        case _ => (a * (a + 1)) / 2 + a
+      }
+      (element_at(col("pl"), idx.cast("int") + 1).cast("double") *
+        lit(-math.log(10.0) / 10.0)).as(s"gl_$g")
+    }
     raw.where(!col("value").startsWith("#"))
       .withColumn("f", split(col("value"), "\t"))
       .withColumn("idx", explode(sequence(lit(0), lit(samples.length - 1))))
       .withColumn("sampleId", element_at(sampleArr, col("idx") + 1))
       .withColumn("smp", split(element_at(col("f"), col("idx") + 10), ":"))
       .withColumn("gt", col("smp").getItem(0))
-      .withColumn("dpIdx",
-        array_position(split(element_at(col("f"), 9), ":"), "DP").cast("int"))
+      .withColumn("pl", split(fmtField("PL"), ","))
+      .withColumn("alts", split(element_at(col("f"), 5), ","))
+      .withColumn("realAlts",
+        filter(col("alts"), a => a =!= "." && a =!= "<NON_REF>"))
+      // one row per real alternate allele; pure reference-model lines
+      // (no real alts) produce a single null-alt block row (aIdx = 0)
+      .withColumn("aIdx",
+        explode(when(size(col("realAlts")) > 0,
+          sequence(lit(1), size(col("realAlts")))).otherwise(array(lit(0)))))
+      .withColumn("gtAlleles", filter(split(col("gt"), "[/|]"), a => a =!= ""))
+      .withColumn("end",
+        coalesce(
+          // regexp_extract yields '' on no match; '' must become null,
+          // not an ANSI cast error
+          nullif(regexp_extract(element_at(col("f"), 8), "(^|;)END=([0-9]+)", 2), lit(""))
+            .cast("long"),
+          col("f").getItem(1).cast("long") - 1 + length(col("f").getItem(3))))
       .select(
+        // original column order first (positional compatibility), gVCF
+        // columns appended
         col("f").getItem(0).as("contigName"),
         (col("f").getItem(1).cast("long") - 1).as("start"),
         col("f").getItem(3).as("referenceAllele"),
-        when(col("f").getItem(4) === ".", lit(null).cast("string"))
-          .otherwise(col("f").getItem(4)).as("alternateAllele"),
+        when(col("aIdx") === 0, lit(null).cast("string"))
+          .otherwise(element_at(col("realAlts"), col("aIdx"))).as("alternateAllele"),
         col("sampleId"),
         when(col("gt").contains("."), -1)
-          .otherwise(size(filter(split(col("gt"), "[/|]"), a => a === "1")))
+          .when(col("aIdx") === 0, 0)
+          .otherwise(size(filter(col("gtAlleles"),
+            a => a === col("aIdx").cast("string"))))
           .as("genotypeState"),
-        when(col("dpIdx") > 0, element_at(col("smp"), col("dpIdx")))
-          .cast("int").as("readDepth"))
+        fmtField("DP").cast("int").as("readDepth"),
+        col("end"),
+        fmtField("GQ").cast("double").as("genotypeQuality"),
+        // reference blocks (aIdx 0) read PL as ref vs the symbolic
+        // non-ref allele, i.e. allele index 1
+        glFromPl(greatest(col("aIdx"), lit(1)), 0),
+        glFromPl(greatest(col("aIdx"), lit(1)), 1),
+        glFromPl(greatest(col("aIdx"), lit(1)), 2))
   }
 }
