@@ -25,6 +25,7 @@ object SparkEntry {
     "p2_regex_pred" -> (Queries.p2_regex_pred _),
     "p3_cond_rewrite" -> (Queries.p3_cond_rewrite _),
     "p6_hard_filter_annotate" -> (Queries.p6_hard_filter_annotate _),
+    "p6b_filter_matrix" -> (Queries.p6b_filter_matrix _),
     "p8_clamp" -> (Queries.p8_clamp _),
     "j1_interval_point_bcast" -> (Queries.j1_interval_point_bcast _),
     "j2_interval_overlap_shuffle" -> (Queries.j2_interval_overlap_shuffle _),

@@ -45,6 +45,44 @@ object Oracles {
         |    CASE WHEN l_shipdate < TIMESTAMP '1995-06-01' THEN 'OLDSHIP' END) = '') AS filters_passed
         |FROM lineitem""".stripMargin,
 
+    // the reference's full 9-per-class hard-filter matrix in closed form:
+    // het/hom zygosity splits (hom = state 2 of copyNumber 2), strict-<
+    // and <=/> boundaries exactly as the engine's Column predicates,
+    // SNP/INDEL dispatch on ref/alt length, INDEL MQ disabled (negative
+    // default), FS enabled at 60 on both classes
+    "p6b_filter_matrix" ->
+      """WITH g AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    (l_partkey % 4 = 0) AS isindel,
+        |    (l_suppkey % 3 = 2) AS hom,
+        |    (l_quantity * 2)::DOUBLE AS gq,
+        |    (l_orderkey % 250 + l_linenumber)::INT AS dp,
+        |    (l_orderkey % 40)::INT AS adp,
+        |    (l_partkey % 70)::DOUBLE AS mq,
+        |    (l_orderkey % 90)::DOUBLE AS fs
+        |  FROM lineitem),
+        |f AS (
+        |  SELECT *, gq/dp AS qd, adp::DOUBLE/dp AS af,
+        |    CASE WHEN isindel THEN 'INDEL' ELSE 'SNP' END AS c
+        |  FROM g),
+        |x AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    concat_ws(';',
+        |      CASE WHEN NOT hom AND qd < 2.0 THEN 'HET' || c || 'QD' END,
+        |      CASE WHEN hom AND qd < 1.0 THEN 'HOM' || c || 'QD' END,
+        |      CASE WHEN fs > 60.0 THEN c || 'FS' END,
+        |      CASE WHEN NOT isindel AND mq < 30.0 THEN 'SNPMQ' END,
+        |      CASE WHEN dp < 10 THEN c || 'MINDP' END,
+        |      CASE WHEN dp > 200 THEN c || 'MAXDP' END,
+        |      CASE WHEN NOT hom AND af <= 0.333 THEN 'HET' || c || 'MINAF' END,
+        |      CASE WHEN NOT hom AND af > 0.666 THEN 'HET' || c || 'MAXAF' END,
+        |      CASE WHEN hom AND af <= 0.666 THEN 'HOM' || c || 'MINAF' END
+        |    ) AS filters_failed
+        |  FROM f)
+        |SELECT l_orderkey, l_linenumber, filters_failed,
+        |  (filters_failed = '') AS filters_passed
+        |FROM x""".stripMargin,
+
     "p8_clamp" ->
       """SELECT l_orderkey, l_linenumber,
         |  least(l_quantity, 25.0) AS qty_clamped,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.genomics.{BiallelicGenotyper, DiscoverVariants}
+import graft.genomics.{BiallelicGenotyper, DiscoverVariants, HardFilterGenotypes}
 import graft.model.{DiscoveredVariant, Order, Read}
 import graft.operators._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -75,6 +75,34 @@ object Queries {
     t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), failed.as("filters_failed"))
       .withColumn("filters_passed", col("filters_failed") === "")
+  }
+
+  /** The REAL hard-filter matrix (P6 operator, not the generic shape):
+    * genotype-shaped rows derived from lineitem run through
+    * HardFilterGenotypes.annotate with the reference's 9-per-class
+    * thresholds; the oracle mirrors every predicate (zygosity splits,
+    * inclusive/exclusive boundaries, per-class dispatch, disabled INDEL
+    * MQ) in closed form. All comparisons are exact integer-derived
+    * doubles — no transcendentals, so no cross-engine float risk.
+    */
+  def p6b_filter_matrix(spark: SparkSession, dir: String): DataFrame = {
+    val g = t(spark, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_partkey") % 4 === 0, "AC").otherwise("A").as("referenceAllele"),
+      when(col("l_partkey") % 4 === 0, "A").otherwise("G").as("alternateAllele"),
+      (col("l_suppkey") % 3).cast("int").as("genotypeState"),
+      lit(2).as("copyNumber"),
+      (col("l_quantity") * 2).cast("double").as("genotypeQuality"),
+      (col("l_orderkey") % 250 + col("l_linenumber")).cast("int").as("readDepth"),
+      (col("l_orderkey") % 40).cast("int").as("alternateReadDepth"),
+      (col("l_partkey") % 70).cast("double").as("rmsMapQ"),
+      (col("l_orderkey") % 90).cast("double").as("strandBiasPhred"))
+    HardFilterGenotypes.annotate(g,
+        snp = HardFilterGenotypes.snpDefaults.copy(maxPhredStrandBias = 60.0),
+        indel = HardFilterGenotypes.indelDefaults.copy(maxPhredStrandBias = 60.0))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        concat_ws(";", col("filtersFailed")).as("filters_failed"),
+        col("filtersPassed").as("filters_passed"))
   }
 
   def p8_clamp(spark: SparkSession, dir: String): DataFrame =

@@ -11,14 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object Vcf {
 
-  def header(sampleIds: Seq[String]): String =
-    Seq(
-      "##fileformat=VCFv4.2",
+  def header(sampleIds: Seq[String], filterLines: Seq[String] = Nil): String =
+    (Seq("##fileformat=VCFv4.2") ++ filterLines ++ Seq(
       "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
       "##FORMAT=<ID=GQ,Number=1,Type=Integer,Description=\"Genotype Quality\">",
       "##FORMAT=<ID=DP,Number=1,Type=Integer,Description=\"Read Depth\">",
       ("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT" +: sampleIds).mkString("\t")
-    ).mkString("\n")
+    )).mkString("\n")
 
   /** Render called-genotype rows (genotyper output schema) to VCF data
     * lines. POS is 1-based per spec (engine coordinates are 0-based
@@ -56,7 +55,8 @@ object Vcf {
     * only — a cohort VCF at scale stays distributed; a cat of the part
     * files in name order is a valid VCF either way).
     */
-  def write(gtsIn: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+  def write(gtsIn: DataFrame, path: String, singleFile: Boolean = false,
+      filterHeaderLines: Seq[String] = Nil): Unit = {
     val spark = gtsIn.sparkSession
     import spark.implicits._
     // single-sample dumps without a sampleId column get the default id
@@ -72,9 +72,21 @@ object Vcf {
     val gq = coalesce(round(col("genotypeQuality"), 0).cast("int").cast("string"), lit("."))
     val cell = concat_ws(":", gt, gq, coalesce(col("readDepth").cast("string"), lit(".")))
     val site = Seq("contigName", "start", "referenceAllele", "alternateAllele")
-    val pivoted = gts
+    // FILTER column from the hard-filter annotation when present
+    // (site-level: any sample's failures; P6's annotate-don't-drop).
+    // Window over the site key (constant per site) so it can ride the
+    // pivot's groupBy as a key — no extra join, null-alt rows safe.
+    val siteW = org.apache.spark.sql.expressions.Window
+      .partitionBy(site.map(col): _*)
+    val filterCell =
+      if (gts.columns.contains("filtersFailed"))
+        max(when(size(col("filtersFailed")) > 0,
+          concat_ws(";", col("filtersFailed")))).over(siteW)
+      else lit(null).cast("string")
+    val pivotedF = gts
       .withColumn("__cell", cell)
-      .groupBy(site.map(col): _*)
+      .withColumn("__filter", filterCell)
+      .groupBy((site :+ "__filter").map(col): _*)
       .pivot("sampleId", samples)
       .agg(max(col("__cell")))
     val dataLine = concat_ws("\t",
@@ -85,13 +97,13 @@ object Vcf {
         col("referenceAllele"),
         coalesce(col("alternateAllele"), lit(".")),
         lit("."),
-        lit("PASS"),
+        coalesce(col("__filter"), lit("PASS")),
         lit("."),
         lit("GT:GQ:DP")) ++
         samples.map(s => coalesce(col(s), lit("./.:.:."))): _*)
-    val data = pivoted
+    val data = pivotedF
       .select(lit(1).as("__k"), col("contigName"), col("start"), dataLine.as("value"))
-    val head = header(samples).split("\n").toSeq.zipWithIndex
+    val head = header(samples, filterHeaderLines).split("\n").toSeq.zipWithIndex
       .map { case (l, i) => (0, "", i.toLong, l) }
       .toDF("__k", "contigName", "start", "value")
     val lines = head.unionByName(data)
