@@ -2,7 +2,7 @@ package graft.cli
 
 import graft.genomics._
 import graft.model.{DiscoveredVariant, Read}
-import graft.sources.{Sam, Vcf}
+import graft.sources.{Bam, Sam, Vcf}
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -36,6 +36,7 @@ object Main {
   private def loadReads(spark: SparkSession, path: String): Dataset[Read] = {
     import spark.implicits._
     if (path.endsWith(".sam")) Sam.read(spark, path)
+    else if (path.endsWith(".bam")) Bam.read(spark, path)
     else spark.read.parquet(path).as[Read]
   }
 
