@@ -181,6 +181,33 @@ object Oracles {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
 
+    // the greedy coverage cap IS expressible: the admitted set's state
+    // (active interval ends) threads through a recursive CTE — one step
+    // per (key, rank) row, pruning ends <= current start, admitting
+    // while < 8 remain open. trunc() mirrors Spark's cast("long")
+    // truncation-toward-zero on the DOUBLE acctbal.
+    "w3_coverage_cap" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT c_mktsegment AS k,
+        |    trunc(c_acctbal * 100)::BIGINT AS lo,
+        |    trunc(c_acctbal * 100)::BIGINT + 5000 AS hi,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY trunc(c_acctbal * 100)::BIGINT, c_custkey) AS i
+        |  FROM customer),
+        |rec AS (
+        |  SELECT k, 0::BIGINT AS i, []::BIGINT[] AS active, 0::BIGINT AS n_admitted
+        |  FROM (SELECT DISTINCT k FROM c)
+        |  UNION ALL
+        |  SELECT c.k, c.i,
+        |    CASE WHEN len(list_filter(r.active, e -> e > c.lo)) < 8
+        |         THEN list_append(list_filter(r.active, e -> e > c.lo), c.hi)
+        |         ELSE list_filter(r.active, e -> e > c.lo) END,
+        |    r.n_admitted + CASE WHEN len(list_filter(r.active, e -> e > c.lo)) < 8
+        |                        THEN 1 ELSE 0 END
+        |  FROM rec r JOIN c ON c.k = r.k AND c.i = r.i + 1)
+        |SELECT k AS c_mktsegment, max(n_admitted) AS n_admitted
+        |FROM rec GROUP BY 1""".stripMargin,
+
     "w2_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  sum(l_quantity) OVER (PARTITION BY l_suppkey

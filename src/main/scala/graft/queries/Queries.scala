@@ -627,12 +627,12 @@ object Queries {
         concat_ws("|", col("childAlleles")).as("child_alleles"))
   }
 
-  // ---- coverage cap (W3), LSH dedup (D3, D4), ANN (E2) — rows-only -----
+  // ---- coverage cap (W3), LSH dedup (D3, D4), ANN (E2) ----------------
 
   /** Stateful running coverage cap over customer balance intervals,
-    * exact per-key semantics (hash-partitioned by key). Not
-    * SQL-expressible (admission depends on the admitted set), so
-    * correctness is spec-tested rather than oracle-checked.
+    * exact per-key semantics (hash-partitioned by key). The greedy
+    * admission (state = the admitted set's open interval ends) is
+    * oracle-checked via a recursive CTE threading that state row by row.
     */
   def w3_coverage_cap(spark: SparkSession, dir: String): DataFrame =
     HardLimiter.capCoverage(
