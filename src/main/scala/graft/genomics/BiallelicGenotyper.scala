@@ -31,6 +31,28 @@ object BiallelicGenotyper {
     * (SURVEY.md A8/J5 integration — the reference threads copyNumber
     * through the observation key the same way).
     */
+  /** The metadata-validated entry point (P4; reference
+    * BiallelicGenotyper.scala:99-105): require a single sample and
+    * compatible sequence dictionaries BEFORE planning the join. This
+    * variant runs two small driver-side aggregations, so it is separate
+    * from the pure plan constructor `call` — use it at pipeline
+    * boundaries (the CLI does), not inside loops.
+    */
+  def callValidated(
+      reads: Dataset[Read],
+      variants: Dataset[DiscoveredVariant],
+      readsDict: SequenceDictionary = SequenceDictionary.empty,
+      ploidy: Int = 2,
+      binSize: Double = 1000.0,
+      scoreAllSites: Boolean = false): DataFrame = {
+    SequenceDictionary.validateSingleSample(reads)
+    val rd = if (readsDict.isEmpty) SequenceDictionary.fromReads(reads) else readsDict
+    val vd = SequenceDictionary.fromVariants(variants.toDF)
+    SequenceDictionary.validateCompatibility(vd, rd)
+    call(reads, variants, ploidy = ploidy, binSize = binSize,
+      scoreAllSites = scoreAllSites)
+  }
+
   def call(
       reads: Dataset[Read],
       variants: Dataset[DiscoveredVariant],
@@ -166,20 +188,32 @@ object BiallelicGenotyper {
       .join(broadcast(scores), Seq("copyNumber", "qual", "mapq"))
 
     // -- per-row per-state contribution (weighted by the compressed
-    // multiplicity), then the wide hash agg (A3)
+    // multiplicity), then the wide hash agg (A3). Nulled (nonref)
+    // observations contribute ZERO to the genotype blend and their
+    // alt-flavored likelihood to the nonref dimension (reference
+    // ScoredObservation.scala:62-71: per-class arrays, zeros elsewhere;
+    // nonReferenceLikelihoods = nonref obs + ref obs blended).
     val w = col("w")
     val contribs = states.map { g =>
       (when(col("support") === Observer.SupportAlt, col(s"a_ll_$g"))
+        .when(col("support") === Observer.SupportNonRef, lit(0.0))
         .otherwise(col(s"o_ll_$g")) * w).as(s"c_$g")
     }
+    val nrContribs = states.map { g =>
+      (when(col("support") === Observer.SupportNonRef, col(s"a_ll_$g"))
+        .when(col("support") === Observer.SupportRef, col(s"o_ll_$g"))
+        .otherwise(lit(0.0)) * w).as(s"nr_c_$g")
+    }
     val glSums = states.map(g => sum(col(s"c_$g")).as(s"gl_$g"))
+    val nrSums = states.map(g => sum(col(s"nr_c_$g")).as(s"nr_ll_$g"))
     val aggd = keyed
       .select(col("contigName") +: col("start") +: col("referenceAllele") +:
         col("alternateAllele") +: col("sampleId") +: col("copyNumber") +:
-        col("support") +: col("forwardStrand") +: col("mapq") +: col("w") +: contribs: _*)
+        col("support") +: col("forwardStrand") +: col("mapq") +: col("w") +:
+        (contribs ++ nrContribs): _*)
       .groupBy("contigName", "start", "referenceAllele", "alternateAllele", "sampleId", "copyNumber")
       .agg(
-        glSums.head, (glSums.tail ++ Seq(
+        glSums.head, (glSums.tail ++ nrSums ++ Seq(
           sum(w).cast("int").as("readDepth"),
           sum(when(col("support") === Observer.SupportRef, w).otherwise(0L)).cast("int").as("referenceReadDepth"),
           sum(when(col("support") === Observer.SupportAlt, w).otherwise(0L)).cast("int").as("alternateReadDepth"),
@@ -210,7 +244,19 @@ object BiallelicGenotyper {
       .withColumn("strandBiasPhred",
         round(fisher(col("altFwd"), col("altRev"), col("otherFwd"), col("otherRev")), 3))
       .withColumn("rmsMapQ", round(sqrt(col("sumSqMapQ") / col("readDepth")), 3))
+      // richer genotype schema (reference BiallelicGenotyper.scala
+      // :699-747): strand-bias 2x2 components in the reference's order
+      // [otherFwd, otherRev, altFwd, altRev], the symbolic non-ref
+      // likelihood array (sliced like gl), and the nested annotations
+      // struct downstream VCF tooling reads
+      .withColumn("strandBiasComponents",
+        array(col("otherFwd"), col("otherRev"), col("altFwd"), col("altRev")))
+      .withColumn("nonReferenceLikelihoods",
+        slice(array(states.map(g => col(s"nr_ll_$g")): _*), lit(1), col("copyNumber") + 1))
+      .withColumn("variantCallingAnnotations",
+        struct(col("rmsMapQ"), col("strandBiasPhred").as("fisherStrandBiasPValue")))
       .withColumn("end", col("start") + greatest(length(col("referenceAllele")), lit(1)))
-      .drop("altFwd", "altRev", "otherFwd", "otherRev", "sumSqMapQ")
+      .drop((Seq("altFwd", "altRev", "otherFwd", "otherRev", "sumSqMapQ") ++
+        states.map(g => s"nr_ll_$g")): _*)
   }
 }

@@ -35,6 +35,13 @@ object Observer {
   final val SupportRef = 1
   final val SupportAlt = 2
 
+  /** The reference's nullOut class (SummarizedObservation.scala:89-94):
+    * the read covers the site but cannot attest any allele — it scores
+    * only the symbolic non-ref dimension (nonReferenceLikelihoods),
+    * contributing zero to the alt/ref genotype blend.
+    */
+  final val SupportNonRef = 3
+
   /** Aligned per-reference-position view of a read: base, phred, and
     * whether the position is a pure match (no indel adjacency needed for
     * SNV calls).
@@ -204,9 +211,14 @@ object Observer {
                   readTail.isEmpty || readTail == altHap
                 }
               }
-              if (ambiguous) None
-              else if (covered && !competing) {
-                if (insertionTailAmbiguous) None
+              // nulled (nonref) observations keep the read in the depth
+              // and nonReferenceLikelihoods accounting without touching
+              // the alt/ref blend — reference nullOut semantics
+              if (ambiguous) {
+                if (p.base.contains(v.start)) obs(SupportNonRef, p.base(v.start)._2)
+                else None
+              } else if (covered && !competing) {
+                if (insertionTailAmbiguous) obs(SupportNonRef, p.base(v.start)._2)
                 else {
                   val quals = span.map(p.base(_)._2)
                   obs(SupportRef, quals.sum / quals.length)

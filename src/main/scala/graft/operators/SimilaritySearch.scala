@@ -67,6 +67,40 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** The 100 TB storage path: write the corpus LSH-bucketed, parquet
+    * partitioned by bucket, so a probe's scan is partition-PRUNED to
+    * the query's bucket directory (PartitionFilters in the scan, not a
+    * post-scan filter). Write once, probe many.
+    */
+  def writeBucketed(df: DataFrame, idCol: String, embCol: String, dim: Int,
+      path: String, nBits: Int = 8, seed: Long = 42): Unit =
+    lshBuckets(df, idCol, embCol, dim, nBits, seed)
+      .write.mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(path)
+
+  /** Probe a bucketed table written by writeBucketed: the bucket
+    * predicate prunes to one partition directory; only those rows are
+    * scored.
+    */
+  def annTopKBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, embCol: String, dim: Int, query: Array[Double], k: Int,
+      nBits: Int = 8, seed: Long = 42): DataFrame = {
+    val qBucket = queryBucket(query, dim, nBits, seed)
+    spark.read.parquet(path)
+      .where(col("bucket") === qBucket)
+      .select(col(idCol), cosine(col(embCol), query).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The query vector's LSH bucket under the same planes. */
+  def queryBucket(query: Array[Double], dim: Int, nBits: Int = 8, seed: Long = 42): Int =
+    hyperplanes(dim, nBits, seed).zipWithIndex.map { case (p, i) =>
+      val dot = p.zip(query).map { case (a, b) => a * b }.sum
+      if (dot >= 0) 1 << i else 0
+    }.sum
+
   private def hyperplanes(dim: Int, nBits: Int, seed: Long): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))

@@ -72,4 +72,12 @@ object Sam {
     import spark.implicits._
     spark.read.textFile(path).flatMap(parseLine(_, sampleId))
   }
+
+  /** Sequence dictionary from the file's @SQ header lines (P4). */
+  def dictionary(spark: SparkSession, path: String): graft.genomics.SequenceDictionary = {
+    import spark.implicits._
+    graft.genomics.SequenceDictionary.fromSamHeader(
+      spark.read.textFile(path)
+        .filter(_.startsWith("@SQ")).collect().toSeq)
+  }
 }

@@ -107,6 +107,44 @@ class GenotyperSpec extends SparkSpec {
     assert(frow.getAs[Int]("genotypeState") === 2)
   }
 
+  test("richer genotype schema: strand-bias components, nonref likelihoods, annotations") {
+    import spark.implicits._
+    val rds = ((0 until 6).map(i => read(s"f$i", snvOff = 5)) ++
+      (0 until 4).map(i => read(s"r$i", snvOff = 5, negStrand = true)) ++
+      (0 until 3).map(i => read(s"c$i"))).toDS()
+    val variants = Seq(DiscoveredVariant("chr1", 105, "A", Some("C"))).toDS()
+    val row = BiallelicGenotyper.call(rds, variants, ploidy = 2, binSize = 100.0)
+      .collect().head
+    // reference order [otherFwd, otherRev, altFwd, altRev]
+    assert(row.getSeq[Int](row.fieldIndex("strandBiasComponents")).toList === List(3, 0, 6, 4))
+    val vca = row.getStruct(row.fieldIndex("variantCallingAnnotations"))
+    assert(vca.getAs[Double]("rmsMapQ") === 60.0)
+    assert(vca.fieldIndex("fisherStrandBiasPValue") >= 0)
+    assert(row.getSeq[Double](row.fieldIndex("nonReferenceLikelihoods")).length === 3)
+  }
+
+  test("nulled observations score only the nonref dimension") {
+    // an ambiguity-window read (soft clip near the indel) keeps its depth
+    // but must not push the alt/ref blend either way
+    val del = Read("d1", "chr1", 100, 110, "A" * 8, "I" * 8, "4M2D4M", "4^CC4",
+      60, readMapped = true, readNegativeStrand = false, duplicateRead = false,
+      primaryAlignment = true, sampleId = "s1")
+    val clipped = Read("c1", "chr1", 100, 106, "A" * 8, "I" * 8, "6M2S", "6",
+      60, readMapped = true, readNegativeStrand = false, duplicateRead = false,
+      primaryAlignment = true, sampleId = "s1")
+    val v = DiscoveredVariant("chr1", 103, "ACC", Some("A"))
+    val obs = Observer.observe(clipped, Seq(v))
+    assert(obs.map(_.support) === Seq(Observer.SupportNonRef))
+    import spark.implicits._
+    val row = BiallelicGenotyper.call(Seq(del, del.copy(readName = "d2"), clipped).toDS(),
+      Seq(v).toDS(), ploidy = 2, binSize = 100.0).collect().head
+    assert(row.getAs[Int]("readDepth") === 3) // nulled read stays in depth
+    assert(row.getAs[Int]("alternateReadDepth") === 2)
+    assert(row.getAs[Int]("referenceReadDepth") === 0)
+    val nr = row.getSeq[Double](row.fieldIndex("nonReferenceLikelihoods"))
+    assert(nr.exists(_ != 0.0), "nulled obs must contribute to nonref dimension")
+  }
+
   test("observer classifies indel support") {
     // read with a 2bp deletion: 4M2D4M over read AAAAAAAA, ref AAAA,CC,AAAA
     val del = Read("d1", "chr1", 100, 110, "A" * 8, "I" * 8, "4M2D4M", "4^CC4",

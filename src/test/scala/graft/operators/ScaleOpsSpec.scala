@@ -38,6 +38,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(lsh.subsetOf(pairs))
   }
 
+  test("bucketed ANN table: partition-pruned probe equals in-memory probe") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 200L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ann").toString + "/buckets"
+    SimilaritySearch.writeBucketed(df, "vec_id", "embedding", dim, dir, nBits = 4)
+    val query = rows.head._2.map(_.toDouble)
+
+    val fromDisk = SimilaritySearch
+      .annTopKBucketed(spark, dir, "vec_id", "embedding", dim, query, k = 5, nBits = 4)
+    val inMem = SimilaritySearch
+      .annTopK(df, "vec_id", "embedding", dim, query, k = 5, nBits = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(fromDisk.as[(Long, Double)].collect().toSeq === inMem)
+
+    // the probe must prune partitions at the scan, not filter post-scan
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    val qb = SimilaritySearch.queryBucket(query, dim, nBits = 4)
+    assert(plan.contains("PartitionFilters") && plan.contains(s"bucket"),
+      s"expected partition pruning on bucket=$qb in:\n$plan")
+  }
+
   test("batched multimodal decode: deterministic, partition-amortized") {
     import spark.implicits._
     val docs = Seq((1L, "hello media bytes"), (2L, "other payload")).toDF("doc_id", "text")
