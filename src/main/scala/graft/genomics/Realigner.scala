@@ -6,12 +6,17 @@ import org.apache.spark.sql.Dataset
 
 import scala.util.Try
 
-/** Whole-read realignment (SURVEY.md K18/K19; reference
+/** Block-segmented read realignment (SURVEY.md K18/K19; reference
   * Realigner.scala:46-158 + RealignmentBlock.scala:34-386): re-derive a
-  * read's alignment by extracting the reference it was aligned to and
-  * re-aligning its sequence with the k-mer aligner. A pure narrow
-  * `Dataset.map` — zero shuffles; at cluster scale throughput is kernel
-  * speed × cores, nothing else.
+  * read's alignment by segmenting it into blocks — clips and long clean
+  * match runs pass through verbatim (Clipped/Canonical), while regions
+  * around indels and mismatch clusters, extended by k exact-match flank
+  * bases on each side (the reference's backtrackBlocks), are re-aligned
+  * in isolation against their own extracted reference (Realignable).
+  * Realigning only the hot windows preserves long clean anchors exactly
+  * and keeps the k-mer chain small. A pure narrow `Dataset.map` — zero
+  * shuffles; at cluster scale throughput is kernel speed × cores,
+  * nothing else.
   *
   * Candidate gating: only reads whose alignment contains an indel or a
   * mismatch cluster are realigned (clean matches pass through untouched).
@@ -19,6 +24,62 @@ import scala.util.Try
   * anchor) return the original read — the reference's failure isolation.
   */
 object Realigner {
+
+  /** One segment of a read's alignment: `realign` marks hot windows. */
+  private[genomics] case class Seg(ops: List[AlnOp], realign: Boolean)
+
+  /** Segment ops into Clipped/Canonical/Realignable blocks. A hot op
+    * (indel or mismatch) opens a realignable block that steals up to k
+    * trailing exact-match bases from the preceding run as its left
+    * flank; an exact run of >= k bases after a hot op closes the block
+    * with a k-base right flank (shorter runs are absorbed, chaining
+    * nearby hot ops into one block) — the reference's RealignmentBlock
+    * flank semantics (RealignmentBlock.scala:54-119).
+    */
+  private[genomics] def segment(ops: Seq[AlnOp], k: Int): Seq[Seg] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Seg]
+    var canon = List.empty[AlnOp] // reversed pending canonical ops
+    var hot = List.empty[AlnOp] // reversed open realignable block
+    def isHot(op: AlnOp): Boolean = op match {
+      case AlnMatch(_, Some(_)) | AlnIns(_) | AlnDel(_) => true
+      case _                                            => false
+    }
+    def flushCanon(): Unit =
+      if (canon.nonEmpty) { out += Seg(canon.reverse, realign = false); canon = Nil }
+    def flushHot(): Unit =
+      if (hot.nonEmpty) { out += Seg(hot.reverse, realign = true); hot = Nil }
+    ops.foreach {
+      case c: AlnClip =>
+        flushHot(); canon ::= c; flushCanon()
+      case m @ AlnMatch(n, None) =>
+        if (hot.nonEmpty) {
+          if (n >= k) {
+            hot ::= AlnMatch(k, None)
+            flushHot()
+            if (n - k > 0) canon ::= AlnMatch(n - k, None)
+          } else hot ::= m // short run: absorb, chain to the next hot op
+        } else canon ::= m
+      case op if isHot(op) =>
+        if (hot.isEmpty) canon match {
+          // steal the left flank from the preceding exact run
+          case AlnMatch(n, None) :: rest if n > k =>
+            canon = AlnMatch(n - k, None) :: rest
+            flushCanon()
+            hot = List(AlnMatch(k, None))
+          case AlnMatch(n, None) :: rest =>
+            canon = rest
+            flushCanon()
+            hot = List(AlnMatch(n, None))
+          case _ =>
+            flushCanon()
+        }
+        hot ::= op
+      case other =>
+        flushHot(); canon ::= other
+    }
+    flushHot(); flushCanon()
+    out.toSeq
+  }
 
   /** A read is a realignment candidate if its ops contain an indel, or
     * >= 2 mismatched bases (a cluster that might hide an indel — note
@@ -38,30 +99,36 @@ object Realigner {
   }
 
   /** Realign one read; returns the read with rewritten cigar/mdTag (and
-    * unchanged coordinates — the realigned alignment consumes the same
-    * reference span) or the original on failure/non-candidacy.
+    * unchanged coordinates — each realigned block consumes the same
+    * reference span) or the original on failure/non-candidacy. Only the
+    * realignable blocks are re-derived; clips and canonical match runs
+    * pass through bit-identically.
     */
   def realignRead(read: Read, k: Int = 8): Read = {
     Try {
       val ops = AlignmentOps.parse(read.cigar, read.mdTag)
       if (!isCandidate(ops)) read
       else {
-        // clips are preserved verbatim; the aligned core is re-derived
-        val leading = ops.takeWhile(_.isInstanceOf[AlnClip])
-        val trailing = ops.reverse.takeWhile(_.isInstanceOf[AlnClip]).reverse
-        val core = ops.slice(leading.size, ops.size - trailing.size)
-        val clipHead = leading.collect { case AlnClip(n, true) => n }.sum
-        val clipTail = trailing.collect { case AlnClip(n, true) => n }.sum
-        val coreSeq = read.sequence.substring(clipHead, read.sequence.length - clipTail)
-        val ref = AlignmentOps.extractReference(coreSeq, core)
-        val realigned = Aligner.align(ref, coreSeq, k)
-        require(AlignmentOps.readLength(realigned) == coreSeq.length,
-          "realigned ops lose read bases")
-        require(AlignmentOps.referenceLength(realigned) == ref.length,
-          "realigned ops lose reference span")
-        require(AlignmentOps.extractReference(coreSeq, realigned) == ref,
-          "realigned ops change the implied reference")
-        val (cigar, md) = AlignmentOps.render(leading ++ realigned ++ trailing)
+        val segs = segment(ops, k)
+        var readIdx = 0
+        val newOps = segs.flatMap { seg =>
+          val segReadLen = AlignmentOps.readLength(seg.ops).toInt
+          val segSeq = read.sequence.substring(readIdx, readIdx + segReadLen)
+          readIdx += segReadLen
+          if (!seg.realign) seg.ops
+          else {
+            val ref = AlignmentOps.extractReference(segSeq, seg.ops)
+            val realigned = Aligner.align(ref, segSeq, k)
+            require(AlignmentOps.readLength(realigned) == segSeq.length,
+              "realigned block loses read bases")
+            require(AlignmentOps.referenceLength(realigned) == ref.length,
+              "realigned block loses reference span")
+            require(AlignmentOps.extractReference(segSeq, realigned) == ref,
+              "realigned block changes the implied reference")
+            realigned
+          }
+        }
+        val (cigar, md) = AlignmentOps.render(newOps)
         read.copy(cigar = cigar, mdTag = md)
       }
     }.getOrElse(read)

@@ -42,6 +42,51 @@ class RealignerSpec extends SparkSpec {
     assert(out.sequence === r.sequence)
   }
 
+  test("segmentation: long clean anchors stay canonical, hot windows get k-flanks") {
+    import graft.kernels._
+    // 30 exact, mismatch, 30 exact: one realignable window with 4-base
+    // flanks; the 26-base anchors pass through untouched
+    val ops = Seq(AlnMatch(30, None), AlnMatch(1, Some("C")), AlnMatch(30, None))
+    val segs = Realigner.segment(ops, k = 4)
+    assert(segs.map(_.realign) === Seq(false, true, false))
+    assert(segs(0).ops === List(AlnMatch(26, None)))
+    assert(segs(1).ops === List(AlnMatch(4, None), AlnMatch(1, Some("C")), AlnMatch(4, None)))
+    assert(segs(2).ops === List(AlnMatch(26, None)))
+    // read/ref lengths are partitioned exactly
+    assert(segs.map(s => AlignmentOps.readLength(s.ops)).sum === AlignmentOps.readLength(ops))
+  }
+
+  test("segmentation: nearby hot ops chain into one block; clips break blocks") {
+    import graft.kernels._
+    // mismatch, 2 exact (< k), insertion: chained into ONE realignable
+    // block; leading soft clip is its own canonical segment
+    val ops = Seq(AlnClip(3, soft = true), AlnMatch(10, None),
+      AlnMatch(1, Some("A")), AlnMatch(2, None), AlnIns(2), AlnMatch(10, None))
+    val segs = Realigner.segment(ops, k = 4)
+    assert(segs.count(_.realign) === 1)
+    val hot = segs.find(_.realign).get.ops
+    assert(hot.contains(AlnIns(2)) && hot.contains(AlnMatch(1, Some("A"))))
+    assert(segs.head.ops === List(AlnClip(3, soft = true)))
+    assert(AlignmentOps.readLength(segs.flatMap(_.ops)) === AlignmentOps.readLength(ops))
+    assert(AlignmentOps.referenceLength(segs.flatMap(_.ops)) === AlignmentOps.referenceLength(ops))
+  }
+
+  test("block realignment leaves distant canonical runs bit-identical") {
+    // mismatch cluster near the start; the long tail must render back
+    // exactly (block realignment cannot perturb it)
+    val ref = "ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGT"
+    val readSeq = ref.substring(0, 8) + "TT" + ref.substring(10)
+    val md = "8A0C30"
+    val r = mk("loc", readSeq, "I" * 40, "40M", md)
+    val out = Realigner.realignRead(r, k = 4)
+    assert(out.sequence === r.sequence)
+    // the last 26+ bases were canonical: alignment still ends in a long M run
+    val ops = graft.kernels.AlignmentOps.parse(out.cigar, out.mdTag)
+    val lastRun = ops.last
+    assert(lastRun === graft.kernels.AlnMatch(26, None) ||
+      graft.kernels.AlignmentOps.readLength(Seq(lastRun)) >= 26)
+  }
+
   test("dataset-level realign preserves counts and read content") {
     import spark.implicits._
     val reads = Seq(
