@@ -14,8 +14,10 @@ object Vcf {
   def header(sampleIds: Seq[String], filterLines: Seq[String] = Nil): String =
     (Seq("##fileformat=VCFv4.2") ++ filterLines ++ Seq(
       "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
-      "##FORMAT=<ID=GQ,Number=1,Type=Integer,Description=\"Genotype Quality\">",
+      "##FORMAT=<ID=AD,Number=R,Type=Integer,Description=\"Allelic depths for the ref and alt alleles\">",
       "##FORMAT=<ID=DP,Number=1,Type=Integer,Description=\"Read Depth\">",
+      "##FORMAT=<ID=GQ,Number=1,Type=Integer,Description=\"Genotype Quality\">",
+      "##FORMAT=<ID=PL,Number=G,Type=Integer,Description=\"Phred-scaled genotype likelihoods\">",
       ("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT" +: sampleIds).mkString("\t")
     )).mkString("\n")
 
@@ -70,7 +72,28 @@ object Vcf {
       .when(col("genotypeState") === 2, "1/1")
       .otherwise("./.")
     val gq = coalesce(round(col("genotypeQuality"), 0).cast("int").cast("string"), lit("."))
-    val cell = concat_ws(":", gt, gq, coalesce(col("readDepth").cast("string"), lit(".")))
+    val dp = coalesce(col("readDepth").cast("string"), lit("."))
+    // AD (ref,alt depths) and PL (phred-scaled, normalized so the best
+    // genotype is 0) when the caller's columns are present
+    val has = gts.columns.toSet
+    val ad =
+      if (has("referenceReadDepth") && has("alternateReadDepth"))
+        concat_ws(",",
+          coalesce(col("referenceReadDepth").cast("string"), lit(".")),
+          coalesce(col("alternateReadDepth").cast("string"), lit(".")))
+      else lit(".")
+    val pl =
+      if (has("genotypeLikelihoods")) {
+        val best = array_max(col("genotypeLikelihoods"))
+        concat_ws(",", transform(col("genotypeLikelihoods"),
+          gl => round((best - gl) * lit(10.0 / math.log(10.0)), 0).cast("int").cast("string")))
+      } else if (has("gl_0") && has("gl_1") && has("gl_2")) {
+        val arr = array(col("gl_0"), col("gl_1"), col("gl_2"))
+        val best = array_max(arr)
+        concat_ws(",", transform(arr,
+          gl => round((best - gl) * lit(10.0 / math.log(10.0)), 0).cast("int").cast("string")))
+      } else lit(".")
+    val cell = concat_ws(":", gt, ad, dp, gq, pl)
     val site = Seq("contigName", "start", "referenceAllele", "alternateAllele")
     // FILTER column from the hard-filter annotation when present
     // (site-level: any sample's failures; P6's annotate-don't-drop).
@@ -99,8 +122,8 @@ object Vcf {
         lit("."),
         coalesce(col("__filter"), lit("PASS")),
         lit("."),
-        lit("GT:GQ:DP")) ++
-        samples.map(s => coalesce(col(s), lit("./.:.:."))): _*)
+        lit("GT:AD:DP:GQ:PL")) ++
+        samples.map(s => coalesce(col(s), lit("./.:.:.:.:."))): _*)
     val data = pivotedF
       .select(lit(1).as("__k"), col("contigName"), col("start"), dataLine.as("value"))
     val head = header(samples, filterHeaderLines).split("\n").toSeq.zipWithIndex
@@ -140,7 +163,8 @@ object Vcf {
     val sampleArr = typedlit(samples)
     def fmtField(name: String) = {
       val i = array_position(split(element_at(col("f"), 9), ":"), name).cast("int")
-      when(i > 0, element_at(col("smp"), i))
+      // '.' = missing per spec; must become null before any ANSI cast
+      nullif(when(i > 0, element_at(col("smp"), i)), lit("."))
     }
     val glFromPl = (a: org.apache.spark.sql.Column, g: Int) => {
       // PL index of genotype with g copies of allele a (diploid):
@@ -193,6 +217,10 @@ object Vcf {
         fmtField("DP").cast("int").as("readDepth"),
         col("end"),
         fmtField("GQ").cast("double").as("genotypeQuality"),
+        nullif(try_element_at(split(fmtField("AD"), ","), lit(1)), lit("."))
+          .cast("int").as("referenceReadDepth"),
+        nullif(try_element_at(split(fmtField("AD"), ","), lit(2)), lit("."))
+          .cast("int").as("alternateReadDepth"),
         // reference blocks (aIdx 0) read PL as ref vs the symbolic
         // non-ref allele, i.e. allele index 1
         glFromPl(greatest(col("aIdx"), lit(1)), 0),
