@@ -106,10 +106,19 @@ object Vcf {
         max(when(size(col("filtersFailed")) > 0,
           concat_ws(";", col("filtersFailed")))).over(siteW)
       else lit(null).cast("string")
+    // gVCF reference blocks ([start, end) with null alt) keep their span
+    // via INFO END (site-level: the widest sample block — per-sample
+    // blocks belong in per-sample gVCF files)
+    val infoCell =
+      if (has("end"))
+        max(when(col("alternateAllele").isNull && col("end") > col("start") + 1,
+          col("end"))).over(siteW)
+      else lit(null).cast("long")
     val pivotedF = gts
       .withColumn("__cell", cell)
       .withColumn("__filter", filterCell)
-      .groupBy((site :+ "__filter").map(col): _*)
+      .withColumn("__end", infoCell)
+      .groupBy((site :+ "__filter" :+ "__end").map(col): _*)
       .pivot("sampleId", samples)
       .agg(max(col("__cell")))
     val dataLine = concat_ws("\t",
@@ -121,7 +130,7 @@ object Vcf {
         coalesce(col("alternateAllele"), lit(".")),
         lit("."),
         coalesce(col("__filter"), lit("PASS")),
-        lit("."),
+        coalesce(concat(lit("END="), col("__end").cast("string")), lit(".")),
         lit("GT:AD:DP:GQ:PL")) ++
         samples.map(s => coalesce(col(s), lit("./.:.:.:.:."))): _*)
     val data = pivotedF

@@ -58,4 +58,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "score-table join should broadcast")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("gVCF pipeline: anti-join broadcasts, no nested loop, partial aggs") {
+    val plan = planOf(Queries.g6_gvcf_squareoff(spark, sf("0.001")))
+    // the non-ref model's candidate-position anti-join must broadcast
+    // (tiny position set vs the whole pileup)
+    assert(plan.contains("BroadcastHashJoin") &&
+      (plan.contains("LeftAnti") || plan.contains("left_anti")),
+      "anti-join against candidate positions should be a broadcast hash join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the wide site agg keeps map-side combine
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "partial+final agg expected")
+  }
+
+  test("filter matrix is pure Column exprs: codegen stages, no UDF eval") {
+    val df = Queries.p6b_filter_matrix(spark, sf("0.001"))
+    val plan = planOf(df)
+    // '*(n)' marks whole-stage-codegen stages in the compact plan string;
+    // the predicate evaluation itself must be expression trees (the only
+    // non-codegen node allowed is the array_compact HOF projection)
+    assert(plan.contains("*("), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLAppliedFunction") &&
+      !plan.toLowerCase.contains("pythonudf"), plan)
+    assert(!plan.contains("Exchange"), "filter annotate must stay narrow (no shuffle)")
+  }
 }

@@ -102,6 +102,25 @@ class GvcfSpec extends SparkSpec {
     assert(viol === 0)
   }
 
+  test("gVCF round trip through the VCF sink preserves block spans") {
+    import spark.implicits._
+    val gvcf = Seq(
+      ("1", 100L, 180L, "A", null.asInstanceOf[String], "s1", 0, 45.0, 12),
+      ("1", 180L, 181L, "C", "G", "s1", 1, 60.0, 20),
+      ("1", 181L, 250L, "G", null.asInstanceOf[String], "s1", 0, 30.0, 10))
+      .toDF("contigName", "start", "end", "referenceAllele", "alternateAllele",
+        "sampleId", "genotypeState", "genotypeQuality", "readDepth")
+    val dir = java.nio.file.Files.createTempDirectory("gvcfrt").toString + "/out"
+    graft.sources.Vcf.write(gvcf, dir, singleFile = true)
+    val back = graft.sources.Vcf.read(spark, dir)
+    val blocks = back.where(col("alternateAllele").isNull)
+      .select("start", "end").as[(Long, Long)].collect().toSet
+    assert(blocks === Set((100L, 180L), (181L, 250L)), "END spans must survive")
+    val call = back.where(col("alternateAllele").isNotNull).collect()
+    assert(call.length === 1 && call.head.getAs[Long]("start") === 180L)
+    assert(call.head.getAs[Int]("genotypeState") === 1)
+  }
+
   test("square-off selects exact calls over the engine's own reference blocks") {
     import spark.implicits._
     // two samples: s1 has the variant called; s2 only covers the site
