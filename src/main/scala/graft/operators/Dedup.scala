@@ -139,6 +139,12 @@ object Dedup {
   /** MinHash signatures: k hash functions h_i(x) = (a_i*x + b_i) mod p
     * over shingle hashes (xxhash64). Deterministic seeds.
     * Returns (doc_id, sig: array<long> of length k).
+    *
+    * PERF: one-pass kernel UDF — a single walk over the shingles updates
+    * all k minima (the k-lambda `transform` form evaluates k interpreted
+    * passes per document, the same pathology fixed in simHash). Shingle
+    * hashing replicates SQL `xxhash64` (seed 42) so signatures are
+    * bit-identical to the expression form.
     */
   def minHashSignatures(
       df: DataFrame,
@@ -148,13 +154,26 @@ object Dedup {
       k: Int = 32): DataFrame = {
     val p = 2147483647L // 2^31-1, Mersenne prime
     val rnd = new scala.util.Random(42)
-    val coeffs = Seq.fill(k)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong -> rnd.nextInt(Int.MaxValue).toLong)
-    val base = shingleSets(df, idCol, textCol, n)
-      .select(col("doc_id"), transform(col("shingles"), s => pmod(xxhash64(s), lit(p))).as("hs"))
-    val sigCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("hs"), h => pmod(h * a + b, lit(p)))).as(s"h$i")
-    }
-    base.select(col("doc_id"), array(sigCols: _*).as("sig"))
+    val coeffs = Array.fill(k)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong -> rnd.nextInt(Int.MaxValue).toLong)
+    val sig = udf((shingles: Seq[String]) => {
+      val mins = Array.fill(k)(Long.MaxValue)
+      shingles.foreach { s =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        val h0 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(u, org.apache.spark.sql.types.StringType, 42L)
+        val x = ((h0 % p) + p) % p // pmod
+        var i = 0
+        while (i < k) {
+          val (a, b) = coeffs(i)
+          val v = (((a * x + b) % p) + p) % p
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      mins.toSeq
+    })
+    shingleSets(df, idCol, textCol, n)
+      .select(col("doc_id"), sig(col("shingles")).as("sig"))
   }
 
   /** MinHash + LSH candidate pairs: band the signature (bands × rowsPerBand

@@ -89,6 +89,28 @@ class DedupSpec extends SparkSpec {
     assert(ham(1L, 3L) < ham(1L, 4L))
   }
 
+  test("minhash kernel is bit-identical to the Column-expression form") {
+    import spark.implicits._
+    val k = 16
+    val p = 2147483647L
+    val rnd = new scala.util.Random(42)
+    val coeffs = Seq.fill(k)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong -> rnd.nextInt(Int.MaxValue).toLong)
+    val mk = udf((toks: Seq[String]) =>
+      if (toks.length < 3) Seq.empty[String]
+      else toks.sliding(3).map(_.mkString(" ")).toSeq.distinct)
+    val base = docs.select(col("doc_id"), mk(split(col("text"), " ")).as("shingles"))
+      .where(size(col("shingles")) > 0)
+      .select(col("doc_id"), transform(col("shingles"), s => pmod(xxhash64(s), lit(p))).as("hs"))
+    val sigCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("hs"), h => pmod(h * a + b, lit(p)))).as(s"h$i")
+    }
+    val expected = base.select(col("doc_id"), array(sigCols: _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val got = Dedup.minHashSignatures(docs, "doc_id", "text", n = 3, k = k)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got === expected)
+  }
+
   test("simhash kernel is bit-identical to the Column-expression form") {
     import spark.implicits._
     // the reference (pre-kernel) formulation: 64 aggregate lambdas over

@@ -39,6 +39,20 @@ class StreamingSpec extends SparkSpec {
     assert(b.size - s.size <= 5, s"too many unclosed windows: ${b.size - s.size}")
   }
 
+  test("streaming dedup: one survivor per fingerprint within the watermark") {
+    val streamed = StreamingOps.runToMemorySink(
+      StreamingOps.streamingDedup(
+        StreamingOps.readEvents(spark, dir), Seq("user_id", "event_type")),
+      "dedup_stream", OutputMode.Append())
+    val batchDistinct = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id", "event_type").distinct().count()
+    // one micro-batch over a static source: state never expires inside
+    // the run, so the streamed row set is exactly the batch distinct set
+    assert(streamed.count() === batchDistinct)
+    val dup = streamed.groupBy("user_id", "event_type").count().where(col("count") > 1)
+    assert(dup.count() === 0)
+  }
+
   test("stateful running user totals accumulate across the stream") {
     val streamed = StreamingOps.runToMemorySink(
       StreamingOps.runningUserTotals(StreamingOps.readEvents(spark, dir)).toDF(),
