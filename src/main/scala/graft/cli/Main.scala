@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *
   *   graft.cli.Main discover <reads> <out> [minPhred] [minObs]
   *   graft.cli.Main biallelicGenotyper <reads> <out> [minPhred] [minObs]
-  *   graft.cli.Main jointer <genotypes-parquet> <out-vcf>
+  *   graft.cli.Main jointer <genotypes-parquet|vcf> <out-vcf> [-from_gvcf]
   *   graft.cli.Main mergeDiscovered <variants-glob> <out>
   *   graft.cli.Main reassemble <reads> <out>
   *   graft.cli.Main trioGenotyper <reads> <out> <mother> <father> <child>
@@ -69,9 +69,19 @@ object Main {
         called.write.mode("overwrite").parquet(args(2))
 
       case "jointer" =>
-        val gts = spark.read.parquet(args(1))
-        val joint = JointAnnotatorCaller(
-          if (gts.columns.contains("end")) gts else gts.withColumn("end", col("start") + 1))
+        // -from_gvcf (reference CLI Jointer.scala:74-146): square the
+        // per-sample gVCFs (exact calls win, reference blocks fill) before
+        // the joint layer; otherwise genotypes are already squared
+        val fromGvcf = args.contains("-from_gvcf")
+        val in0 = {
+          val p = args(1)
+          if (p.endsWith(".vcf") || p.endsWith(".g.vcf")) Vcf.read(spark, p)
+          else spark.read.parquet(p)
+        }
+        val in = if (in0.columns.contains("end")) in0
+          else in0.withColumn("end", col("start") + 1)
+        val gts = if (fromGvcf) SquareOff.squareOff(in) else in
+        val joint = JointAnnotatorCaller(gts)
         Vcf.write(joint.withColumn("genotypeState", col("recalledState"))
           .withColumn("genotypeQuality", col("recalledQuality")), args(2))
 

@@ -39,4 +39,18 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/merged").count() ===
       spark.read.parquet(s"$tmp/d1").count()) // already distinct
   }
+
+  test("jointer -from_gvcf squares a gVCF before the joint layer") {
+    run("jointer",
+      "/root/reference/avocado-core/src/test/resources/gvcf_multiallelic.g.vcf",
+      s"$tmp/joint_vcf", "-from_gvcf")
+    val out = spark.read.text(s"$tmp/joint_vcf")
+    assert(out.where(org.apache.spark.sql.functions.col("value")
+      .startsWith("#CHROM")).count() === 1)
+    // the called multiallelic site's alleles survive square-off + recall
+    val data = out.collect().map(_.getString(0)).filterNot(_.startsWith("#"))
+    assert(data.nonEmpty)
+    assert(data.exists(l => l.contains("16157604") || l.contains("18030096")),
+      s"expected a recalled site line in:\n${data.mkString("\n")}")
+  }
 }
