@@ -68,6 +68,8 @@ object SparkEntry {
     "d4_simhash_pairs" -> (Queries.d4_simhash_pairs _),
     "e2_ann_topk" -> (Queries.e2_ann_topk _),
     "e3_embedding_dedup" -> (Queries.e3_embedding_dedup _),
+    "e4_ivf_topk" -> (Queries.e4_ivf_topk _),
+    "d5_dup_ngrams" -> (Queries.d5_dup_ngrams _),
     "m1_multimodal_meta" -> (Queries.m1_multimodal_meta _)
   )
 

@@ -136,6 +136,26 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
   }
 
+  /** Cross-document duplicated n-gram report — the contamination /
+    * substring-dedup check run over training corpora (find every n-token
+    * window that appears in more than one document, so those spans can be
+    * cut or the docs dropped). Grams are distinct per document, so the
+    * group count IS the document frequency. Plan: kernel-UDF shingling
+    * (same single-evaluation property as [[shingleSets]]) -> explode ->
+    * one hash-partial/final groupBy on the gram — no joins, scales as the
+    * distinct-gram count.
+    *
+    * Output: (fp = md5 of the gram, df = #docs containing it, keep_id =
+    * lowest doc id) for grams with df > 1.
+    */
+  def duplicatedNgrams(df: DataFrame, idCol: String, textCol: String, n: Int = 13): DataFrame =
+    shingleSets(df, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("keep_id"))
+      .where(col("df") > 1)
+      .select(md5(col("g")).as("fp"), col("df"), col("keep_id"))
+
   /** MinHash signatures: k hash functions h_i(x) = (a_i*x + b_i) mod p
     * over shingle hashes (xxhash64). Deterministic seeds.
     * Returns (doc_id, sig: array<long> of length k).

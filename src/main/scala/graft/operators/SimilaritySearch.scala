@@ -94,6 +94,46 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** IVF (inverted-file) cell assignment: each vector joins the cell of
+    * its nearest centroid (max cosine, ties to the lowest centroid id).
+    * Centroids are a handful of driver-resident vectors (a query-time
+    * parameter, like the query vector itself) broadcast into the plan as
+    * literals, so assignment is a narrow, shuffle-free map: K codegen'd
+    * cosine expressions + an array_max over (cos, -cid) structs. At
+    * 100 TB the assigned table is written `partitionBy("cell")` (same
+    * storage path as [[writeBucketed]]) so probes are partition-pruned.
+    */
+  def ivfCells(df: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[(Long, Array[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val scored = centroids.map { case (cid, cvec) =>
+      struct(cosine(col(embCol), cvec).as("cos"), lit(-cid).as("negid"))
+    }
+    df.withColumn("cell", -array_max(array(scored: _*)).getField("negid"))
+  }
+
+  /** IVF approximate top-k: probe only the `nProbe` cells whose centroids
+    * are nearest the query, exact cosine inside the probed cells. The
+    * recall/cost dial is nProbe/K: corpus scanned ≈ nProbe/K of total
+    * (vs all of it for exact top-k).
+    */
+  def ivfTopK(df: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[(Long, Array[Double])], query: Array[Double],
+      k: Int, nProbe: Int): DataFrame = {
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val probed = centroids.map { case (cid, cvec) =>
+      val cNorm = math.sqrt(cvec.map(x => x * x).sum)
+      val dot = cvec.zip(query).map { case (a, b) => a * b }.sum
+      (cid, dot / (cNorm * qNorm))
+    }.sortBy { case (cid, cos) => (-cos, cid) }.take(nProbe).map(_._1)
+    ivfCells(df, idCol, embCol, centroids)
+      .where(col("cell").isin(probed: _*))
+      .select(col(idCol), cosine(col(embCol), query).as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
   /** The query vector's LSH bucket under the same planes. */
   def queryBucket(query: Array[Double], dim: Int, nBits: Int = 8, seed: Long = 42): Int =
     hyperplanes(dim, nBits, seed).zipWithIndex.map { case (p, i) =>

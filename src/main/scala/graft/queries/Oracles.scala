@@ -520,6 +520,39 @@ object Oracles {
         |WHERE list_dot_product(a.v, b.v)
         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35""".stripMargin,
 
+    // IVF ANN: cells from nearest-of-8-centroids (vec_ids 1..8, ties to
+    // lowest cid), probe the query's 2 nearest cells, exact cosine top-20
+    "e4_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+        |s AS (SELECT e.vec_id, c.cid,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |    list_dot_product(e.v, c.cv)
+        |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |    c.cid) AS rn
+        |  FROM e CROSS JOIN c),
+        |cell AS (SELECT vec_id, cid AS cell FROM s WHERE rn = 1),
+        |probe AS (SELECT cid FROM s WHERE vec_id = 0 AND rn <= 2),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_dot_product(e.v, q.qv)
+        |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+        |FROM e JOIN cell ON e.vec_id = cell.vec_id CROSS JOIN q
+        |WHERE cell.cell IN (SELECT cid FROM probe)
+        |ORDER BY list_dot_product(e.v, q.qv)
+        |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+        |  e.vec_id
+        |LIMIT 20""".stripMargin,
+
+    // duplicated 13-gram contamination report (grams distinct per doc)
+    "d5_dup_ngrams" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_distinct([array_to_string(t[i:i+12], ' ') FOR i IN range(1, len(t) - 11)])) AS g
+        |  FROM tok WHERE len(t) >= 13)
+        |SELECT md5(g) AS fp, count(*) AS df, min(doc_id) AS keep_id
+        |FROM sh GROUP BY g HAVING count(*) > 1""".stripMargin,
+
     // genotyping per trio sample + pivot + Mendelian phase cascade
     "g5_trio_phase" ->
       """WITH v AS (

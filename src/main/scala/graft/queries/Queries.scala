@@ -668,6 +668,28 @@ object Queries {
     Dedup.embeddingCosinePairs(t(spark, dir, "embeddings"), "vec_id", "embedding",
       dim = 64, threshold = 0.35, exact = true)
 
+  /** IVF ANN: centroids are corpus vectors 1..8 (deterministic, so the
+    * DuckDB oracle can reproduce the cell assignment exactly); probe the
+    * 2 nearest cells, exact cosine inside them. Centroid/query fetches
+    * are query parameters (9 small rows), not data movement.
+    */
+  def e4_ivf_topk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val cent = emb.where(col("vec_id").between(1, 8))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    SimilaritySearch.ivfTopK(emb, "vec_id", "embedding", cent, query, k = 20, nProbe = 2)
+  }
+
+  /** Cross-document duplicated 13-gram contamination report. */
+  def d5_dup_ngrams(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedNgrams(t(spark, dir, "documents"), "doc_id", "text", n = 13)
+
   // ---- multimodal plumbing (M1) ----------------------------------------
 
   def m1_multimodal_meta(spark: SparkSession, dir: String): DataFrame =

@@ -62,6 +62,52 @@ class ScaleOpsSpec extends SparkSpec {
       s"expected partition pruning on bucket=$qb in:\n$plan")
   }
 
+  test("IVF top-k: probing all cells equals exact top-k; fewer cells is a subset of the corpus ranking") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 120L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cent = rows.take(8).map { case (id, v) => (id, v.map(_.toDouble)) }
+    val query = rows.head._2.map(_.toDouble)
+
+    val exact = SimilaritySearch.topK(df, "vec_id", "embedding", query, k = 10)
+      .select(col("vec_id"), round(col("cos_sim"), 4)).as[(Long, Double)].collect().toSeq
+    val allProbe = SimilaritySearch.ivfTopK(df, "vec_id", "embedding", cent, query, k = 10, nProbe = 8)
+      .as[(Long, Double)].collect().toSeq
+    assert(allProbe === exact, "nProbe = K must reduce to exact top-k")
+
+    val two = SimilaritySearch.ivfTopK(df, "vec_id", "embedding", cent, query, k = 10, nProbe = 2)
+      .as[(Long, Double)].collect().toSeq
+    // the query vector is its own nearest neighbor and lives in a probed cell
+    assert(two.head._1 === 0L && two.head._2 === 1.0)
+    // approximate results are a sub-ranking of the exact scores
+    val exactScores = SimilaritySearch.scoreAll(df, "vec_id", "embedding", query)
+      .as[(Long, Double)].collect().toMap
+    two.foreach { case (id, s) => assert(exactScores(id) === s) }
+  }
+
+  test("duplicated n-grams: cross-doc windows reported once per doc") {
+    import spark.implicits._
+    val shared = (1 to 13).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " tail one"),
+      (2L, "lead in " + shared),
+      // doc 3 contains the shared gram TWICE — still one vote (distinct per doc)
+      (3L, shared + " mid " + shared),
+      (4L, "totally different words " + (1 to 13).map(i => s"x$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedNgrams(docs, "doc_id", "text", n = 13)
+      .as[(String, Long, Long)].collect()
+    val byFp = out.map(r => r._1 -> r).toMap
+    val fpShared = java.security.MessageDigest.getInstance("MD5")
+      .digest(shared.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(byFp.contains(fpShared))
+    assert(byFp(fpShared)._2 === 3L, "df counts docs, not occurrences")
+    assert(byFp(fpShared)._3 === 1L, "keep lowest doc id")
+    assert(!out.exists(_._2 < 2), "only cross-doc grams reported")
+  }
+
   test("batched multimodal decode: deterministic, partition-amortized") {
     import spark.implicits._
     val docs = Seq((1L, "hello media bytes"), (2L, "other payload")).toDF("doc_id", "text")
