@@ -114,11 +114,20 @@ object Vcf {
         max(when(col("alternateAllele").isNull && col("end") > col("start") + 1,
           col("end"))).over(siteW)
       else lit(null).cast("long")
+    // site QUAL: confidence any sample carries the alt — the max variant
+    // genotype quality at the site (reference blocks stay "."). Site-level
+    // like FILTER/END, so it rides the pivot keys via the same window.
+    val qualCell =
+      if (has("genotypeQuality"))
+        max(when(col("genotypeState") > 0 && col("alternateAllele").isNotNull,
+          col("genotypeQuality"))).over(siteW)
+      else lit(null).cast("double")
     val pivotedF = gts
       .withColumn("__cell", cell)
       .withColumn("__filter", filterCell)
       .withColumn("__end", infoCell)
-      .groupBy((site :+ "__filter" :+ "__end").map(col): _*)
+      .withColumn("__qual", qualCell)
+      .groupBy((site :+ "__filter" :+ "__end" :+ "__qual").map(col): _*)
       .pivot("sampleId", samples)
       .agg(max(col("__cell")))
     val dataLine = concat_ws("\t",
@@ -128,7 +137,7 @@ object Vcf {
         lit("."),
         col("referenceAllele"),
         coalesce(col("alternateAllele"), lit(".")),
-        lit("."),
+        coalesce(round(col("__qual"), 2).cast("string"), lit(".")),
         coalesce(col("__filter"), lit("PASS")),
         coalesce(concat(lit("END="), col("__end").cast("string")), lit(".")),
         lit("GT:AD:DP:GQ:PL")) ++

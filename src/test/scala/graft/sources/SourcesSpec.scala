@@ -42,6 +42,14 @@ class SourcesSpec extends SparkSpec {
       ("chr1", 100L, "A", "C", 1, 30),
       ("chr1", 222L, "AGG", "A", 2, 41),
       ("chr2", 5L, "T", "G", 0, 12)))
+
+    // site QUAL = max variant-sample genotype quality; hom-ref site is "."
+    val quals = spark.read.text(dir).collect().map(_.getString(0))
+      .filterNot(_.startsWith("#"))
+      .map(l => { val f = l.split("\t"); f(1) -> f(5) }).toMap
+    assert(quals("101") === "45.2")
+    assert(quals("223") === "99.0")
+    assert(quals("6") === ".")
   }
 
   test("VCF render emits 1-based positions and GT strings") {
