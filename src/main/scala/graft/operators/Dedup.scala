@@ -19,6 +19,25 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("fp"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
+  /** 60-bit content hash: the first 15 hex chars of md5(s) as a long.
+    * Chosen over xxhash64 because any SQL engine reproduces it —
+    * DuckDB: ('0x' || substring(md5(s), 1, 15))::BIGINT — so the
+    * LSH families built on it (minhash, simhash) are oracle-checkable
+    * end-to-end, not rows-only. Always positive (< 2^60).
+    */
+  private[graft] def md5Hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val bytes = d.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
+    (v << 4) | ((bytes(7) & 0xf0L) >> 4)
+  }
+
+  /** Column form of [[md5Hash60]] (codegen'd builtins, no UDF). */
+  private[graft] def md5Hash60Col(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Word n-gram (shingle) sets per document: distinct n-token shingles
     * from single-space tokenization. Documents with fewer than n tokens
     * are dropped.
@@ -156,15 +175,24 @@ object Dedup {
       .where(col("df") > 1)
       .select(md5(col("g")).as("fp"), col("df"), col("keep_id"))
 
+  /** MinHash coefficient pairs (a_i, b_i), deterministic from seed 42 —
+    * shared with the oracle-SQL generator so both sides evaluate the
+    * identical hash family.
+    */
+  private[graft] def minHashCoeffs(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(k)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong -> rnd.nextInt(Int.MaxValue).toLong)
+  }
+
   /** MinHash signatures: k hash functions h_i(x) = (a_i*x + b_i) mod p
-    * over shingle hashes (xxhash64). Deterministic seeds.
+    * over 60-bit shingle hashes ([[md5Hash60]]). Deterministic seeds.
     * Returns (doc_id, sig: array<long> of length k).
     *
     * PERF: one-pass kernel UDF — a single walk over the shingles updates
     * all k minima (the k-lambda `transform` form evaluates k interpreted
-    * passes per document, the same pathology fixed in simHash). Shingle
-    * hashing replicates SQL `xxhash64` (seed 42) so signatures are
-    * bit-identical to the expression form.
+    * passes per document, the same pathology fixed in simHash). The
+    * md5-derived shingle hash keeps every value SQL-reproducible, so the
+    * whole signature is bit-identical to the DuckDB oracle's.
     */
   def minHashSignatures(
       df: DataFrame,
@@ -173,19 +201,15 @@ object Dedup {
       n: Int = 3,
       k: Int = 32): DataFrame = {
     val p = 2147483647L // 2^31-1, Mersenne prime
-    val rnd = new scala.util.Random(42)
-    val coeffs = Array.fill(k)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong -> rnd.nextInt(Int.MaxValue).toLong)
+    val coeffs = minHashCoeffs(k).toArray
     val sig = udf((shingles: Seq[String]) => {
       val mins = Array.fill(k)(Long.MaxValue)
       shingles.foreach { s =>
-        val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
-        val h0 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(u, org.apache.spark.sql.types.StringType, 42L)
-        val x = ((h0 % p) + p) % p // pmod
+        val x = md5Hash60(s) % p
         var i = 0
         while (i < k) {
           val (a, b) = coeffs(i)
-          val v = (((a * x + b) % p) + p) % p
+          val v = (a * x + b) % p // operands positive, a*x < 2^62
           if (v < mins(i)) mins(i) = v
           i += 1
         }
@@ -217,7 +241,11 @@ object Dedup {
       explode(
         transform(
           sequence(lit(0), lit(bands - 1)),
-          bnd => struct(bnd.as("band"), xxhash64(concat_ws("_", bnd, slice(col("sig"), bnd * rows + 1, lit(rows)))).as("bh"))
+          // band-key hash via md5Hash60 (not xxhash64) so the DuckDB
+          // oracle reproduces bucket membership exactly; the band id is
+          // embedded in the hashed string, so bh equality implies band
+          // equality
+          bnd => struct(bnd.as("band"), md5Hash60Col(concat_ws("_", bnd, slice(col("sig"), bnd * rows + 1, lit(rows)))).as("bh"))
         )).as("b"))
       .select(col("doc_id"), col("sig"), col("b.band"), col("b.bh"))
     val l = banded.alias("l")
@@ -267,28 +295,26 @@ object Dedup {
         round(col("cos_raw"), 4).as("cos_sim"))
   }
 
-  /** 64-bit SimHash per document from token hashes: bit j of the simhash
-    * is the sign of the sum over tokens of (+1/-1 for bit j of
-    * xxhash64(token)). Near-dups then differ in few bits (Hamming).
+  /** 60-bit SimHash per document from token hashes: bit j of the simhash
+    * is the sign of the sum over distinct tokens of (+1/-1 for bit j of
+    * [[md5Hash60]](token)). Near-dups then differ in few bits (Hamming).
+    * 60 bits (not 64) so the hash family is SQL-reproducible and the
+    * pair set oracle-checkable; discrimination loss is negligible.
     *
     * PERF: a single-pass kernel UDF — one walk over the distinct tokens
-    * updates all 64 bit-votes at once. The Column-expression alternative
-    * (64 `aggregate` lambdas) evaluates 64 interpreted passes over the
-    * hash array per document. Token hashing replicates the SQL
-    * `xxhash64(token)` (XXH64 over UTF-8 bytes, seed 42) so the output
-    * is bit-identical to the expression form.
+    * updates all 60 bit-votes at once. The Column-expression alternative
+    * (60 `aggregate` lambdas) evaluates 60 interpreted passes over the
+    * hash array per document.
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sim = udf((toks: Seq[String]) => {
-      val votes = new Array[Int](64)
+      val votes = new Array[Int](60)
       val seen = new java.util.HashSet[String]()
       toks.foreach { t =>
         if (seen.add(t)) {
-          val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
-          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-            .hash(u, org.apache.spark.sql.types.StringType, 42L)
+          val h = md5Hash60(t)
           var j = 0
-          while (j < 64) {
+          while (j < 60) {
             if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
             j += 1
           }
@@ -296,15 +322,15 @@ object Dedup {
       }
       var out = 0L
       var j = 0
-      while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+      while (j < 60) { if (votes(j) > 0) out |= (1L << j); j += 1 }
       out
     })
     df.select(col(idCol).as("doc_id"), sim(split(col(textCol), " ")).as("simhash"))
   }
 
   /** SimHash near-dup pairs within maxHamming bits, LSH-bucketed by
-    * 16-bit chunks (a pair within Hamming distance <= 3 of a 64-bit hash
-    * must agree on at least one of 4 16-bit chunks — pigeonhole), so the
+    * 15-bit chunks (a pair within Hamming distance <= 3 of a 60-bit hash
+    * must agree on at least one of 4 15-bit chunks — pigeonhole), so the
     * join is an equi-join on chunk value, not a cross join.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
@@ -312,7 +338,7 @@ object Dedup {
     val sh = simHash(df, idCol, textCol)
     val chunkStructs = array((0 until 4).map { c =>
       struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("cv"))
+        shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7fffL)).as("cv"))
     }: _*)
     val chunked = sh
       .select(col("doc_id"), col("simhash"), explode(chunkStructs).as("c"))

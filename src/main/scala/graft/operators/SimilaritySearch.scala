@@ -106,10 +106,38 @@ object SimilaritySearch {
   def ivfCells(df: DataFrame, idCol: String, embCol: String,
       centroids: Seq[(Long, Array[Double])]): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
-    val scored = centroids.map { case (cid, cvec) =>
-      struct(cosine(col(embCol), cvec).as("cos"), lit(-cid).as("negid"))
-    }
-    df.withColumn("cell", -array_max(array(scored: _*)).getField("negid"))
+    // One-pass kernel UDF: K cosines per row in a single call. The
+    // Column-expression alternative (K `aggregate` lambdas) runs K
+    // interpreted passes per row — the simhash pathology. Float math is
+    // ordered exactly like [[cosine]] (sequential left-fold dot, then
+    // dot / (vNorm * cNorm)) so results are bit-identical to it and to
+    // the DuckDB oracle's list_dot_product.
+    val cids = centroids.map(_._1).toArray
+    val cvecs = centroids.map(_._2).toArray
+    val cNorms = cvecs.map(c => math.sqrt(c.map(x => x * x).sum))
+    val assign = udf((v: Seq[Double]) => {
+      val arr = v.toArray
+      var vn = 0.0
+      var i = 0
+      while (i < arr.length) { vn += arr(i) * arr(i); i += 1 }
+      val vNorm = math.sqrt(vn)
+      var bestCos = Double.NegativeInfinity
+      var bestCid = Long.MaxValue
+      var j = 0
+      while (j < cvecs.length) {
+        val c = cvecs(j)
+        var dot = 0.0
+        var k = 0
+        while (k < c.length) { dot += arr(k) * c(k); k += 1 }
+        val cos = dot / (vNorm * cNorms(j))
+        if (cos > bestCos || (cos == bestCos && cids(j) < bestCid)) {
+          bestCos = cos; bestCid = cids(j)
+        }
+        j += 1
+      }
+      bestCid
+    })
+    df.withColumn("cell", assign(col(embCol).cast("array<double>")))
   }
 
   /** IVF approximate top-k: probe only the `nProbe` cells whose centroids
@@ -141,7 +169,7 @@ object SimilaritySearch {
       if (dot >= 0) 1 << i else 0
     }.sum
 
-  private def hyperplanes(dim: Int, nBits: Int, seed: Long): Seq[Array[Double]] = {
+  private[graft] def hyperplanes(dim: Int, nBits: Int, seed: Long): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }

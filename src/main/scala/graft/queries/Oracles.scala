@@ -645,5 +645,101 @@ object Oracles {
         |c AS (SELECT user_id, session_id, count(*) AS n_events FROM t2 GROUP BY 1, 2)
         |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
         |FROM c GROUP BY user_id""".stripMargin
-  )
+  ) ++ Map(
+    "d3_minhash_lsh_pairs" -> d3Sql,
+    "d4_simhash_pairs" -> d4Sql,
+    "e2_ann_topk" -> e2Sql)
+
+  /** The 60-bit md5 hash both engines share: Dedup.md5Hash60 in Spark,
+    * this expression in DuckDB.
+    */
+  private def h60(expr: String): String =
+    s"('0x' || substring(md5($expr), 1, 15))::BIGINT"
+
+  /** Generated oracle for d3 (k=64, bands=32, rows/band=2, minAgree 0.5,
+    * n=3): the minhash coefficient family comes from the SAME seeded
+    * stream as the Spark kernel, interpolated as literals, so signatures,
+    * band buckets, candidates, and agreement are all value-identical.
+    */
+  private def d3Sql: String = {
+    val p = 2147483647L
+    val coeffs = graft.operators.Dedup.minHashCoeffs(64)
+    val sigTerms = coeffs.map { case (a, b) =>
+      s"list_min([($a * x + $b) % $p FOR x IN xs])"
+    }.mkString("[\n  ", ",\n  ", "\n]")
+    val bandKeys = (0 until 32).map { bnd =>
+      h60(s"'${bnd}_' || sg[${bnd * 2 + 1}] || '_' || sg[${bnd * 2 + 2}]")
+    }.mkString("[\n  ", ",\n  ", "\n]")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]) AS s
+       |  FROM tok WHERE len(t) >= 3),
+       |hx AS (SELECT doc_id, [${h60("g")} % $p FOR g IN s] AS xs FROM sh),
+       |sig AS (SELECT doc_id, $sigTerms AS sg FROM hx),
+       |bnd AS (SELECT doc_id, sg, unnest($bandKeys) AS bh FROM sig),
+       |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |       FROM bnd a JOIN bnd b ON a.bh = b.bh AND a.doc_id < b.doc_id),
+       |ag AS (SELECT pr.doc_a, pr.doc_b,
+       |         len([i FOR i IN range(1, 65) IF sa.sg[i] = sb.sg[i]]) / 64.0 AS agree
+       |       FROM pr
+       |       JOIN sig sa ON pr.doc_a = sa.doc_id
+       |       JOIN sig sb ON pr.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, round(agree, 4) AS sig_agreement
+       |FROM ag WHERE agree >= 0.5""".stripMargin
+  }
+
+  /** Generated oracle for d4: 60-bit simhash (bit j = sign of the vote
+    * sum over distinct tokens), 4x15-bit pigeonhole chunks, Hamming <= 3.
+    */
+  private def d4Sql: String = {
+    val votes = (0 until 60).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j").mkString(",\n  ")
+    val bits = (0 until 60).map(j =>
+      s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" +\n  ")
+    val chunkIds = (0 until 4).mkString("[", ", ", "]")
+    val chunkVals = (0 until 4).map(c =>
+      s"(simhash >> ${c * 15}) & 32767").mkString("[", ", ", "]")
+    s"""WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+       |            FROM documents),
+       |th AS (SELECT doc_id, ${h60("t")} AS h FROM tk),
+       |v AS (SELECT doc_id,
+       |  $votes
+       |  FROM th GROUP BY doc_id),
+       |sh AS (SELECT doc_id,
+       |  $bits AS simhash
+       |  FROM v),
+       |ch AS (SELECT doc_id, simhash,
+       |         unnest($chunkIds) AS chunk, unnest($chunkVals) AS cv
+       |       FROM sh),
+       |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.simhash AS ha, b.simhash AS hb
+       |       FROM ch a JOIN ch b
+       |         ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, bit_count(xor(ha, hb))::INTEGER AS hamming
+       |FROM pr WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin
+  }
+
+  /** Generated oracle for e2 (nBits=4, seed 42, dim 64): the random
+    * hyperplanes are drawn from the SAME seeded stream as the Spark
+    * operator and interpolated as double literals (shortest round-trip
+    * decimal form parses back to the identical double in DuckDB).
+    */
+  private def e2Sql: String = {
+    val planes = graft.operators.SimilaritySearch.hyperplanes(64, 4, 42)
+    val bucket = planes.zipWithIndex.map { case (pl, i) =>
+      val lits = pl.map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $lits) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" +\n  ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |  $bucket AS bucket
+       |  FROM e),
+       |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+       |SELECT b.vec_id,
+       |  list_dot_product(b.v, q.qv)
+       |    / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos_sim
+       |FROM b, q WHERE b.bucket = q.qb
+       |ORDER BY cos_sim DESC, b.vec_id
+       |LIMIT 20""".stripMargin
+  }
 }

@@ -100,7 +100,8 @@ class DedupSpec extends SparkSpec {
       else toks.sliding(3).map(_.mkString(" ")).toSeq.distinct)
     val base = docs.select(col("doc_id"), mk(split(col("text"), " ")).as("shingles"))
       .where(size(col("shingles")) > 0)
-      .select(col("doc_id"), transform(col("shingles"), s => pmod(xxhash64(s), lit(p))).as("hs"))
+      .select(col("doc_id"), transform(col("shingles"),
+        s => pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(p))).as("hs"))
     val sigCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("hs"), h => pmod(h * a + b, lit(p)))).as(s"h$i")
     }
@@ -113,13 +114,14 @@ class DedupSpec extends SparkSpec {
 
   test("simhash kernel is bit-identical to the Column-expression form") {
     import spark.implicits._
-    // the reference (pre-kernel) formulation: 64 aggregate lambdas over
-    // xxhash64(token) — kept here as the ground truth the one-pass kernel
-    // must reproduce exactly (same pair set downstream)
+    // the reference (pre-kernel) formulation: 60 aggregate lambdas over
+    // the md5-60-bit token hash — kept here as the ground truth the
+    // one-pass kernel must reproduce exactly (same pair set downstream)
     val hashed = docs.select(
       col("doc_id"),
-      transform(array_distinct(split(col("text"), " ")), t => xxhash64(t)).as("hs"))
-    val bitCols = (0 until 64).map { j =>
+      transform(array_distinct(split(col("text"), " ")),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("hs"))
+    val bitCols = (0 until 60).map { j =>
       val vote = aggregate(
         col("hs"), lit(0L),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
