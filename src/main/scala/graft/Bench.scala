@@ -20,8 +20,11 @@ object Bench {
     "w2_running_sum",
     "w4_top2_margin",
     "d2_ngram_jaccard_pairs",
+    "d3_minhash_lsh_pairs",
     "d4_simhash_pairs",
+    "d5_dup_ngrams",
     "e1_cosine_score",
+    "e4_ivf_topk",
     "t2_quality_score",
     "ev1_time_window_agg",
     "g1_discover_variants",

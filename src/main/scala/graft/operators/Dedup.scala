@@ -34,10 +34,6 @@ object Dedup {
     (v << 4) | ((bytes(7) & 0xf0L) >> 4)
   }
 
-  /** Column form of [[md5Hash60]] (codegen'd builtins, no UDF). */
-  private[graft] def md5Hash60Col(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-
   /** Word n-gram (shingle) sets per document: distinct n-token shingles
     * from single-space tokenization. Documents with fewer than n tokens
     * are dropped.
@@ -236,18 +232,20 @@ object Dedup {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
     val sigs = minHashSignatures(df, idCol, textCol, n, k)
+    // Band-key hashes via md5Hash60 (not xxhash64) so the DuckDB oracle
+    // reproduces bucket membership exactly; the band id is embedded in
+    // the hashed string, so bh equality implies band equality. One-pass
+    // kernel UDF: a Generate whose input is an inline Column expression
+    // re-evaluates it per OUTPUT row (bands× the hashing) — the repo's
+    // documented explode pathology.
+    val bandKeys = udf((sig: Seq[Long]) =>
+      (0 until bands).map { bnd =>
+        val slice = sig.slice(bnd * rows, bnd * rows + rows)
+        (bnd, md5Hash60((bnd +: slice).mkString("_")))
+      })
     val banded = sigs.select(
-      col("doc_id"), col("sig"),
-      explode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          // band-key hash via md5Hash60 (not xxhash64) so the DuckDB
-          // oracle reproduces bucket membership exactly; the band id is
-          // embedded in the hashed string, so bh equality implies band
-          // equality
-          bnd => struct(bnd.as("band"), md5Hash60Col(concat_ws("_", bnd, slice(col("sig"), bnd * rows + 1, lit(rows)))).as("bh"))
-        )).as("b"))
-      .select(col("doc_id"), col("sig"), col("b.band"), col("b.bh"))
+      col("doc_id"), col("sig"), explode(bandKeys(col("sig"))).as("b"))
+      .select(col("doc_id"), col("sig"), col("b._1").as("band"), col("b._2").as("bh"))
     val l = banded.alias("l")
     val r = banded.alias("r")
     l.join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") && col("l.doc_id") < col("r.doc_id"))
