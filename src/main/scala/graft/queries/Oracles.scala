@@ -630,6 +630,31 @@ object Oracles {
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // streaming sessionization: sessions closed by a successor event
+    // (sid < max_sid) or by event-time timeout before the final
+    // watermark (watermark ms = ns -> us -> ms truncation, delay 0)
+    "ev4_stream_sessions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |t2 AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |g AS (SELECT user_id, sid, min(epoch_ns(ts)) AS session_start,
+        |        max(epoch_ns(ts)) AS session_end, count(*) AS n_events
+        |      FROM t2 GROUP BY 1, 2),
+        |g2 AS (SELECT *, max(sid) OVER (PARTITION BY user_id) AS max_sid FROM g),
+        |m AS (SELECT (epoch_ns(max(ts)) // 1000) // 1000 AS wm_ms FROM events)
+        |SELECT user_id, session_start // 1000 AS session_start_us,
+        |  session_end // 1000 AS session_end_us, n_events
+        |FROM g2, m
+        |WHERE sid < max_sid OR (session_end // 1000000) + 1800000 < wm_ms""".stripMargin,
+
     "ev2_sessionize" ->
       """WITH s AS (
         |  SELECT user_id, event_id, ts,

@@ -382,6 +382,32 @@ object Queries {
       round(col("sum_value"), 2).as("sum_value"))
   }
 
+  /** Streaming gap sessionization (flatMapGroupsWithState + event-time
+    * timeout) run to completion over the static events table. Emitted =
+    * every session closed by a successor event plus idle sessions whose
+    * timeout (end + gap) fell before the final watermark; the oracle
+    * recomputes exactly that set with window functions.
+    */
+  def ev4_stream_sessions(spark: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory("ev4_stream")
+    java.nio.file.Files.createSymbolicLink(
+      staged.resolve("events.parquet"), java.nio.file.Paths.get(dir, "events.parquet"))
+    val sess = graft.streaming.StreamingOps
+      .sessionizeStream(graft.streaming.StreamingOps.readEvents(spark, staged.toString))
+    val name = "ev4_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = sess.toDF().writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    // session bounds in micros: DuckDB surfaces TIMESTAMP(NANOS) parquet
+    // at microsecond precision, so the ns tail cannot be oracle-compared
+    spark.table(name).select(
+      col("user_id"),
+      expr("session_start div 1000").as("session_start_us"),
+      expr("session_end div 1000").as("session_end_us"),
+      col("n_events"))
+  }
+
   // ---- genomics pipeline on synthesized reads (G1, G2) -----------------
 
   /** Reads synthesized deterministically from lineitem: 10bp reads, all-A

@@ -53,6 +53,41 @@ class StreamingSpec extends SparkSpec {
     assert(dup.count() === 0)
   }
 
+  test("flatMapGroupsWithState sessionization: gap-closed and timed-out sessions match batch") {
+    val streamed = StreamingOps.runToMemorySink(
+      StreamingOps.sessionizeStream(StreamingOps.readEvents(spark, dir)).toDF(),
+      "sessions_stream", org.apache.spark.sql.streaming.OutputMode.Append())
+    val gap = 1800000000000L
+    val ev = spark.read.parquet(s"$dir/events.parquet").select("user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxTs = ev.map(_._2).max
+    val all = ev.groupBy(_._1).flatMap { case (uid, es) =>
+      val ts = es.map(_._2).sorted
+      val sess = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var start = ts.head; var end = ts.head; var n = 1L
+      ts.tail.foreach { t =>
+        if (t - end > gap) { sess += ((uid, start, end, n)); start = t; end = t; n = 1 }
+        else { end = t; n += 1 }
+      }
+      sess += ((uid, start, end, n))
+      sess
+    }.toSet
+    val s = streamed.select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(s.subsetOf(all), "streamed sessions must be real batch sessions")
+    assert(s.nonEmpty)
+    // sessions whose timeout lands strictly before the final watermark
+    // MUST have been emitted (gap-close or timeout)
+    val mustEmit = all.filter { case (_, _, end, _) =>
+      end / 1000000L + gap / 1000000L < maxTs / 1000000L
+    }
+    assert(mustEmit.subsetOf(s))
+    // anything unemitted is a still-open final session at the horizon
+    (all -- s).foreach { case (uid, _, end, _) =>
+      assert(end + gap >= maxTs - 2000000L, s"user $uid session should have closed")
+    }
+  }
+
   test("stateful running user totals accumulate across the stream") {
     val streamed = StreamingOps.runToMemorySink(
       StreamingOps.runningUserTotals(StreamingOps.readEvents(spark, dir)).toDF(),
