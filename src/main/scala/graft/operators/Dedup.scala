@@ -119,14 +119,22 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val (ex, nsh) = shingleIndex(df, idCol, textCol, n)
+    val sets = shingleSets(df, idCol, textCol, n)
+    val ex = sets.select(col("doc_id"), explode(col("shingles")).as("g"))
 
-    // global shingle frequency -> total order (freq asc, shingle asc)
+    // global shingle frequency -> total order (freq asc, shingle asc).
+    // The set size rides the SAME doc_id window shuffle as the rank
+    // (count over the unordered frame) — no separate groupBy+join pass;
+    // the freq side stays a shuffle join declaratively (AQE broadcasts
+    // it at runtime when small; at 100 TB the distinct-shingle table is
+    // not broadcastable).
     val freq = ex.groupBy("g").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("g"))
-    val prefix = ex.join(freq, "g").join(nsh, "doc_id")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val prefix = ex.join(freq, "g")
       .withColumn("rank", row_number().over(w))
+      .withColumn("n_sh", count(lit(1)).over(wAll))
       .where(col("rank") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
       .select(col("doc_id"), col("g"))
 
@@ -137,16 +145,17 @@ object Dedup {
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
 
-    // exact verification: count common shingles of each candidate pair
-    // through the inverted index (equi-joins only, no array recompute)
-    val ea = ex.select(col("doc_id").as("doc_a"), col("g"))
-    val eb = ex.select(col("doc_id").as("doc_b"), col("g"))
-    cand.join(ea, "doc_a").join(eb, Seq("doc_b", "g"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("common"))
-      .join(nsh.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(nsh.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
-      .withColumn("jaccard_raw", col("common").cast("double") / (col("na") + col("nb") - col("common")))
+    // exact verification: join the (small) candidate set against the
+    // per-doc shingle ARRAYS and intersect in one pass per pair — the
+    // candidate side broadcasts, so verification shuffles nothing the
+    // size of the corpus (vs re-walking the exploded inverted index,
+    // two corpus-sized shuffles)
+    val sa = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard_raw",
+        col("common").cast("double") / (size(col("sa")) + size(col("sb")) - col("common")))
       .where(col("jaccard_raw") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
   }
