@@ -23,6 +23,7 @@ object Bench {
     "d3_minhash_lsh_pairs",
     "d4_simhash_pairs",
     "d5_dup_ngrams",
+    "c1_clean_corpus",
     "e1_cosine_score",
     "e4_ivf_topk",
     "t2_quality_score",

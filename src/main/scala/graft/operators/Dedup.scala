@@ -180,6 +180,21 @@ object Dedup {
       .where(col("df") > 1)
       .select(md5(col("g")).as("fp"), col("df"), col("keep_id"))
 
+  /** The cut set of contamination-based dedup: every doc that shares a
+    * cross-document n-gram and is not that gram's keeper (min doc id).
+    * Both the keeper and the document frequency ride ONE window shuffle
+    * on the gram.
+    */
+  def contaminatedDocs(df: DataFrame, idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    shingleSets(df, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+      .withColumn("kp", min(col("doc_id")).over(w))
+      .withColumn("df", count(lit(1)).over(w))
+      .where(col("df") > 1 && col("doc_id") =!= col("kp"))
+      .select("doc_id").distinct()
+  }
+
   /** MinHash coefficient pairs (a_i, b_i), deterministic from seed 42 —
     * shared with the oracle-SQL generator so both sides evaluate the
     * identical hash family.

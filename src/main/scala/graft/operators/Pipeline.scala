@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Composed training-data pipelines: the cleaning flow every large
+  * corpus goes through before pretraining, built entirely from the
+  * engine's own operators so the whole thing stays one declarative plan.
+  */
+object Pipeline {
+
+  /** End-to-end corpus cleaning:
+    *   1. exact dedup — keep the lowest doc id per content fingerprint
+    *      (one window shuffle on md5(text));
+    *   2. contamination cut — drop docs repeating a cross-document
+    *      n-gram they don't own ([[Dedup.contaminatedDocs]]; the cut set
+    *      is tiny, so the anti-join broadcasts under AQE);
+    *   3. quality gate — token count, mean token length, stopword ratio
+    *      (narrow codegen'd expressions, [[TextAnalysis]]);
+    *   4. language gate — heuristic lang-id == keepLang (narrow).
+    *
+    * Shuffle budget: two (fingerprint window + contamination gram
+    * window); everything else is narrow or broadcast. Survivors emit
+    * (doc_id, n_tokens, pred_lang).
+    */
+  def cleanCorpus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      stopwords: Seq[String] = Seq("the", "a", "of"),
+      minTokens: Int = 10,
+      minAvgTokLen: Double = 2.0,
+      maxStopRatio: Double = 0.15,
+      keepLang: String = "en",
+      n: Int = 13): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val keepExact = base
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .where(col("doc_id") === col("keep_id"))
+      .drop("keep_id")
+    val txt = col("text")
+    keepExact
+      .join(Dedup.contaminatedDocs(df, idCol, textCol, n), Seq("doc_id"), "left_anti")
+      .select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(txt).as("n_tokens"),
+        TextAnalysis.avgTokenLen(txt).as("avg_tok_len"),
+        TextAnalysis.stopwordRatio(txt, stopwords).as("stop_ratio"),
+        TextAnalysis.langId(txt).as("pred_lang"))
+      .where(col("n_tokens") >= minTokens && col("avg_tok_len") >= minAvgTokLen &&
+        col("stop_ratio") <= maxStopRatio && col("pred_lang") === keepLang)
+      .select("doc_id", "n_tokens", "pred_lang")
+  }
+}

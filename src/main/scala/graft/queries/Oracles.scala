@@ -544,6 +544,49 @@ object Oracles {
         |  e.vec_id
         |LIMIT 20""".stripMargin,
 
+    // composed cleaning pipeline: exact-dedup keepers -> contamination
+    // cut (13-gram) -> quality gate -> language gate
+    "c1_clean_corpus" ->
+      """WITH keepx AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        |    FROM documents) WHERE doc_id = keep_id),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_distinct([array_to_string(t[i:i+12], ' ') FOR i IN range(1, len(t) - 11)])) AS g
+        |  FROM tok WHERE len(t) >= 13),
+        |vict AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, min(doc_id) OVER (PARTITION BY g) AS kp,
+        |           count(*) OVER (PARTITION BY g) AS df
+        |    FROM sh) WHERE df > 1 AND doc_id != kp),
+        |q AS (
+        |  SELECT k.doc_id,
+        |    len(regexp_extract_all(k.text, '\S+')) AS n_tokens,
+        |    round(length(regexp_replace(k.text, '\s+', '', 'g'))::DOUBLE
+        |      / len(regexp_extract_all(k.text, '\S+')), 4) AS avg_tok_len,
+        |    round(len(list_filter(string_split(k.text, ' '), t -> t IN ('the','a','of')))::DOUBLE
+        |      / len(regexp_extract_all(k.text, '\S+')), 4) AS stop_ratio,
+        |    len(list_filter(string_split(k.text, ' '), t -> t = 'the')) AS c_en,
+        |    len(list_filter(string_split(k.text, ' '), t -> t = 'der')) AS c_de,
+        |    len(list_filter(string_split(k.text, ' '), t -> t = 'el')) AS c_es,
+        |    len(list_filter(string_split(k.text, ' '), t -> t = 'le')) AS c_fr,
+        |    len(list_filter(string_split(k.text, ' '), t -> t = '的')) AS c_zh
+        |  FROM keepx k ANTI JOIN vict v ON k.doc_id = v.doc_id)
+        |SELECT doc_id, n_tokens,
+        |  CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+        |       WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+        |       WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+        |       WHEN c_fr >= c_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM q
+        |WHERE n_tokens >= 10 AND avg_tok_len >= 2.0 AND stop_ratio <= 0.15
+        |  AND (CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+        |       WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+        |       WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+        |       WHEN c_fr >= c_zh THEN 'fr'
+        |       ELSE 'zh' END) = 'en'""".stripMargin,
+
     // duplicated 13-gram contamination report (grams distinct per doc)
     "d5_dup_ngrams" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

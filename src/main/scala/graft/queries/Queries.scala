@@ -716,6 +716,12 @@ object Queries {
   def d5_dup_ngrams(spark: SparkSession, dir: String): DataFrame =
     Dedup.duplicatedNgrams(t(spark, dir, "documents"), "doc_id", "text", n = 13)
 
+  /** Composed cleaning pipeline: exact dedup -> contamination cut ->
+    * quality gate -> language gate, one declarative plan.
+    */
+  def c1_clean_corpus(spark: SparkSession, dir: String): DataFrame =
+    Pipeline.cleanCorpus(t(spark, dir, "documents"), "doc_id", "text")
+
   // ---- multimodal plumbing (M1) ----------------------------------------
 
   def m1_multimodal_meta(spark: SparkSession, dir: String): DataFrame =

@@ -133,6 +133,28 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("clean-corpus pipeline: each gate cuts its planted victim") {
+    import spark.implicits._
+    val good = (1 to 20).map(i => s"the w$i " + (1 to 12).map(j => s"tok${i}_$j").mkString(" "))
+    val contaminatedGram = (1 to 13).map(i => s"c$i").mkString(" ")
+    val corpus = (
+      good.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++ Seq(
+        (100L, good.head),                         // exact dup of doc 0 -> cut
+        (101L, "the start " + contaminatedGram),   // owns the gram (lowest id)
+        (102L, "the other " + contaminatedGram),   // contamination victim -> cut
+        (103L, "the a of tiny"),                   // too few tokens -> cut
+        (104L, "der der der " + (1 to 12).map(j => s"de$j").mkString(" ")) // lang gate -> cut
+      )).toDF("doc_id", "text")
+    val out = Pipeline.cleanCorpus(corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert((0L until 20L).toSet.subsetOf(out))
+    assert(out.contains(101L), "gram keeper survives")
+    assert(!out.contains(100L), "exact dup cut")
+    assert(!out.contains(102L), "contamination victim cut")
+    assert(!out.contains(103L), "quality gate cut")
+    assert(!out.contains(104L), "language gate cut")
+  }
+
   test("simhash LSH pair finder obeys hamming cap") {
     import spark.implicits._
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
