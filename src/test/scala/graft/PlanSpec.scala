@@ -71,6 +71,32 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, "partial+final agg expected")
   }
 
+  test("e4 IVF probe: narrow cell assignment, top-k without global sort") {
+    val plan = planOf(Queries.e4_ivf_topk(spark, sf("0.001")))
+    // cell assignment + cosine are narrow; only the top-k merge crosses
+    // partitions (TakeOrderedAndProject), never a full sort shuffle
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), "probe must not shuffle")
+  }
+
+  test("d5 contamination report: single partial+final agg, no joins") {
+    val plan = planOf(Queries.d5_dup_ngrams(spark, sf("0.001")))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "map-side combine expected")
+    assert(!plan.contains("Join"), "gram report is a pure aggregation")
+    assert("Exchange".r.findAllIn(plan).size === 1, "exactly one shuffle (on the gram)")
+  }
+
+  test("c1 cleaning pipeline: two window shuffles, broadcast anti-join, no nested loop") {
+    val plan = planOf(Queries.c1_clean_corpus(spark, sf("0.001")))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // fingerprint window + contamination gram window + the (small)
+    // victim-set distinct; the anti-join itself must broadcast, adding
+    // no shuffle of the corpus
+    assert(plan.contains("LeftAnti") && plan.contains("BroadcastExchange"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 3,
+      s"cleaning pipeline over-shuffles:\n$plan")
+  }
+
   test("filter matrix is pure Column exprs: codegen stages, no UDF eval") {
     val df = Queries.p6b_filter_matrix(spark, sf("0.001"))
     val plan = planOf(df)
