@@ -90,18 +90,16 @@ object BiallelicGenotyper {
     val snvV = vdf.where(col("v_alt").isNotNull && isSnv)
     val indelV = vdf.where(col("v_alt").isNull || !isSnv)
 
-    // -- SNV fast path: explode each read ONCE into per-base pileup rows
-    // (kernel cost is per aligned base, independent of variant density),
-    // COMPRESS identical observations (same position/base/qual/strand/
-    // mapQ/sample) into one weighted row — the reference's
-    // SummarizedObservation insight (SummarizedObservation.scala:37-43):
-    // the discrete observation key has tiny cardinality, so the
-    // variant-density fan-out multiplies compressed rows, not raw bases —
-    // then equi-join on (contig, position) with codegen'd support
-    // classification. No per-(read,variant) object kernel.
-    val pileup = reads.flatMap(Observer.basePileup).toDF()
-      .groupBy("contigName", "pos", "base", "refBase", "qual", "forwardStrand", "mapq", "sampleId")
-      .agg(count(lit(1)).as("w"))
+    // -- SNV fast path: compress the per-base pileup to weighted
+    // observations — the reference's SummarizedObservation insight
+    // (SummarizedObservation.scala:37-43): the discrete observation key
+    // has tiny cardinality, so the variant-density fan-out multiplies
+    // compressed rows, not raw bases. The compression itself shuffles
+    // READS to position bins and hash-compresses per partition
+    // (Observer.compressedPileup) — readLength× fewer shuffled rows
+    // than exploding first. Then equi-join on (contig, position) with
+    // codegen'd support classification. No per-(read,variant) kernel.
+    val pileup = Observer.compressedPileup(reads)
     val snvSide = if (broadcastVariants) broadcast(snvV) else snvV
     val snvObs = pileup
       .join(snvSide,

@@ -123,6 +123,59 @@ object Observer {
       mapq: Int,
       sampleId: String)
 
+  /** [[BaseObs]] plus the compressed multiplicity. */
+  case class WeightedBaseObs(
+      contigName: String,
+      pos: Long,
+      base: String,
+      refBase: String,
+      qual: Int,
+      forwardStrand: Boolean,
+      mapq: Int,
+      sampleId: String,
+      w: Long)
+
+  /** Weighted pileup WITHOUT a per-base shuffle: reads are re-keyed to
+    * (contig, position-bin) — border reads replicated, base emission
+    * clamped to the owning bin so nothing double-counts — and each
+    * partition compresses its pileup in one hash pass. The shuffle
+    * carries one row per READ (readLength× fewer rows than shuffling the
+    * exploded pileup into a hash agg, the shape this replaces: measured
+    * 7.0 s -> see bench for the win at sf0.1). Per-partition state is
+    * the distinct observation keys of its bins — the same cardinality
+    * the old partial agg held. Equivalent to
+    * flatMap(basePileup).groupBy(key).count, by construction.
+    */
+  def compressedPileup(
+      reads: org.apache.spark.sql.Dataset[Read],
+      binSize: Long = 1000L): org.apache.spark.sql.DataFrame = {
+    val spark = reads.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    reads
+      .flatMap { r =>
+        val b0 = r.start / binSize
+        val b1 = math.max(r.start, r.end - 1) / binSize
+        (b0 to b1).map(b => (r.contigName, b, r))
+      }
+      .repartition(col("_1"), col("_2"))
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[BaseObs, Long]
+        it.foreach { case (_, bin, r) =>
+          val lo = bin * binSize
+          val hi = lo + binSize
+          basePileup(r).foreach { p =>
+            if (p.pos >= lo && p.pos < hi) m.update(p, m.getOrElse(p, 0L) + 1L)
+          }
+        }
+        m.iterator.map { case (p, w) =>
+          WeightedBaseObs(p.contigName, p.pos, p.base, p.refBase, p.qual,
+            p.forwardStrand, p.mapq, p.sampleId, w)
+        }
+      }
+      .toDF()
+  }
+
   /** Explode a read into per-aligned-base pileup rows — runs ONCE per
     * read regardless of how many variants overlap it. Malformed reads
     * emit nothing.

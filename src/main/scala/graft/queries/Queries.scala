@@ -416,6 +416,10 @@ object Queries {
     * rendered as real strings so the kernel pipeline parses them for
     * real. The closed form is mirrored by the DuckDB oracles.
     */
+  /** Profiling hook (tools/Profile): the g2 read set. */
+  def profileReads(spark: SparkSession, dir: String): Dataset[Read] =
+    syntheticReads(spark, dir)
+
   private def syntheticReads(spark: SparkSession, dir: String): Dataset[Read] = {
     val spark2 = spark
     import spark2.implicits._

@@ -66,6 +66,29 @@ object Profile {
     time("full naive")(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).count())
     time("full prefix")(Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5).count())
     time("full prefix 2nd")(Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5).count())
+
+    // ---- g2 stage timings ----
+    import graft.genomics._
+    import graft.model.DiscoveredVariant
+    import graft.queries.Queries
+    val spark2 = spark
+    import spark2.implicits._
+    val rds = Queries.profileReads(spark, dir)
+    time("g2 reads materialize")(rds.count())
+    val pileup = rds.flatMap(Observer.basePileup).toDF()
+    time("g2 raw pileup")(pileup.count())
+    val compressed = pileup
+      .groupBy("contigName", "pos", "base", "refBase", "qual", "forwardStrand", "mapq", "sampleId")
+      .agg(count(lit(1)).as("w"))
+    time("g2 compress via groupBy")(compressed.count())
+    time("g2 compress via bins")(Observer.compressedPileup(rds).count())
+    val variants = DiscoverVariants
+      .discover(rds, minPhred = 20, minObservations = 2)
+      .select("contigName", "start", "referenceAllele", "alternateAllele")
+      .as[DiscoveredVariant]
+    time("g2 discovery")(variants.count())
+    time("g2 full call")(BiallelicGenotyper.call(rds, variants, ploidy = 2, binSize = 20.0).count())
+    time("g2 full query 2nd")(Queries.g2_genotype_calls(spark, dir).count())
     spark.stop()
   }
 }
