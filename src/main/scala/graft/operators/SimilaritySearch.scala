@@ -162,6 +162,21 @@ object SimilaritySearch {
       .select(col(idCol), round(col("cos_raw"), 4).as("cos_sim"))
   }
 
+  /** One Lloyd (k-means) refinement step for the IVF centroids: assign
+    * every vector to its nearest centroid ([[ivfCells]], narrow kernel),
+    * then average per (cell, dimension) — posexplode + one partial+final
+    * hash agg, so the shuffle carries (cells × dims) partial sums, never
+    * vectors. Output (cell, dim [1-based], mean) is the new centroid
+    * table; iterate by feeding it back as `centroids`.
+    */
+  def kmeansStep(df: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[(Long, Array[Double])], scale: Int = 6): DataFrame =
+    ivfCells(df, idCol, embCol, centroids)
+      .select(col("cell"), posexplode(col(embCol).cast("array<double>")))
+      .select(col("cell"), (col("pos") + 1).as("dim"), col("col").as("x"))
+      .groupBy("cell", "dim")
+      .agg(round(avg(col("x")), scale).as("mean"))
+
   /** The query vector's LSH bucket under the same planes. */
   def queryBucket(query: Array[Double], dim: Int, nBits: Int = 8, seed: Long = 42): Int =
     hyperplanes(dim, nBits, seed).zipWithIndex.map { case (p, i) =>

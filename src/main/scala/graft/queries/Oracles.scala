@@ -587,6 +587,24 @@ object Oracles {
         |       WHEN c_fr >= c_zh THEN 'fr'
         |       ELSE 'zh' END) = 'en'""".stripMargin,
 
+    // one Lloyd step: nearest-of-8-centroids assignment (as e4), then
+    // the per-(cell, dimension) mean; parallel unnests zip positionally
+    "e5_kmeans_step" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+        |s AS (SELECT e.vec_id, c.cid,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |    list_dot_product(e.v, c.cv)
+        |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |    c.cid) AS rn
+        |  FROM e CROSS JOIN c),
+        |cell AS (SELECT vec_id, cid AS cell FROM s WHERE rn = 1),
+        |x AS (SELECT cl.cell,
+        |        unnest(range(1, len(e.v) + 1)) AS dim, unnest(e.v) AS x
+        |      FROM e JOIN cell cl ON e.vec_id = cl.vec_id)
+        |SELECT cell, dim, round(avg(x), 6) AS mean
+        |FROM x GROUP BY cell, dim""".stripMargin,
+
     // duplicated 13-gram contamination report (grams distinct per doc)
     "d5_dup_ngrams" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

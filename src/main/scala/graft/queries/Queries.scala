@@ -726,6 +726,17 @@ object Queries {
   def c1_clean_corpus(spark: SparkSession, dir: String): DataFrame =
     Pipeline.cleanCorpus(t(spark, dir, "documents"), "doc_id", "text")
 
+  /** One distributed Lloyd step refining the e4 IVF centroids. */
+  def e5_kmeans_step(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val cent = emb.where(col("vec_id").between(1, 8))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    SimilaritySearch.kmeansStep(emb, "vec_id", "embedding", cent)
+  }
+
   // ---- multimodal plumbing (M1) ----------------------------------------
 
   def m1_multimodal_meta(spark: SparkSession, dir: String): DataFrame =

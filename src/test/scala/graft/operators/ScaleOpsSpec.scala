@@ -87,6 +87,26 @@ class ScaleOpsSpec extends SparkSpec {
     two.foreach { case (id, s) => assert(exactScores(id) === s) }
   }
 
+  test("kmeans step: cell means recover the planted cluster centers") {
+    import spark.implicits._
+    val dim = 4
+    val rnd = new scala.util.Random(3)
+    def around(c: Double) = Array.fill(dim)((c + 0.1 * rnd.nextGaussian()).toFloat)
+    val a = (0L until 30L).map(i => (i, around(5.0)))
+    val b = (100L until 130L).map(i => (i, around(-5.0)))
+    val df = (a ++ b).toDF("vec_id", "embedding")
+    val cent = Seq(0L -> a.head._2.map(_.toDouble), 100L -> b.head._2.map(_.toDouble))
+    val means = SimilaritySearch.kmeansStep(df, "vec_id", "embedding", cent)
+      .as[(Long, Int, Double)].collect()
+    assert(means.length === 2 * dim)
+    // each refined centroid lands on its cluster's true center, far from
+    // the seed point's noise
+    means.foreach { case (cell, _, m) =>
+      val expectedSign = if (cell == 0L) 1.0 else -1.0
+      assert(math.abs(m - expectedSign * 5.0) < 0.2, s"cell $cell mean $m")
+    }
+  }
+
   test("duplicated n-grams: cross-doc windows reported once per doc") {
     import spark.implicits._
     val shared = (1 to 13).map(i => s"w$i").mkString(" ")
