@@ -73,7 +73,8 @@ object SparkEntry {
     "e5_kmeans_step" -> (Queries.e5_kmeans_step _),
     "d5_dup_ngrams" -> (Queries.d5_dup_ngrams _),
     "c1_clean_corpus" -> (Queries.c1_clean_corpus _),
-    "m1_multimodal_meta" -> (Queries.m1_multimodal_meta _)
+    "m1_multimodal_meta" -> (Queries.m1_multimodal_meta _),
+    "m2_frame_sample" -> (Queries.m2_frame_sample _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

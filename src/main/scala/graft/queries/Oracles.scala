@@ -544,6 +544,18 @@ object Oracles {
         |  e.vec_id
         |LIMIT 20""".stripMargin,
 
+    // frame sampling: every 4th frame index, frame = its byte slice
+    "m2_frame_sample" ->
+      """WITH b AS (SELECT doc_id, text, length(text) AS n_bytes,
+        |             length(text) % 16 AS n_frames FROM documents),
+        |f AS (SELECT doc_id, text, n_bytes, n_frames,
+        |        unnest(range(0, greatest(n_frames - 1, 0) + 1, 4)) AS frame_idx,
+        |        greatest(n_bytes // greatest(n_frames, 1), 1) AS frame_size
+        |      FROM b)
+        |SELECT doc_id, frame_idx,
+        |  md5(substring(text, (frame_idx * frame_size + 1)::INTEGER, frame_size::INTEGER)) AS frame_fp
+        |FROM f""".stripMargin,
+
     // composed cleaning pipeline: exact-dedup keepers -> contamination
     // cut (13-gram) -> quality gate -> language gate
     "c1_clean_corpus" ->

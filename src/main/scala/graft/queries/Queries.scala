@@ -744,6 +744,23 @@ object Queries {
       Multimodal.attachBinary(t(spark, dir, "documents"), "text"))
       .select("doc_id", "n_bytes", "width", "height", "n_frames")
 
+  /** Frame sampling + per-frame fingerprint: the explode-shaped video
+    * plumbing (every 4th frame, frame payload = its slice of the media
+    * bytes; the md5 stands where a per-frame decode would run in the
+    * same narrow stage).
+    */
+  def m2_frame_sample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.extractMeta(
+        Multimodal.attachBinary(t(spark, dir, "documents"), "text")),
+      everyNth = 4)
+      .withColumn("frame_size",
+        greatest(floor(col("n_bytes") / greatest(col("n_frames"), lit(1))), lit(1)))
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        md5(expr("substring(text, frame_idx * frame_size + 1, frame_size)")).as("frame_fp"))
+
   // ---- sessionization (EV2) --------------------------------------------
 
   /** Gap-based sessionization (30 min) over the events stream table —

@@ -154,6 +154,31 @@ object Vcf {
     out.write.mode("overwrite").text(path)
   }
 
+  /** Single-file VCF via fast concat (reference Jointer.scala:74-86's
+    * -single + fast-concat flags): the WRITE stays fully distributed
+    * (every task writes its own part file), then the driver stitches the
+    * parts in name order with NIO byte copies — no coalesce(1) bottleneck
+    * where one task renders the whole cohort. Sort order guarantees the
+    * header part precedes data parts.
+    */
+  def writeFastConcat(gts: DataFrame, path: String,
+      filterHeaderLines: Seq[String] = Nil): Unit = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val tmp = path + ".parts"
+    write(gts, tmp, singleFile = false, filterHeaderLines = filterHeaderLines)
+    val target = Paths.get(path)
+    Option(target.getParent).foreach(Files.createDirectories(_))
+    val outStream = Files.newOutputStream(target,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(tmp)).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .sortBy(_.getFileName.toString)
+        .foreach(p => Files.copy(p, outStream))
+    } finally outStream.close()
+  }
+
   /** Parse VCF data lines back to the genotype schema, one row per
     * (site, sample, alternate allele). Sample ids come from the #CHROM
     * header line (headerless dumps — e.g. this sink's own output — get a

@@ -52,6 +52,24 @@ class SourcesSpec extends SparkSpec {
     assert(quals("6") === ".")
   }
 
+  test("VCF fast concat equals the coalesce(1) single file") {
+    import spark.implicits._
+    val calls = (0 until 200).map(i =>
+      (s"chr${1 + i % 3}", 100L + i, "A", "C", i % 3, 45.0 + i, 30))
+      .toDF("contigName", "start", "referenceAllele", "alternateAllele",
+        "genotypeState", "genotypeQuality", "readDepth")
+      .repartition(8)
+    val base = java.nio.file.Files.createTempDirectory("vcfcat").toString
+    Vcf.write(calls, s"$base/single", singleFile = true)
+    Vcf.writeFastConcat(calls, s"$base/concat.vcf")
+    val single = spark.read.text(s"$base/single").as[String].collect().toSeq
+    import scala.jdk.CollectionConverters._
+    val concat = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$base/concat.vcf")).asScala.toSeq
+    assert(concat === single)
+    assert(concat.head.startsWith("##fileformat"))
+  }
+
   test("VCF render emits 1-based positions and GT strings") {
     import spark.implicits._
     val calls = Seq(("chr1", 100L, "A", "C", 1, 45.2, 30))
