@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -35,6 +36,95 @@ case class LogErrorToPhred(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** cosine_to_query(v): cosine similarity of an array<double> column
+  * against a fixed query vector, as ONE fused codegen'd loop (dot and
+  * norm accumulate together). The higher-order-function formulation
+  * (aggregate ∘ zip_with) runs interpreted per row — the engine's
+  * documented HOF landmine; this is the 100 TB-path replacement.
+  * Accumulation order matches the HOF form exactly (per-element
+  * left fold, independent accumulators), so results are bit-identical
+  * to it and to DuckDB list_dot_product oracles.
+  */
+case class CosineToQuery(child: Expression, query: Seq[Double]) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  private lazy val qArr = query.toArray
+  private lazy val qNorm = math.sqrt(qArr.map(x => x * x).sum)
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), qArr.length)
+    var dot = 0.0
+    var vn = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); dot += x * qArr(i); vn += x * x; i += 1 }
+    dot / (math.sqrt(vn) * qNorm)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val q = ctx.addReferenceObj("qArr", qArr, "double[]")
+      val dot = ctx.freshName("dot")
+      val vn = ctx.freshName("vn")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      s"""
+         |double $dot = 0.0; double $vn = 0.0;
+         |int $n = java.lang.Math.min($c.numElements(), $q.length);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $c.getDouble($i);
+         |  $dot += $x * $q[$i]; $vn += $x * $x;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($vn) * ${qNorm}D);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): CosineToQuery =
+    copy(child = newChild)
+}
+
+/** cosine_sim(a, b): pairwise cosine of two array<double> columns, one
+  * fused codegen'd loop — the similarity-join hot path (e3's exact
+  * flavor is O(n²·d) evaluations; interpreted HOFs there dominate).
+  * Same accumulation order as the HOF form: bit-identical results.
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $l.getDouble($i); double $y = $r.getDouble($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeExpressions {
 
   def phred_to_error(c: Column): Column =
@@ -43,11 +133,19 @@ object NativeExpressions {
   def log_error_to_phred(c: Column): Column =
     ColumnBridge.column(LogErrorToPhred(ColumnBridge.expression(c)))
 
+  def cosine_to_query(c: Column, query: Array[Double]): Column =
+    ColumnBridge.column(CosineToQuery(ColumnBridge.expression(c), query.toSeq))
+
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Register for SQL use: SELECT phred_to_error(q) ... */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "phred_to_error", exprs => PhredToError(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "log_error_to_phred", exprs => LogErrorToPhred(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
   }
 }

@@ -307,11 +307,11 @@ object Dedup {
         .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"), col("bucket"))
     val a = base.alias("a")
     val b = base.alias("b")
-    val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(col("a.v"), x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(col("b.v"), x => x * x), lit(0.0), (acc, x) => acc + x))
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cos_raw", dot / (na * nb))
+      // native fused-loop cosine (codegen'd): the O(n²·d) compare is the
+      // hot path where interpreted HOF lambdas would dominate
+      .withColumn("cos_raw",
+        graft.functions.NativeExpressions.cosine_sim(col("a.v"), col("b.v")))
       .where(col("cos_raw") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("cos_raw"), 4).as("cos_sim"))

@@ -14,17 +14,12 @@ import org.apache.spark.sql.functions._
 object SimilaritySearch {
 
   /** Cosine similarity between an array<float|double> column and a fixed
-    * query vector, computed in double precision as a codegen'd
-    * higher-order expression (no UDF).
+    * query vector, in double precision via the native codegen'd
+    * expression (one fused loop inside whole-stage codegen — the HOF
+    * formulation runs interpreted per row; bit-identical results).
     */
-  def cosine(emb: Column, query: Array[Double]): Column = {
-    val qNorm = math.sqrt(query.map(x => x * x).sum)
-    val qLit = typedlit(query.toSeq)
-    val v = emb.cast("array<double>")
-    val dot = aggregate(zip_with(v, qLit, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val vNorm = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
-    dot / (vNorm * lit(qNorm))
-  }
+  def cosine(emb: Column, query: Array[Double]): Column =
+    graft.functions.NativeExpressions.cosine_to_query(emb.cast("array<double>"), query)
 
   /** Brute-force scoring of the whole corpus against one query vector. */
   def scoreAll(df: DataFrame, idCol: String, embCol: String, query: Array[Double], scale: Int = 4): DataFrame =
@@ -45,9 +40,11 @@ object SimilaritySearch {
   def lshBuckets(df: DataFrame, idCol: String, embCol: String, dim: Int, nBits: Int = 8, seed: Long = 42): DataFrame = {
     val planes = hyperplanes(dim, nBits, seed)
     val v = col(embCol).cast("array<double>")
+    // sign(cosine) == sign(dot) (norms are positive), so the native
+    // fused-loop expression replaces nBits interpreted HOF dot products
     val bucket = planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(zip_with(v, typedlit(p.toSeq), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, shiftleft(lit(1), i)).otherwise(0)
+      when(graft.functions.NativeExpressions.cosine_to_query(v, p) >= 0,
+        shiftleft(lit(1), i)).otherwise(0)
     }.reduce(_.bitwiseOR(_))
     df.select(col(idCol), col(embCol), bucket.as("bucket"))
   }

@@ -28,4 +28,46 @@ class NativeExpressionsSpec extends SparkSpec {
     // null propagation (UnaryExpression default null handling)
     assert(spark.sql("SELECT phred_to_error(CAST(NULL AS INT)) IS NULL AS n").head().getBoolean(0))
   }
+
+  test("native cosine expressions are bit-identical to the HOF formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val dim = 16
+    val query = Array.fill(dim)(rnd.nextGaussian())
+    val rows = (0L until 50L).map(i => (i, Array.fill(dim)(rnd.nextGaussian())))
+    val df = rows.toDF("id", "v").select(col("id"), col("v").cast("array<double>").as("v"))
+
+    // HOF ground truth: separate left folds, dot / (||v|| * ||q||)
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val hofDot = aggregate(zip_with(col("v"), typedlit(query.toSeq), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val hofNorm = sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x))
+    val expected = df.select(col("id"), (hofDot / (hofNorm * lit(qNorm))).as("c"))
+      .as[(Long, Double)].collect().toMap
+    val got = df.select(col("id"),
+      NativeExpressions.cosine_to_query(col("v"), query).as("c"))
+      .as[(Long, Double)].collect().toMap
+    rows.foreach { case (id, _) => assert(got(id) === expected(id), s"id $id") }
+
+    // pairwise form vs its HOF ground truth
+    val a = df.select(col("id").as("ia"), col("v").as("va"))
+    val b = df.select(col("id").as("ib"), col("v").as("vb"))
+    val pairs = a.join(b, col("ia") < col("ib")).limit(200)
+    val pDot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val pNa = sqrt(aggregate(transform(col("va"), x => x * x), lit(0.0), (acc, x) => acc + x))
+    val pNb = sqrt(aggregate(transform(col("vb"), x => x * x), lit(0.0), (acc, x) => acc + x))
+    val both = pairs.select(
+      (pDot / (pNa * pNb)).as("hof"),
+      NativeExpressions.cosine_sim(col("va"), col("vb")).as("native"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (h, n) => assert(h === n) }
+
+    // SQL registration + null propagation
+    NativeExpressions.register(spark)
+    df.createOrReplaceTempView("vecs")
+    val viaSql = spark.sql("SELECT cosine_sim(v, v) AS c FROM vecs").as[Double].collect()
+    viaSql.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+    assert(spark.sql("SELECT cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) IS NULL AS n")
+      .head().getBoolean(0))
+  }
 }
