@@ -58,6 +58,7 @@ object SparkEntry {
     "ev2_sessionize" -> (Queries.ev2_sessionize _),
     "ev3_stream_window" -> (Queries.ev3_stream_window _),
     "ev4_stream_sessions" -> (Queries.ev4_stream_sessions _),
+    "ev5_stream_enrich" -> (Queries.ev5_stream_enrich _),
     "g1_discover_variants" -> (Queries.g1_discover_variants _),
     "g2_genotype_calls" -> (Queries.g2_genotype_calls _),
     "g3_realign" -> (Queries.g3_realign _),

@@ -728,6 +728,11 @@ object Oracles {
         |FROM g2, m
         |WHERE sid < max_sid OR (session_end // 1000000) + 1800000 < wm_ms""".stripMargin,
 
+    "ev5_stream_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
     "ev2_sessionize" ->
       """WITH s AS (
         |  SELECT user_id, event_id, ts,

@@ -408,6 +408,28 @@ object Queries {
       col("n_events"))
   }
 
+  /** Stream-static enrichment: the events stream joins the (static)
+    * customer dimension per micro-batch, then aggregates per segment.
+    */
+  def ev5_stream_enrich(spark: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory("ev5_stream")
+    java.nio.file.Files.createSymbolicLink(
+      staged.resolve("events.parquet"), java.nio.file.Paths.get(dir, "events.parquet"))
+    val ev = graft.streaming.StreamingOps.readEvents(spark, staged.toString)
+    val dim = t(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val agg = graft.streaming.StreamingOps
+      .enrichWithDim(ev, dim, "user_id", "c_custkey")
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+    val name = "ev5_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).select(
+      col("c_mktsegment"), col("event_type"), col("n"),
+      round(col("sv"), 2).as("sum_value"))
+  }
+
   // ---- genomics pipeline on synthesized reads (G1, G2) -----------------
 
   /** Reads synthesized deterministically from lineitem: 10bp reads, all-A
