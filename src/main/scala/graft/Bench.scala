@@ -26,6 +26,8 @@ object Bench {
     "c1_clean_corpus",
     "e1_cosine_score",
     "e4_ivf_topk",
+    "e5_kmeans_step",
+    "m2_frame_sample",
     "t2_quality_score",
     "ev1_time_window_agg",
     "g1_discover_variants",
