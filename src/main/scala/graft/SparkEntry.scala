@@ -72,6 +72,7 @@ object SparkEntry {
     "e3_embedding_dedup" -> (Queries.e3_embedding_dedup _),
     "e4_ivf_topk" -> (Queries.e4_ivf_topk _),
     "e5_kmeans_step" -> (Queries.e5_kmeans_step _),
+    "e6_ann_recall" -> (Queries.e6_ann_recall _),
     "d5_dup_ngrams" -> (Queries.d5_dup_ngrams _),
     "c1_clean_corpus" -> (Queries.c1_clean_corpus _),
     "m1_multimodal_meta" -> (Queries.m1_multimodal_meta _),

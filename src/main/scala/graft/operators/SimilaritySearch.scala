@@ -174,6 +174,15 @@ object SimilaritySearch {
       .groupBy("cell", "dim")
       .agg(round(avg(col("x")), scale).as("mean"))
 
+  /** Recall of an approximate top-k result against the exact top-k:
+    * |approx ∩ exact| / k — the evaluation loop every ANN deployment
+    * runs on a sample before trusting the index parameters.
+    */
+  def recallAt(exact: DataFrame, approx: DataFrame, idCol: String, k: Int): DataFrame =
+    exact.select(col(idCol))
+      .join(approx.select(col(idCol)), idCol)
+      .agg(round(count(lit(1)).cast("double") / k, 4).as("recall"))
+
   /** The query vector's LSH bucket under the same planes. */
   def queryBucket(query: Array[Double], dim: Int, nBits: Int = 8, seed: Long = 42): Int =
     hyperplanes(dim, nBits, seed).zipWithIndex.map { case (p, i) =>

@@ -751,7 +751,8 @@ object Oracles {
   ) ++ Map(
     "d3_minhash_lsh_pairs" -> d3Sql,
     "d4_simhash_pairs" -> d4Sql,
-    "e2_ann_topk" -> e2Sql)
+    "e2_ann_topk" -> e2Sql,
+    "e6_ann_recall" -> e6Sql)
 
   /** The 60-bit md5 hash both engines share: Dedup.md5Hash60 in Spark,
     * this expression in DuckDB.
@@ -827,15 +828,18 @@ object Oracles {
     * operator and interpolated as double literals (shortest round-trip
     * decimal form parses back to the identical double in DuckDB).
     */
-  private def e2Sql: String = {
+  private def lshBucketExpr: String = {
     val planes = graft.operators.SimilaritySearch.hyperplanes(64, 4, 42)
-    val bucket = planes.zipWithIndex.map { case (pl, i) =>
+    planes.zipWithIndex.map { case (pl, i) =>
       val lits = pl.map(_.toString).mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product(v, $lits) >= 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" +\n  ")
+  }
+
+  private def e2Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |b AS (SELECT vec_id, v,
-       |  $bucket AS bucket
+       |  $lshBucketExpr AS bucket
        |  FROM e),
        |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
        |SELECT b.vec_id,
@@ -844,5 +848,26 @@ object Oracles {
        |FROM b, q WHERE b.bucket = q.qb
        |ORDER BY cos_sim DESC, b.vec_id
        |LIMIT 20""".stripMargin
-  }
+
+  /** Recall@20 of the e2 LSH probe against the exact top-20. */
+  private def e6Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |  $lshBucketExpr AS bucket
+       |  FROM e),
+       |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+       |exact AS (
+       |  SELECT e.vec_id FROM e, q
+       |  ORDER BY list_dot_product(e.v, q.qv)
+       |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+       |    e.vec_id
+       |  LIMIT 20),
+       |ann AS (
+       |  SELECT b.vec_id FROM b, q WHERE b.bucket = q.qb
+       |  ORDER BY list_dot_product(b.v, q.qv)
+       |      / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+       |    b.vec_id
+       |  LIMIT 20)
+       |SELECT round(count(*) / 20.0, 4) AS recall
+       |FROM exact JOIN ann USING (vec_id)""".stripMargin
 }

@@ -748,6 +748,18 @@ object Queries {
   def c1_clean_corpus(spark: SparkSession, dir: String): DataFrame =
     Pipeline.cleanCorpus(t(spark, dir, "documents"), "doc_id", "text")
 
+  /** ANN recall@20 of the hyperplane-LSH probe vs exact top-k. */
+  def e6_ann_recall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val exact = SimilaritySearch.topK(emb, "vec_id", "embedding", query, k = 20)
+    val ann = SimilaritySearch.annTopK(emb, "vec_id", "embedding",
+      dim = query.length, query = query, k = 20, nBits = 4)
+    SimilaritySearch.recallAt(exact, ann, "vec_id", k = 20)
+  }
+
   /** One distributed Lloyd step refining the e4 IVF centroids. */
   def e5_kmeans_step(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
