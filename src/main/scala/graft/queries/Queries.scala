@@ -236,9 +236,14 @@ object Queries {
       .limit(10)
 
   def w2_running_sum(spark: SparkSession, dir: String): DataFrame = {
+    // the synthetic lineitem is NOT keyed by (orderkey, linenumber) —
+    // 118k duplicate pairs at sf0.1 — so l_quantity joins the sort to
+    // make every output-affecting tie deterministic across engines
+    // (rows tying on ALL four columns contribute identical quantities,
+    // so their running sums are order-invariant)
     val w = Window
       .partitionBy("l_suppkey")
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(spark, dir, "lineitem").select(
       col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
