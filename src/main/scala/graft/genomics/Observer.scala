@@ -235,6 +235,15 @@ object Observer {
             case Some(q) => obs(SupportAlt, q)
             case None =>
               val span = v.start until v.end
+              // a read whose OWN extracted variant sits at this same
+              // start attests a DIFFERENT allele of this site: that is
+              // other-alt evidence (reference otherAlt reclassification,
+              // BiallelicGenotyper.scala:337-346), and it must win over
+              // the ambiguity null-out below — at a multiallelic indel
+              // site the competing carrier reads ARE the evidence that
+              // this allele is absent (e.g. the T->TAAA carriers at the
+              // T->CAAA candidate, reference suite 1/4120185).
+              val competing = p.variants.keys.exists(_._1 == v.start)
               // ambiguity window: a nearby indel anchor or a soft-clip
               // boundary means this read's alignment cannot attest
               // presence/absence of the indel (fragmented insertions,
@@ -245,7 +254,6 @@ object Observer {
                 p.indelAnchors.exists(a => a >= v.start - w && a <= v.end + w) ||
                   p.clipBoundaries.exists(c => c >= v.start - w && c <= v.end + w)
               val covered = span.forall(p.base.contains)
-              val competing = p.variants.keys.exists(_._1 == v.start)
               // Insertion tail-matching (reference BiallelicGenotyper
               // .scala:306-330): in a repeat tract, a read whose aligned
               // tail past the anchor is consistent with BOTH haplotypes
@@ -267,7 +275,10 @@ object Observer {
               // nulled (nonref) observations keep the read in the depth
               // and nonReferenceLikelihoods accounting without touching
               // the alt/ref blend — reference nullOut semantics
-              if (ambiguous) {
+              if (competing) {
+                if (p.base.contains(v.start)) obs(SupportOther, p.base(v.start)._2)
+                else None
+              } else if (ambiguous) {
                 if (p.base.contains(v.start)) obs(SupportNonRef, p.base(v.start)._2)
                 else None
               } else if (covered && !competing) {

