@@ -92,6 +92,18 @@ class GoldenSitesSpec extends SparkSpec {
     assert(gts.head.getAs[Int]("genotypeState") === 1, "expected het")
   }
 
+  test("hom alt CG->C deletion at 1/567239") {
+    val gts = callSite("NA12878.chr1.567239.sam", 567238L, "CG", "C")
+    assert(gts.length === 1)
+    assert(gts.head.getAs[Int]("genotypeState") === 2, "expected hom alt")
+  }
+
+  test("hom alt A->C snp at 1/839355") {
+    val gts = callSite("NA12878.chr1.839395.sam", 839355L, "A", "C")
+    assert(gts.length === 1)
+    assert(gts.head.getAs[Int]("genotypeState") === 2, "expected hom alt")
+  }
+
   /** Discover-and-call everything in a pileup (the reference's
     * discoverAndCall shape) with site-specific thresholds. No mapq
     * filter — the reference's 1777263/4120185/5274547 tests load the
