@@ -154,8 +154,14 @@ object Observer {
     import org.apache.spark.sql.functions.col
     reads
       .flatMap { r =>
+        // span from the CIGAR itself (what basePileup actually emits),
+        // not the record's end field — an inconsistent end would clamp
+        // bases out of every bin and silently lose depth
+        val refLen = Try(AlignmentOps.referenceLength(
+          AlignmentOps.parse(r.cigar, r.mdTag)).toLong).getOrElse(0L)
+        val last = math.max(r.start, math.max(r.end - 1, r.start + refLen - 1))
         val b0 = r.start / binSize
-        val b1 = math.max(r.start, r.end - 1) / binSize
+        val b1 = last / binSize
         (b0 to b1).map(b => (r.contigName, b, r))
       }
       .repartition(col("_1"), col("_2"))
@@ -281,14 +287,12 @@ object Observer {
               } else if (ambiguous) {
                 if (p.base.contains(v.start)) obs(SupportNonRef, p.base(v.start)._2)
                 else None
-              } else if (covered && !competing) {
+              } else if (covered) {
                 if (insertionTailAmbiguous) obs(SupportNonRef, p.base(v.start)._2)
                 else {
                   val quals = span.map(p.base(_)._2)
                   obs(SupportRef, quals.sum / quals.length)
                 }
-              } else if (covered) {
-                obs(SupportOther, p.base(v.start)._2)
               } else None
           }
         }

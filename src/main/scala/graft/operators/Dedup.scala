@@ -25,8 +25,14 @@ object Dedup {
     * LSH families built on it (minhash, simhash) are oracle-checkable
     * end-to-end, not rows-only. Always positive (< 2^60).
     */
+  // one digest per thread: getInstance per call would do a JCA provider
+  // lookup + allocation inside the per-shingle/per-token hot loops
+  @transient private lazy val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   private[graft] def md5Hash60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
+    val d = md5Local.get()
+    d.reset()
     val bytes = d.digest(s.getBytes("UTF-8"))
     var v = 0L
     var i = 0

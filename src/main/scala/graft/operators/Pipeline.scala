@@ -40,6 +40,13 @@ object Pipeline {
       .where(col("doc_id") === col("keep_id"))
       .drop("keep_id")
     val txt = col("text")
+    // The contamination scan reads the RAW corpus, not keepExact: the
+    // victim set among survivors is provably identical either way (a
+    // gram's min-id keeper always survives exact dedup — its exact twin
+    // with a smaller id carries the same grams), and feeding keepExact
+    // would evaluate the fingerprint window TWICE (Spark plans the
+    // shared subtree without exchange reuse here), which costs more than
+    // shingling the duplicate mass unless the corpus is mostly copies.
     keepExact
       .join(Dedup.contaminatedDocs(df, idCol, textCol, n), Seq("doc_id"), "left_anti")
       .select(

@@ -41,10 +41,12 @@ object SimilaritySearch {
     val planes = hyperplanes(dim, nBits, seed)
     val v = col(embCol).cast("array<double>")
     // sign(cosine) == sign(dot) (norms are positive), so the native
-    // fused-loop expression replaces nBits interpreted HOF dot products
+    // fused-loop expression replaces nBits interpreted HOF dot products.
+    // A zero-norm vector makes the cosine NaN where the dot was 0 (bit
+    // set): isnan keeps dot-sign parity with queryBucket and the oracle.
     val bucket = planes.zipWithIndex.map { case (p, i) =>
-      when(graft.functions.NativeExpressions.cosine_to_query(v, p) >= 0,
-        shiftleft(lit(1), i)).otherwise(0)
+      val cos = graft.functions.NativeExpressions.cosine_to_query(v, p)
+      when(cos >= 0 || isnan(cos), shiftleft(lit(1), i)).otherwise(0)
     }.reduce(_.bitwiseOR(_))
     df.select(col(idCol), col(embCol), bucket.as("bucket"))
   }
@@ -114,19 +116,20 @@ object SimilaritySearch {
     val cNorms = cvecs.map(c => math.sqrt(c.map(x => x * x).sum))
     val assign = udf((v: Seq[Double]) => {
       val arr = v.toArray
-      var vn = 0.0
-      var i = 0
-      while (i < arr.length) { vn += arr(i) * arr(i); i += 1 }
-      val vNorm = math.sqrt(vn)
       var bestCos = Double.NegativeInfinity
       var bestCid = Long.MaxValue
       var j = 0
       while (j < cvecs.length) {
         val c = cvecs(j)
+        // clamp to the common prefix (like CosineToQuery/CosineSim): a
+        // ragged vector degrades instead of crashing, and dot/norm see
+        // the same elements
+        val n = math.min(arr.length, c.length)
         var dot = 0.0
+        var vn = 0.0
         var k = 0
-        while (k < c.length) { dot += arr(k) * c(k); k += 1 }
-        val cos = dot / (vNorm * cNorms(j))
+        while (k < n) { val x = arr(k); dot += x * c(k); vn += x * x; k += 1 }
+        val cos = dot / (math.sqrt(vn) * cNorms(j))
         if (cos > bestCos || (cos == bestCos && cids(j) < bestCid)) {
           bestCos = cos; bestCid = cids(j)
         }

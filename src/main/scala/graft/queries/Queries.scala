@@ -373,7 +373,7 @@ object Queries {
   def ev3_stream_window(spark: SparkSession, dir: String): DataFrame = {
     val staged = java.nio.file.Files.createTempDirectory("ev3_stream")
     java.nio.file.Files.createSymbolicLink(
-      staged.resolve("events.parquet"), java.nio.file.Paths.get(dir, "events.parquet"))
+      staged.resolve("events.parquet"), java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath)
     val counts = graft.streaming.StreamingOps
       .windowedCounts(graft.streaming.StreamingOps.readEvents(spark, staged.toString))
     val name = "ev3_" + java.lang.Long.toHexString(System.nanoTime())
@@ -396,7 +396,7 @@ object Queries {
   def ev4_stream_sessions(spark: SparkSession, dir: String): DataFrame = {
     val staged = java.nio.file.Files.createTempDirectory("ev4_stream")
     java.nio.file.Files.createSymbolicLink(
-      staged.resolve("events.parquet"), java.nio.file.Paths.get(dir, "events.parquet"))
+      staged.resolve("events.parquet"), java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath)
     val sess = graft.streaming.StreamingOps
       .sessionizeStream(graft.streaming.StreamingOps.readEvents(spark, staged.toString))
     val name = "ev4_" + java.lang.Long.toHexString(System.nanoTime())
@@ -419,7 +419,7 @@ object Queries {
   def ev5_stream_enrich(spark: SparkSession, dir: String): DataFrame = {
     val staged = java.nio.file.Files.createTempDirectory("ev5_stream")
     java.nio.file.Files.createSymbolicLink(
-      staged.resolve("events.parquet"), java.nio.file.Paths.get(dir, "events.parquet"))
+      staged.resolve("events.parquet"), java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath)
     val ev = graft.streaming.StreamingOps.readEvents(spark, staged.toString)
     val dim = t(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
     val agg = graft.streaming.StreamingOps
@@ -790,11 +790,15 @@ object Queries {
     */
   def m2_frame_sample(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
-      Multimodal.extractMeta(
-        Multimodal.attachBinary(t(spark, dir, "documents"), "text")),
+      // frame math in CHARACTERS on both sides: extractMeta's n_bytes is
+      // a byte count, but substring slices characters — a multi-byte
+      // document would misalign frames and diverge from the oracle
+      t(spark, dir, "documents")
+        .withColumn("n_chars", length(col("text")))
+        .withColumn("n_frames", pmod(col("n_chars"), lit(16))),
       everyNth = 4)
       .withColumn("frame_size",
-        greatest(floor(col("n_bytes") / greatest(col("n_frames"), lit(1))), lit(1)))
+        greatest(floor(col("n_chars") / greatest(col("n_frames"), lit(1))), lit(1)))
       .select(
         col("doc_id"),
         col("frame_idx").cast("long").as("frame_idx"),

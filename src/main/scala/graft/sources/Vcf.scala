@@ -163,7 +163,8 @@ object Vcf {
     */
   def writeFastConcat(gts: DataFrame, path: String,
       filterHeaderLines: Seq[String] = Nil): Unit = {
-    import java.nio.file.{Files, Paths, StandardOpenOption}
+    import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+    import scala.jdk.CollectionConverters._
     val tmp = path + ".parts"
     write(gts, tmp, singleFile = false, filterHeaderLines = filterHeaderLines)
     val target = Paths.get(path)
@@ -171,12 +172,23 @@ object Vcf {
     val outStream = Files.newOutputStream(target,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     try {
-      import scala.jdk.CollectionConverters._
-      Files.list(Paths.get(tmp)).iterator().asScala.toSeq
+      val listing = Files.list(Paths.get(tmp)) // DirectoryStream: must close
+      val parts =
+        try listing.iterator().asScala.toSeq finally listing.close()
+      parts
         .filter(_.getFileName.toString.startsWith("part-"))
         .sortBy(_.getFileName.toString)
         .foreach(p => Files.copy(p, outStream))
     } finally outStream.close()
+    // drop the staging copy — the single file IS the output
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val ls = Files.list(p)
+        try ls.iterator().asScala.toSeq.foreach(rm) finally ls.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(tmp))
   }
 
   /** Parse VCF data lines back to the genotype schema, one row per

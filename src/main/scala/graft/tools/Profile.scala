@@ -37,32 +37,6 @@ object Profile {
 
     time("sets materialize")(sets.count())
 
-    // prefix pipeline stage timings (kernel-UDF shingles, like the lib)
-    val mk = udf((toks: Seq[String]) =>
-      if (toks.length < 3) Seq.empty[String]
-      else toks.sliding(3).map(_.mkString(" ")).toSeq.distinct)
-    val usets = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .where(size(col("toks")) >= 3)
-      .select(col("doc_id"), mk(col("toks")).as("shingles"))
-    val ex = usets.select(col("doc_id"), explode(col("shingles")).as("g"))
-    time("udf explode")(ex.count())
-    val nsh = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val freq = ex.groupBy("g").agg(count(lit(1)).as("df"))
-    time("freq")(freq.count())
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("df"), col("g"))
-    val prefix = ex.join(freq, "g").join(nsh, "doc_id")
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= col("n_sh") - ceil(col("n_sh") * 0.5) + 1)
-      .select(col("doc_id"), col("g"))
-    time("prefix rows")(prefix.count())
-    val cand = prefix.alias("pa")
-      .join(prefix.alias("pb"),
-        col("pa.g") === col("pb.g") && col("pa.doc_id") < col("pb.doc_id"))
-      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
-      .distinct()
-    time("candidates")(cand.count())
-
     time("full naive")(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).count())
     time("full prefix")(Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5).count())
     time("full prefix 2nd")(Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5).count())
