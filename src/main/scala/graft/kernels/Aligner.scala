@@ -35,8 +35,10 @@ object Aligner {
       .collect { case (kmer, idxs) if idxs.size == 1 => kmer -> idxs.head }
   }
 
-  /** Squash an unanchorable (ref, alt) gap into ops: mismatch run over
-    * the shared length, then insertion/deletion for the length
+  /** Squash an unanchorable (ref, alt) gap into ops: extend exact
+    * matches from both ends (bases that literally agree must not render
+    * as MD mismatches carrying the read's own base), then a mismatch run
+    * over the shared middle and insertion/deletion for the length
     * difference (complex indels split X-then-indel, alt-relative).
     */
   private def squash(ref: String, alt: String): List[AlnOp] = {
@@ -44,11 +46,23 @@ object Aligner {
     else if (ref.isEmpty) List(AlnIns(alt.length))
     else if (alt.isEmpty) List(AlnDel(ref))
     else {
-      val shared = math.min(ref.length, alt.length)
-      val x = AlnMatch(shared, Some(ref.substring(0, shared)))
-      if (alt.length > shared) List(x, AlnIns(alt.length - shared))
-      else if (ref.length > shared) List(x, AlnDel(ref.substring(shared)))
-      else List(x)
+      val p = commonPrefix(ref, alt)
+      val s = commonSuffix(ref, alt, math.min(ref.length, alt.length) - p)
+      val midRef = ref.substring(p, ref.length - s)
+      val midAlt = alt.substring(p, alt.length - s)
+      val mid: List[AlnOp] =
+        if (midRef.isEmpty && midAlt.isEmpty) Nil
+        else if (midRef.isEmpty) List(AlnIns(midAlt.length))
+        else if (midAlt.isEmpty) List(AlnDel(midRef))
+        else {
+          val shared = math.min(midRef.length, midAlt.length)
+          val x = AlnMatch(shared, Some(midRef.substring(0, shared)))
+          if (midAlt.length > shared) List(x, AlnIns(midAlt.length - shared))
+          else if (midRef.length > shared) List(x, AlnDel(midRef.substring(shared)))
+          else List(x)
+        }
+      (if (p > 0) List(AlnMatch(p)) else Nil) ::: mid :::
+        (if (s > 0) List(AlnMatch(s)) else Nil)
     }
   }
 

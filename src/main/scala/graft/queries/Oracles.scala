@@ -372,6 +372,29 @@ object Oracles {
         |  readDepth, referenceReadDepth, alternateReadDepth, otherReadDepth
         |FROM g""".stripMargin,
 
+    // closed form of the realignment kernel on the anchorable subset:
+    // the g3 corpus is md5-derived, so DuckDB reconstructs each read's
+    // ref window, applies the same anchorability predicate as the query
+    // (all 25 6-mers distinct, deletion edge and window tail
+    // unambiguous), and derives the exact realigned CIGAR/MD —
+    // span-preserving realignment of a 2-base deletion inside a fixed
+    // 28-base window is 12M2D14M2I with MD 12^<deleted bases>14.
+    "g3_realign" ->
+      """WITH base AS (
+        |  SELECT l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR AS readName,
+        |         'chr' || l_returnflag AS contigName,
+        |         (l_partkey % 1000) * 40 AS start,
+        |         translate(substring(md5(l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR), 1, 30),
+        |                   '0123456789abcdef', 'ACGTACGTACGTACGT') AS ref
+        |  FROM lineitem)
+        |SELECT readName, contigName, start,
+        |       '12M2D14M2I' AS cigar,
+        |       '12^' || substring(ref, 13, 2) || '14' AS mdTag
+        |FROM base
+        |WHERE substring(ref, 13, 1) <> substring(ref, 15, 1)
+        |  AND substring(ref, 28, 1) <> substring(ref, 30, 1)
+        |  AND len(list_distinct([substring(ref, i, 6) FOR i IN range(1, 26)])) = 25""".stripMargin,
+
     // closed form of genotyping per sample + cohort MAF + binomial-prior
     // recall (posterior_g = logC(2,g) + g ln maf + (2-g) ln(1-maf) + GL_g)
     "g4_joint_recall" ->

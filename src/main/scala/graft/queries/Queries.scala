@@ -364,28 +364,44 @@ object Queries {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
 
+  /** Stage the events table for the streaming file source (which needs a
+    * directory of ONLY events files) via a symlink in a temp dir, run the
+    * query, and always remove the staging dir — the results live in the
+    * memory sink after stop(), so nothing references the dir afterwards.
+    */
+  private def withStagedEvents[T](dir: String, prefix: String)(f: String => T): T = {
+    val staged = java.nio.file.Files.createTempDirectory(prefix)
+    try {
+      java.nio.file.Files.createSymbolicLink(
+        staged.resolve("events.parquet"),
+        java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath)
+      f(staged.toString)
+    } finally {
+      java.nio.file.Files.deleteIfExists(staged.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(staged)
+    }
+  }
+
   /** The same windowed aggregation ev1 computes in batch, executed
     * through Structured Streaming (micro-batch over the events file,
     * Complete mode, memory sink) — the streaming surface inside the
     * driver-checked catalog. The oracle is plain SQL: tumbling 5-minute
     * windows align to the epoch.
     */
-  def ev3_stream_window(spark: SparkSession, dir: String): DataFrame = {
-    val staged = java.nio.file.Files.createTempDirectory("ev3_stream")
-    java.nio.file.Files.createSymbolicLink(
-      staged.resolve("events.parquet"), java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath)
-    val counts = graft.streaming.StreamingOps
-      .windowedCounts(graft.streaming.StreamingOps.readEvents(spark, staged.toString))
-    val name = "ev3_" + java.lang.Long.toHexString(System.nanoTime())
-    val q = counts.writeStream
-      .outputMode("complete").format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name).select(
-      expr("unix_millis(window_start) div 300000").as("bucket"),
-      col("event_type"), col("n"),
-      round(col("sum_value"), 2).as("sum_value"))
-  }
+  def ev3_stream_window(spark: SparkSession, dir: String): DataFrame =
+    withStagedEvents(dir, "ev3_stream") { staged =>
+      val counts = graft.streaming.StreamingOps
+        .windowedCounts(graft.streaming.StreamingOps.readEvents(spark, staged))
+      val name = "ev3_" + java.lang.Long.toHexString(System.nanoTime())
+      val q = counts.writeStream
+        .outputMode("complete").format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).select(
+        expr("unix_millis(window_start) div 300000").as("bucket"),
+        col("event_type"), col("n"),
+        round(col("sum_value"), 2).as("sum_value"))
+    }
 
   /** Streaming gap sessionization (flatMapGroupsWithState + event-time
     * timeout) run to completion over the static events table. Emitted =
@@ -393,47 +409,43 @@ object Queries {
     * timeout (end + gap) fell before the final watermark; the oracle
     * recomputes exactly that set with window functions.
     */
-  def ev4_stream_sessions(spark: SparkSession, dir: String): DataFrame = {
-    val staged = java.nio.file.Files.createTempDirectory("ev4_stream")
-    java.nio.file.Files.createSymbolicLink(
-      staged.resolve("events.parquet"), java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath)
-    val sess = graft.streaming.StreamingOps
-      .sessionizeStream(graft.streaming.StreamingOps.readEvents(spark, staged.toString))
-    val name = "ev4_" + java.lang.Long.toHexString(System.nanoTime())
-    val q = sess.toDF().writeStream
-      .outputMode("append").format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
-    // session bounds in micros: DuckDB surfaces TIMESTAMP(NANOS) parquet
-    // at microsecond precision, so the ns tail cannot be oracle-compared
-    spark.table(name).select(
-      col("user_id"),
-      expr("session_start div 1000").as("session_start_us"),
-      expr("session_end div 1000").as("session_end_us"),
-      col("n_events"))
-  }
+  def ev4_stream_sessions(spark: SparkSession, dir: String): DataFrame =
+    withStagedEvents(dir, "ev4_stream") { staged =>
+      val sess = graft.streaming.StreamingOps
+        .sessionizeStream(graft.streaming.StreamingOps.readEvents(spark, staged))
+      val name = "ev4_" + java.lang.Long.toHexString(System.nanoTime())
+      val q = sess.toDF().writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      // session bounds in micros: DuckDB surfaces TIMESTAMP(NANOS) parquet
+      // at microsecond precision, so the ns tail cannot be oracle-compared
+      spark.table(name).select(
+        col("user_id"),
+        expr("session_start div 1000").as("session_start_us"),
+        expr("session_end div 1000").as("session_end_us"),
+        col("n_events"))
+    }
 
   /** Stream-static enrichment: the events stream joins the (static)
     * customer dimension per micro-batch, then aggregates per segment.
     */
-  def ev5_stream_enrich(spark: SparkSession, dir: String): DataFrame = {
-    val staged = java.nio.file.Files.createTempDirectory("ev5_stream")
-    java.nio.file.Files.createSymbolicLink(
-      staged.resolve("events.parquet"), java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath)
-    val ev = graft.streaming.StreamingOps.readEvents(spark, staged.toString)
-    val dim = t(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
-    val agg = graft.streaming.StreamingOps
-      .enrichWithDim(ev, dim, "user_id", "c_custkey")
-      .groupBy(col("c_mktsegment"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
-    val name = "ev5_" + java.lang.Long.toHexString(System.nanoTime())
-    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name).select(
-      col("c_mktsegment"), col("event_type"), col("n"),
-      round(col("sv"), 2).as("sum_value"))
-  }
+  def ev5_stream_enrich(spark: SparkSession, dir: String): DataFrame =
+    withStagedEvents(dir, "ev5_stream") { staged =>
+      val ev = graft.streaming.StreamingOps.readEvents(spark, staged)
+      val dim = t(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val agg = graft.streaming.StreamingOps
+        .enrichWithDim(ev, dim, "user_id", "c_custkey")
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      val name = "ev5_" + java.lang.Long.toHexString(System.nanoTime())
+      val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).select(
+        col("c_mktsegment"), col("event_type"), col("n"),
+        round(col("sv"), 2).as("sum_value"))
+    }
 
   // ---- genomics pipeline on synthesized reads (G1, G2) -----------------
 
@@ -507,11 +519,22 @@ object Queries {
   }
 
   /** Realignment at scale: synthesize reads whose true story is a 2-base
-    * deletion but whose alignment was written as a sloppy mismatch run,
-    * realign with the k-mer aligner (narrow map, zero shuffle), and
-    * count recovered indel representations per contig. Rows-only check
-    * (realignment is not SQL-expressible); kernel correctness is
-    * spec-tested.
+    * deletion (read = ref[0:12] + ref[14:30]) but whose alignment was
+    * written as a sloppy 28M mismatch run against ref[0:28], realign with
+    * the k-mer aligner (narrow map, zero shuffle), and emit each read's
+    * realigned CIGAR + MD.
+    *
+    * The corpus is restricted to refs where the realignment is
+    * closed-form derivable — all 25 6-mers distinct (unique anchors, no
+    * accidental >= k exact runs in the sloppy tail), ref[12] != ref[14]
+    * (the first mismatch sits exactly at the deletion) and
+    * ref[27] != ref[29] (no common-suffix absorption) — so the DuckDB
+    * oracle reconstructs the exact expected strings: span-preserving
+    * realignment inside the original 28-base window yields 12M2D14M2I
+    * with MD "12^" + ref[12:14] + "14" (the deleted bases return as a
+    * tail insertion because the window cannot grow). The filter is on
+    * the INPUT ref string, never on the kernel's output — the kernel's
+    * behavior on every retained read is fully checked by the hash.
     */
   def g3_realign(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
@@ -524,6 +547,10 @@ object Queries {
         // 30bp pseudorandom reference from md5 hex -> ACGT alphabet
         translate(substring(md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))), 1, 30),
           "0123456789abcdef", "ACGTACGTACGTACGT").as("ref"))
+      .where(
+        expr("substring(ref, 13, 1) != substring(ref, 15, 1)") &&
+          expr("substring(ref, 28, 1) != substring(ref, 30, 1)") &&
+          expr("size(array_distinct(transform(sequence(1, 25), i -> substring(ref, i, 6)))) = 25"))
       .as[(String, String, Long, String)]
       .map { case (name, contig, start, ref) =>
         // true story: delete ref[12:14] from the read; sloppy alignment:
@@ -539,12 +566,8 @@ object Queries {
           60, readMapped = true, readNegativeStrand = false,
           duplicateRead = false, primaryAlignment = true, sampleId = "s1")
       }
-    import org.apache.spark.sql.functions.{col => c}
     graft.genomics.Realigner.realign(sloppy, k = 6)
-      .groupBy("contigName")
-      .agg(
-        count(lit(1)).as("n_reads"),
-        sum(when(c("cigar").contains("D"), 1L).otherwise(0L)).as("n_indel_recovered"))
+      .select("readName", "contigName", "start", "cigar", "mdTag")
   }
 
   /** Joint calling over a 3-sample cohort (samples derived from
