@@ -40,6 +40,29 @@ object Dedup {
     (v << 4) | ((bytes(7) & 0xf0L) >> 4)
   }
 
+  /** 60-bit xxhash64 (Spark's own XXH64, masked to 60 bits so the value
+    * range matches [[md5Hash60]] and stays positive for the mod-prime
+    * minhash arithmetic). ~10x cheaper than an MD5 digest per string —
+    * the production hash family; md5 exists for DuckDB reproducibility.
+    */
+  private[graft] def xxHash60(s: String): Long = {
+    val b = s.getBytes("UTF-8")
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L) &
+      0x0fffffffffffffffL
+  }
+
+  /** Resolve a hash-family name: "xx64" (production, fast) or "md5"
+    * (SQL-reproducible, the oracle-gate path). Both yield 60-bit
+    * non-negative longs, so every consumer (minhash mod-prime, simhash
+    * bit votes, LSH band keys) is family-agnostic.
+    */
+  private[graft] def hashFn(family: String): String => Long = family match {
+    case "md5"  => md5Hash60
+    case "xx64" => xxHash60
+    case other  => throw new IllegalArgumentException(s"unknown hash family '$other'")
+  }
+
   /** Word n-gram (shingle) sets per document: distinct n-token shingles
     * from single-space tokenization. Documents with fewer than n tokens
     * are dropped.
@@ -216,22 +239,25 @@ object Dedup {
     *
     * PERF: one-pass kernel UDF — a single walk over the shingles updates
     * all k minima (the k-lambda `transform` form evaluates k interpreted
-    * passes per document, the same pathology fixed in simHash). The
-    * md5-derived shingle hash keeps every value SQL-reproducible, so the
-    * whole signature is bit-identical to the DuckDB oracle's.
+    * passes per document, the same pathology fixed in simHash).
+    * hashFamily "xx64" is the production path; "md5" makes every value
+    * SQL-reproducible, so the signature is bit-identical to the DuckDB
+    * oracle's.
     */
   def minHashSignatures(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      k: Int = 32): DataFrame = {
+      k: Int = 32,
+      hashFamily: String = "xx64"): DataFrame = {
     val p = 2147483647L // 2^31-1, Mersenne prime
     val coeffs = minHashCoeffs(k).toArray
+    val shingleHash = hashFn(hashFamily)
     val sig = udf((shingles: Seq[String]) => {
       val mins = Array.fill(k)(Long.MaxValue)
       shingles.foreach { s =>
-        val x = md5Hash60(s) % p
+        val x = shingleHash(s) % p
         var i = 0
         while (i < k) {
           val (a, b) = coeffs(i)
@@ -258,29 +284,38 @@ object Dedup {
       n: Int = 3,
       k: Int = 32,
       bands: Int = 8,
-      minAgree: Double = 0.5): DataFrame = {
+      minAgree: Double = 0.5,
+      hashFamily: String = "xx64"): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
-    val sigs = minHashSignatures(df, idCol, textCol, n, k)
-    // Band-key hashes via md5Hash60 (not xxhash64) so the DuckDB oracle
-    // reproduces bucket membership exactly; the band id is embedded in
-    // the hashed string, so bh equality implies band equality. One-pass
+    val sigs = minHashSignatures(df, idCol, textCol, n, k, hashFamily)
+    // Band keys via the same 60-bit hash family; the band id is embedded
+    // in the hashed string, so bh equality implies band equality. One-pass
     // kernel UDF: a Generate whose input is an inline Column expression
     // re-evaluates it per OUTPUT row (bands× the hashing) — the repo's
     // documented explode pathology.
+    val bandHash = hashFn(hashFamily)
     val bandKeys = udf((sig: Seq[Long]) =>
       (0 until bands).map { bnd =>
         val slice = sig.slice(bnd * rows, bnd * rows + rows)
-        (bnd, md5Hash60((bnd +: slice).mkString("_")))
+        (bnd, bandHash((bnd +: slice).mkString("_")))
       })
+    // the banded index carries ONLY the doc id — at corpus scale the
+    // candidate set dwarfs the doc set, so the pair-dedup exchange must
+    // shuffle bare id pairs (~16 bytes), not k-long signatures (~1 KB);
+    // signatures re-join per side afterwards, a per-doc-sized shuffle
     val banded = sigs.select(
-      col("doc_id"), col("sig"), explode(bandKeys(col("sig"))).as("b"))
-      .select(col("doc_id"), col("sig"), col("b._1").as("band"), col("b._2").as("bh"))
+      col("doc_id"), explode(bandKeys(col("sig"))).as("b"))
+      .select(col("doc_id"), col("b._1").as("band"), col("b._2").as("bh"))
     val l = banded.alias("l")
     val r = banded.alias("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"), col("l.sig").as("sa"), col("r.sig").as("sb"))
+    val cand = l
+      .join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
       .withColumn(
         "agree",
         size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b)).cast("double") / k)
@@ -325,22 +360,24 @@ object Dedup {
 
   /** 60-bit SimHash per document from token hashes: bit j of the simhash
     * is the sign of the sum over distinct tokens of (+1/-1 for bit j of
-    * [[md5Hash60]](token)). Near-dups then differ in few bits (Hamming).
-    * 60 bits (not 64) so the hash family is SQL-reproducible and the
-    * pair set oracle-checkable; discrimination loss is negligible.
+    * the 60-bit token hash). Near-dups then differ in few bits (Hamming).
+    * 60 bits (not 64) so the "md5" hash family is SQL-reproducible and
+    * the pair set oracle-checkable; discrimination loss is negligible.
     *
     * PERF: a single-pass kernel UDF — one walk over the distinct tokens
     * updates all 60 bit-votes at once. The Column-expression alternative
     * (60 `aggregate` lambdas) evaluates 60 interpreted passes over the
     * hash array per document.
     */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash(df: DataFrame, idCol: String, textCol: String,
+      hashFamily: String = "xx64"): DataFrame = {
+    val tokenHash = hashFn(hashFamily)
     val sim = udf((toks: Seq[String]) => {
       val votes = new Array[Int](60)
       val seen = new java.util.HashSet[String]()
       toks.foreach { t =>
         if (seen.add(t)) {
-          val h = md5Hash60(t)
+          val h = tokenHash(t)
           var j = 0
           while (j < 60) {
             if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -361,9 +398,10 @@ object Dedup {
     * must agree on at least one of 4 15-bit chunks — pigeonhole), so the
     * join is an equi-join on chunk value, not a cross join.
     */
-  def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, hashFamily: String = "xx64"): DataFrame = {
     require(maxHamming <= 3, "chunking scheme assumes <= 3 for 4 chunks")
-    val sh = simHash(df, idCol, textCol)
+    val sh = simHash(df, idCol, textCol, hashFamily)
     val chunkStructs = array((0 until 4).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7fffL)).as("cv"))

@@ -53,6 +53,19 @@ class PlanSpec extends SparkSpec {
     assert(planOf(Queries.j5_anti_join(spark, sf("0.001"))).contains("LeftAnti"))
   }
 
+  test("d3: pair-dedup exchange carries only the id pair, not signatures") {
+    val plan = Queries.d3_minhash_lsh_pairs_prod(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    // the distinct over LSH candidates must aggregate on (doc_a, doc_b)
+    // alone — a 1 KB signature array riding that shuffle is the at-scale
+    // regression this guards against
+    val distinctAggs = plan.linesIterator
+      .filter(l => l.contains("HashAggregate") && l.contains("doc_a") && l.contains("doc_b"))
+      .toSeq
+    assert(distinctAggs.nonEmpty, plan)
+    assert(distinctAggs.forall(l => !l.contains("sa") && !l.contains("sb")), plan)
+  }
+
   test("genotyper: score table joins broadcast; no nested loop anywhere") {
     val plan = planOf(Queries.g2_genotype_calls(spark, sf("0.001")))
     assert(plan.contains("BroadcastHashJoin"), "score-table join should broadcast")

@@ -107,9 +107,25 @@ class DedupSpec extends SparkSpec {
     }
     val expected = base.select(col("doc_id"), array(sigCols: _*).as("sig"))
       .as[(Long, Seq[Long])].collect().toMap
-    val got = Dedup.minHashSignatures(docs, "doc_id", "text", n = 3, k = k)
+    val got = Dedup.minHashSignatures(docs, "doc_id", "text", n = 3, k = k,
+      hashFamily = "md5")
       .as[(Long, Seq[Long])].collect().toMap
     assert(got === expected)
+  }
+
+  test("both hash families surface the definitive near-dup cluster") {
+    import spark.implicits._
+    // exact per-pair agreement is a random variable of the hash family
+    // (docs 4/5 sit at true J=5/11, borderline at minAgree=0.5), so only
+    // the definitive relationships are asserted per family
+    for (fam <- Seq("xx64", "md5")) {
+      val ps = Dedup.minHashLshPairs(docs, "doc_id", "text", n = 3, k = 64,
+        bands = 32, minAgree = 0.5, hashFamily = fam)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(ps.contains((1L, 2L)), fam) // exact dup: agreement 1.0
+      assert(ps.contains((1L, 3L)) || ps.contains((2L, 3L)), fam)
+      assert(!ps.exists(p => p._2 == 4L && p._1 <= 3L), fam) // unrelated
+    }
   }
 
   test("simhash kernel is bit-identical to the Column-expression form") {
@@ -129,7 +145,8 @@ class DedupSpec extends SparkSpec {
     }
     val expected = hashed.select(col("doc_id"), bitCols.reduce(_.bitwiseOR(_)).as("simhash"))
       .as[(Long, Long)].collect().toMap
-    val got = Dedup.simHash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    val got = Dedup.simHash(docs, "doc_id", "text", hashFamily = "md5")
+      .as[(Long, Long)].collect().toMap
     assert(got === expected)
   }
 
