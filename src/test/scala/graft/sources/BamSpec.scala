@@ -36,6 +36,29 @@ class BamSpec extends SparkSpec {
     assert(ds.rdd.getNumPartitions === 2)
   }
 
+  test("split scan of one multi-block BAM equals the single-task scan") {
+    import graft.model.Read
+    val rnd = new scala.util.Random(7)
+    val reads = (0 until 3000).map { i =>
+      val seq = Array.fill(100)("ACGT"(rnd.nextInt(4))).mkString
+      Read(s"r$i", "chr" + (i % 3), i * 5L, i * 5L + 100, seq, "I" * 100,
+        "100M", "100", 60, readMapped = true, readNegativeStrand = false,
+        duplicateRead = false, primaryAlignment = true, sampleId = "NA12878")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("bamsplit").toString
+    Bam.write(reads, s"$dir/big.bam", sample = "NA12878")
+
+    // splitSize far below the file size forces many chunks, including
+    // chunks that start mid-block (resync path) and chunks owning no
+    // block start (must yield nothing, not duplicates)
+    val split = Bam.read(spark, s"$dir/big.bam", splitSize = 8192)
+    assert(split.rdd.getNumPartitions > 1, "expected a multi-chunk scan")
+    val whole = Bam.readLocal(s"$dir/big.bam").sortBy(_.readName)
+    val got = split.collect().toSeq.sortBy(_.readName)
+    assert(got.size === whole.size)
+    got.zip(whole).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("golden site from BAM: hom alt deletion at 1/875159 matches SAM result") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bamg").toString
