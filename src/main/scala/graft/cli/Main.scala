@@ -13,13 +13,20 @@ import org.apache.spark.sql.functions._
   *
   *   graft.cli.Main discover <reads> <out> [minPhred] [minObs]
   *   graft.cli.Main biallelicGenotyper <reads> <out> [minPhred] [minObs]
+  *       [-ploidy N] [-contig_ploidy chrX=1,chrY=1]
   *   graft.cli.Main jointer <genotypes-parquet|vcf> <out-vcf> [-from_gvcf]
   *   graft.cli.Main mergeDiscovered <variants-glob> <out>
   *   graft.cli.Main reassemble <reads> <out>
   *   graft.cli.Main trioGenotyper <reads> <out> <mother> <father> <child>
+  *       [-ploidy N]
   *
-  * Reads: .sam files or parquet directories of the Read schema.
-  * Outputs: parquet (calls/variants/reads) or VCF text (jointer).
+  * Reads: .sam/.bam files or parquet directories of the Read schema
+  * (CRAM is a documented non-goal: the codec requires an external
+  * reference genome — transcode to BAM first). Outputs: parquet
+  * (calls/variants/reads) or VCF text (jointer). -ploidy sets the base
+  * ploidy; -contig_ploidy overrides whole contigs (sex chromosomes),
+  * threading variable-ploidy calling through the genotyper's
+  * copy-number path.
   */
 object Main {
 
@@ -35,9 +42,49 @@ object Main {
 
   private def loadReads(spark: SparkSession, path: String): Dataset[Read] = {
     import spark.implicits._
-    if (path.endsWith(".sam")) Sam.read(spark, path)
+    if (path.endsWith(".cram"))
+      sys.error("CRAM input is not supported: the CRAM codec requires an " +
+        "external reference genome (documented non-goal; see README). " +
+        "Transcode to BAM (samtools view -b) and retry.")
+    else if (path.endsWith(".sam")) Sam.read(spark, path)
     else if (path.endsWith(".bam")) Bam.read(spark, path)
     else spark.read.parquet(path).as[Read]
+  }
+
+  /** Value of a `-flag value` pair, if present. */
+  private def flagValue(args: Array[String], flag: String): Option[String] = {
+    val i = args.indexOf(flag)
+    if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+  }
+
+  /** Positional args with `-flag value` pairs and bare switches removed. */
+  private def positional(args: Array[String]): Array[String] = {
+    val valued = Set("-ploidy", "-contig_ploidy")
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < args.length) {
+      if (valued(args(i))) i += 2
+      else { if (!args(i).startsWith("-")) out += args(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** -ploidy / -contig_ploidy -> (basePloidy, optional copy-number map).
+    * Contig overrides ride the genotyper's CopyNumberMap path, the same
+    * machinery CNV calls use — one variable-ploidy mechanism, two feeds.
+    */
+  private def ploidyConfig(spark: SparkSession, args: Array[String]): (Int, Option[CopyNumberMap.Built]) = {
+    val base = flagValue(args, "-ploidy").map(_.toInt).getOrElse(2)
+    val perContig = flagValue(args, "-contig_ploidy").map { spec =>
+      spec.split(",").map { kv =>
+        val Array(c, p) = kv.split("=")
+        c -> p.toInt
+      }.toMap
+    }.getOrElse(Map.empty[String, Int])
+    val cn =
+      if (perContig.nonEmpty) Some(CopyNumberMap.fromContigPloidies(spark, perContig, base))
+      else None
+    (base, cn)
   }
 
   def main(args: Array[String]): Unit = {
@@ -58,15 +105,18 @@ object Main {
           .write.mode("overwrite").parquet(args(2))
 
       case "biallelicGenotyper" =>
-        val minPhred = if (args.length > 3) args(3).toInt else 20
-        val minObs = if (args.length > 4) args(4).toLong else 2L
-        val reads = PrefilterReads(loadReads(spark, args(1)))
+        val pos = positional(args)
+        val minPhred = if (pos.length > 3) pos(3).toInt else 20
+        val minObs = if (pos.length > 4) pos(4).toLong else 2L
+        val (basePloidy, cn) = ploidyConfig(spark, args)
+        val reads = PrefilterReads(loadReads(spark, pos(1)))
         val variants = DiscoverVariants.discover(reads, minPhred, minObs)
           .select("contigName", "start", "referenceAllele", "alternateAllele")
           .as[DiscoveredVariant]
         val called = RewriteHets(
-          HardFilterGenotypes(BiallelicGenotyper.call(reads, variants)))
-        called.write.mode("overwrite").parquet(args(2))
+          HardFilterGenotypes(BiallelicGenotyper.call(
+            reads, variants, ploidy = basePloidy, copyNumbers = cn)))
+        called.write.mode("overwrite").parquet(pos(2))
 
       case "jointer" =>
         // -from_gvcf (reference CLI Jointer.scala:74-146): square the
@@ -95,15 +145,18 @@ object Main {
           .write.mode("overwrite").parquet(args(2))
 
       case "trioGenotyper" =>
-        require(args.length >= 6, "trioGenotyper <reads> <out> <mother> <father> <child>")
-        val reads = PrefilterReads(loadReads(spark, args(1)))
+        val pos = positional(args)
+        require(pos.length >= 6, "trioGenotyper <reads> <out> <mother> <father> <child>")
+        val (basePloidy, cn) = ploidyConfig(spark, args)
+        val reads = PrefilterReads(loadReads(spark, pos(1)))
         val variants = DiscoverVariants.discover(reads, 20, 2)
           .select("contigName", "start", "referenceAllele", "alternateAllele")
           .as[DiscoveredVariant]
-        val called = BiallelicGenotyper.call(reads, variants)
+        val called = BiallelicGenotyper.call(
+          reads, variants, ploidy = basePloidy, copyNumbers = cn)
           .withColumn("end", col("start") + greatest(length(col("referenceAllele")), lit(1)))
-        TrioCaller(called, args(3), args(4), args(5))
-          .write.mode("overwrite").parquet(args(2))
+        TrioCaller(called, pos(3), pos(4), pos(5))
+          .write.mode("overwrite").parquet(pos(2))
 
       case other => sys.error(s"unknown command '$other'")
     }

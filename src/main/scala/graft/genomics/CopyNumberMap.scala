@@ -44,6 +44,25 @@ object CopyNumberMap {
     }
   }
 
+  /** Build from whole-contig ploidy overrides (the CLI's -contig_ploidy,
+    * e.g. chrX=1,chrY=1 for a male sample): each override covers its
+    * entire contig; everything else stays at basePloidy.
+    */
+  def fromContigPloidies(
+      spark: SparkSession,
+      overrides: Map[String, Int],
+      basePloidy: Int = 2): Built = {
+    val byContig: CnMap = overrides.map { case (c, p) =>
+      c -> Array((0L, Long.MaxValue, p))
+    }
+    val cns = overrides.values
+    Built(
+      spark.sparkContext.broadcast(byContig),
+      if (cns.isEmpty) basePloidy else math.min(basePloidy, cns.min),
+      if (cns.isEmpty) basePloidy else math.max(basePloidy, cns.max),
+      basePloidy)
+  }
+
   /** Build from a feature table with columns (contigName, start, end,
     * featureType 'DUP'|'DEL'): DUP -> base+1, DEL -> base-1.
     */

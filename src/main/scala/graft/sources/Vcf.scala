@@ -11,13 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object Vcf {
 
-  def header(sampleIds: Seq[String], filterLines: Seq[String] = Nil): String =
-    (Seq("##fileformat=VCFv4.2") ++ filterLines ++ Seq(
+  def header(sampleIds: Seq[String], filterLines: Seq[String] = Nil,
+      extraFormatLines: Seq[String] = Nil): String =
+    (Seq(
+      "##fileformat=VCFv4.2",
+      "##INFO=<ID=END,Number=1,Type=Integer,Description=\"End of the reference-model block (gVCF)\">"
+    ) ++ filterLines ++ Seq(
       "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
       "##FORMAT=<ID=AD,Number=R,Type=Integer,Description=\"Allelic depths for the ref and alt alleles\">",
       "##FORMAT=<ID=DP,Number=1,Type=Integer,Description=\"Read Depth\">",
       "##FORMAT=<ID=GQ,Number=1,Type=Integer,Description=\"Genotype Quality\">",
-      "##FORMAT=<ID=PL,Number=G,Type=Integer,Description=\"Phred-scaled genotype likelihoods\">",
+      "##FORMAT=<ID=PL,Number=G,Type=Integer,Description=\"Phred-scaled genotype likelihoods\">"
+    ) ++ extraFormatLines ++ Seq(
       ("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT" +: sampleIds).mkString("\t")
     )).mkString("\n")
 
@@ -93,7 +98,29 @@ object Vcf {
         concat_ws(",", transform(arr,
           gl => round((best - gl) * lit(10.0 / math.log(10.0)), 0).cast("int").cast("string")))
       } else lit(".")
-    val cell = concat_ws(":", gt, ad, dp, gq, pl)
+    // variant-calling annotations ride FORMAT (per-sample, lossless —
+    // the reference's converter carries variantCallingAnnotations through
+    // ADAM; here MQ = rmsMapQ, FS = phred Fisher strand bias, SB = the
+    // 2x2 strand components). Emitted only when the columns exist, so
+    // plain genotype dumps keep the exact golden GT:AD:DP:GQ:PL shape.
+    val hasMq = has("rmsMapQ")
+    val hasFs = has("strandBiasPhred")
+    val hasSb = has("strandBiasComponents")
+    val annCells =
+      (if (hasMq) Seq(coalesce(col("rmsMapQ").cast("string"), lit("."))) else Nil) ++
+        (if (hasFs) Seq(coalesce(col("strandBiasPhred").cast("string"), lit("."))) else Nil) ++
+        (if (hasSb) Seq(coalesce(concat_ws(",",
+          col("strandBiasComponents").cast("array<string>")), lit("."))) else Nil)
+    val fmtKeys = Seq("GT", "AD", "DP", "GQ", "PL") ++
+      (if (hasMq) Seq("MQ") else Nil) ++
+      (if (hasFs) Seq("FS") else Nil) ++
+      (if (hasSb) Seq("SB") else Nil)
+    val fmtHeaderLines =
+      (if (hasMq) Seq("##FORMAT=<ID=MQ,Number=1,Type=Float,Description=\"RMS mapping quality\">") else Nil) ++
+        (if (hasFs) Seq("##FORMAT=<ID=FS,Number=1,Type=Float,Description=\"Phred-scaled Fisher strand bias p-value\">") else Nil) ++
+        (if (hasSb) Seq("##FORMAT=<ID=SB,Number=4,Type=Integer,Description=\"Strand bias components: other fwd, other rev, alt fwd, alt rev\">") else Nil)
+    val missingCell = ("./." +: Seq.fill(fmtKeys.size - 1)(".")).mkString(":")
+    val cell = concat_ws(":", Seq(gt, ad, dp, gq, pl) ++ annCells: _*)
     val site = Seq("contigName", "start", "referenceAllele", "alternateAllele")
     // FILTER column from the hard-filter annotation when present
     // (site-level: any sample's failures; P6's annotate-don't-drop).
@@ -140,11 +167,11 @@ object Vcf {
         coalesce(round(col("__qual"), 2).cast("string"), lit(".")),
         coalesce(col("__filter"), lit("PASS")),
         coalesce(concat(lit("END="), col("__end").cast("string")), lit(".")),
-        lit("GT:AD:DP:GQ:PL")) ++
-        samples.map(s => coalesce(col(s), lit("./.:.:.:.:."))): _*)
+        lit(fmtKeys.mkString(":"))) ++
+        samples.map(s => coalesce(col(s), lit(missingCell))): _*)
     val data = pivotedF
       .select(lit(1).as("__k"), col("contigName"), col("start"), dataLine.as("value"))
-    val head = header(samples, filterHeaderLines).split("\n").toSeq.zipWithIndex
+    val head = header(samples, filterHeaderLines, fmtHeaderLines).split("\n").toSeq.zipWithIndex
       .map { case (l, i) => (0, "", i.toLong, l) }
       .toDF("__k", "contigName", "start", "value")
     val lines = head.unionByName(data)
@@ -280,6 +307,12 @@ object Vcf {
         // non-ref allele, i.e. allele index 1
         glFromPl(greatest(col("aIdx"), lit(1)), 0),
         glFromPl(greatest(col("aIdx"), lit(1)), 1),
-        glFromPl(greatest(col("aIdx"), lit(1)), 2))
+        glFromPl(greatest(col("aIdx"), lit(1)), 2),
+        // variant-calling annotations written by this sink's FORMAT
+        // extension (null when the file predates/omits them)
+        fmtField("MQ").cast("double").as("rmsMapQ"),
+        fmtField("FS").cast("double").as("strandBiasPhred"),
+        transform(split(fmtField("SB"), ","), x => x.cast("int"))
+          .as("strandBiasComponents"))
   }
 }

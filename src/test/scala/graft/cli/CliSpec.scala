@@ -40,6 +40,30 @@ class CliSpec extends SparkSpec {
       spark.read.parquet(s"$tmp/d1").count()) // already distinct
   }
 
+  test("biallelicGenotyper calls chrX at ploidy 1 with -contig_ploidy") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val reads = (0 until 8).map { i =>
+      graft.model.Read(s"x$i", "chrX", 100L, 110L, "AAAAACAAAA", "IIIIIIIIII",
+        "10M", "5A4", 60, readMapped = true, readNegativeStrand = false,
+        duplicateRead = false, primaryAlignment = true, sampleId = "s1")
+    }
+    reads.toDS().write.mode("overwrite").parquet(s"$tmp/xreads")
+    run("biallelicGenotyper", s"$tmp/xreads", s"$tmp/xcalls",
+      "-contig_ploidy", "chrX=1,chrY=1")
+    val row = spark.read.parquet(s"$tmp/xcalls")
+      .where(col("start") === 105L).collect().head
+    assert(row.getAs[Int]("copyNumber") === 1, "haploid contig override")
+    assert(row.getAs[Seq[String]]("alleles") === Seq("ALT"), "one allele at ploidy 1")
+    assert(row.getAs[Int]("genotypeState") === 1, "haploid alt state")
+  }
+
+  test("CRAM input fails with an explicit unsupported error") {
+    val e = intercept[RuntimeException] { run("discover", "in.cram", s"$tmp/nope") }
+    assert(e.getMessage.contains("CRAM"))
+    assert(e.getMessage.contains("BAM"), "error should point at the BAM path")
+  }
+
   test("jointer -from_gvcf squares a gVCF before the joint layer") {
     run("jointer",
       "/root/reference/avocado-core/src/test/resources/gvcf_multiallelic.g.vcf",

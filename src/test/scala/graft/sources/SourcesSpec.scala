@@ -52,6 +52,42 @@ class SourcesSpec extends SparkSpec {
     assert(quals("6") === ".")
   }
 
+  test("VCF annotation round trip: MQ/FS/SB survive write -> read per sample") {
+    import spark.implicits._
+    val calls = Seq(
+      ("chr1", 100L, "A", "C", "s1", 1, 45.2, 30, 55.317, 12.4, Seq(10, 11, 4, 5)),
+      ("chr1", 100L, "A", "C", "s2", 2, 60.0, 22, 59.958, 0.211, Seq(6, 7, 8, 9)),
+      ("chr2", 42L, "TG", "T", "s1", 1, 33.3, 18, 41.5, 3.0, Seq(1, 2, 3, 4))
+    ).toDF("contigName", "start", "referenceAllele", "alternateAllele",
+      "sampleId", "genotypeState", "genotypeQuality", "readDepth",
+      "rmsMapQ", "strandBiasPhred", "strandBiasComponents")
+    val dir = java.nio.file.Files.createTempDirectory("vcfann").toString + "/out"
+    Vcf.write(calls, dir, singleFile = true)
+    val fmtLine = spark.read.text(dir).as[String].collect()
+      .find(l => !l.startsWith("#")).get.split("\t")(8)
+    assert(fmtLine === "GT:AD:DP:GQ:PL:MQ:FS:SB")
+    // the squared-off matrix includes a ./. row for (chr2, s2) — absent
+    // sample at the site, annotations legitimately null
+    val back = Vcf.read(spark, dir)
+      .where(col("genotypeState") >= 0)
+      .select("contigName", "start", "sampleId", "rmsMapQ", "strandBiasPhred",
+        "strandBiasComponents")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getDouble(4), r.getSeq[Int](5))).toSet
+    assert(back === Set(
+      ("chr1", 100L, "s1", 55.317, 12.4, Seq(10, 11, 4, 5)),
+      ("chr1", 100L, "s2", 59.958, 0.211, Seq(6, 7, 8, 9)),
+      ("chr2", 42L, "s1", 41.5, 3.0, Seq(1, 2, 3, 4))))
+    // files without annotation columns keep the exact golden FORMAT shape
+    val plain = calls.drop("rmsMapQ", "strandBiasPhred", "strandBiasComponents")
+    val dir2 = java.nio.file.Files.createTempDirectory("vcfplain").toString + "/out"
+    Vcf.write(plain, dir2, singleFile = true)
+    val fmt2 = spark.read.text(dir2).as[String].collect()
+      .find(l => !l.startsWith("#")).get.split("\t")(8)
+    assert(fmt2 === "GT:AD:DP:GQ:PL")
+  }
+
   test("VCF fast concat equals the coalesce(1) single file") {
     import spark.implicits._
     val calls = (0 until 200).map(i =>
