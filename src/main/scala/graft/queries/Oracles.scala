@@ -756,6 +756,12 @@ object Oracles {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2""".stripMargin,
 
+    // streaming stateful dedup projected to its key columns: the emitted
+    // set is exactly the distinct key set, independent of which physical
+    // row survived the state store
+    "ev6_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
     "ev2_sessionize" ->
       """WITH s AS (
         |  SELECT user_id, event_id, ts,

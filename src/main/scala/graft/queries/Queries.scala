@@ -427,6 +427,25 @@ object Queries {
         col("n_events"))
     }
 
+  /** Streaming stateful dedup: dropDuplicatesWithinWatermark over a
+    * content fingerprint — the streaming twin of exact corpus dedup
+    * (d1), state bounded by the watermark. Projected to the key columns
+    * so the result is the deterministic distinct set regardless of
+    * which physical row survived.
+    */
+  def ev6_stream_dedup(spark: SparkSession, dir: String): DataFrame =
+    withStagedEvents(dir, "ev6_stream") { staged =>
+      val dd = graft.streaming.StreamingOps.streamingDedup(
+        graft.streaming.StreamingOps.readEvents(spark, staged),
+        Seq("user_id", "event_type"))
+      val name = "ev6_" + java.lang.Long.toHexString(System.nanoTime())
+      val q = dd.select("user_id", "event_type").writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name)
+    }
+
   /** Stream-static enrichment: the events stream joins the (static)
     * customer dimension per micro-batch, then aggregates per segment.
     */
