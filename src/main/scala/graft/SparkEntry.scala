@@ -51,6 +51,7 @@ object SparkEntry {
     "t2_quality_score" -> (Queries.t2_quality_score _),
     "t3_lang_id" -> (Queries.t3_lang_id _),
     "t4_fingerprint" -> (Queries.t4_fingerprint _),
+    "t6_tfidf_topterms" -> (Queries.t6_tfidf_topterms _),
     "d1_dedup_exact" -> (Queries.d1_dedup_exact _),
     "d2_ngram_jaccard_pairs" -> (Queries.d2_ngram_jaccard_pairs _),
     "e1_cosine_score" -> (Queries.e1_cosine_score _),

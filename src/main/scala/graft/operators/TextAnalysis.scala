@@ -62,4 +62,40 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Per-document top-k terms by TF-IDF (tf * ln(N/df)): the corpus
+    * keyword extractor a training-data pipeline uses for topical
+    * filtering and index features.
+    *
+    * Plan shape: explode -> (doc, term) count (one shuffle, partial+
+    * final) -> term document frequencies (aggregated FROM the tf table,
+    * so the second shuffle carries one row per distinct (doc, term), not
+    * per token) -> broadcast the scalar N -> window top-k per doc.
+    * Ranking uses the ROUNDED score (+ term as tie-break) so the rank is
+    * reproducible bit-for-bit by any SQL engine — ties in raw doubles
+    * are exact ties here (same tf, df), but rounding first removes any
+    * cross-engine last-ulp sensitivity of ln().
+    */
+  def tfIdfTopTerms(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      scale: Int = 4): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), scale))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rk"))
+  }
 }

@@ -286,6 +286,26 @@ object Oracles {
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
 
+    // rank on the ROUNDED score + term tie-break, mirroring the Spark
+    // window exactly, so last-ulp ln() differences cannot flip ranks
+    "t6_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(n_docs::DOUBLE / df), 4) AS tfidf
+        |  FROM tf JOIN dfreq USING (term), nd),
+        |r AS (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        |  FROM s)
+        |SELECT doc_id, term, tfidf, rk FROM r WHERE rk <= 5""".stripMargin,
+
     "d1_dedup_exact" ->
       """SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text)""".stripMargin,

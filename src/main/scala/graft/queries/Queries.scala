@@ -326,6 +326,10 @@ object Queries {
     t(spark, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
 
+  /** Per-document top-5 TF-IDF terms (corpus keyword extraction). */
+  def t6_tfidf_topterms(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdfTopTerms(t(spark, dir, "documents"), "doc_id", "text", k = 5)
+
   // ---- dedup (D1, D2) --------------------------------------------------
 
   def d1_dedup_exact(spark: SparkSession, dir: String): DataFrame =

@@ -5,6 +5,22 @@ import org.apache.spark.sql.functions._
 
 class ScaleOpsSpec extends SparkSpec {
 
+  test("tf-idf top terms: planted rare term outranks ubiquitous filler") {
+    import spark.implicits._
+    // "zebra" appears 1x in doc 0 only; "the" appears in every doc with
+    // high tf — idf must push the rare term to rank 1 in doc 0
+    val docs = (0 until 20).map { i =>
+      val rare = if (i == 0) " zebra" else ""
+      (i.toLong, "the the the common words here" + rare)
+    }.toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .where(col("doc_id") === 0).orderBy("rk")
+      .select("term", "rk").as[(String, Int)].collect().toSeq
+    assert(top.head === ("zebra", 1))
+    // ubiquitous terms (df = N) have idf ln(1) = 0: never outrank
+    assert(!top.contains(("the", 1)))
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     // 90% of left rows share one hot key

@@ -115,6 +115,44 @@ class SourcesSpec extends SparkSpec {
     assert(line === "chr1\t101\t.\tA\tC\t45\tPASS\t.\tGT:GQ:DP\t0/1:45:30")
   }
 
+  test("bucketed reads: groupBy and join on bucket keys plan no exchange") {
+    import spark.implicits._
+    val reads = (0 until 500).map { i =>
+      graft.model.Read(s"r$i", "chr" + (i % 3), (i * 37L) % 5000, (i * 37L) % 5000 + 10,
+        "ACGTACGTAC", "IIIIIIIIII", "10M", "10", 60, readMapped = true,
+        readNegativeStrand = false, duplicateRead = false,
+        primaryAlignment = true, sampleId = "s1")
+    }.toDS()
+    val dir = java.nio.file.Files.createTempDirectory("bucketed").toString
+    Bucketed.writeReadsBinned(reads, "t_reads_binned", s"$dir/reads", binSize = 1000L, buckets = 8)
+    try {
+      val t = Bucketed.read(spark, "t_reads_binned")
+      // the pileup-shaped aggregation: partial+final over the bucket keys
+      // must run directly on the bucketed scan — zero shuffles
+      val agg = t.groupBy("contigName", "bin")
+        .agg(count(lit(1)).as("depth"), sum(col("mapq")).as("mq"))
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange hashpartitioning"), aggPlan)
+      assert(agg.count() > 0)
+
+      // identically-bucketed second table: the (contig, bin) join is
+      // exchange-free on both sides
+      val variants = reads.select(col("contigName"),
+        floor(col("start") / 1000L).cast("long").as("bin"),
+        col("start").as("vstart")).distinct()
+      Bucketed.write(variants.toDF(), "t_vars_binned", s"$dir/vars",
+        bucketCols = Seq("contigName", "bin"), buckets = 8)
+      val joined = Bucketed.read(spark, "t_reads_binned").as("r")
+        .join(Bucketed.read(spark, "t_vars_binned").as("v"), Seq("contigName", "bin"))
+      val joinPlan = joined.queryExecution.executedPlan.toString
+      assert(!joinPlan.contains("Exchange hashpartitioning"), joinPlan)
+      assert(joined.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_reads_binned")
+      spark.sql("DROP TABLE IF EXISTS t_vars_binned")
+    }
+  }
+
   test("copy number map: broadcast probe with binary search") {
     import spark.implicits._
     val features = Seq(
