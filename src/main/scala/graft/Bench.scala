@@ -29,6 +29,7 @@ object Bench {
     "e5_kmeans_step",
     "m2_frame_sample",
     "t2_quality_score",
+    "t6_tfidf_topterms",
     "ev1_time_window_agg",
     "g1_discover_variants",
     "g2_genotype_calls",

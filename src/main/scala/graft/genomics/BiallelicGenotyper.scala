@@ -53,6 +53,41 @@ object BiallelicGenotyper {
       scoreAllSites = scoreAllSites)
   }
 
+  /** Data-driven bin sizing for the pileup/interval-join shuffles —
+    * the one tunable whose right value depends on the data, not the
+    * code. Targets ~`targetReadsPerBin` reads per (contig, bin) group:
+    * big enough to amortize per-group overhead, small enough that one
+    * bin's pileup fits an executor's working set at any coverage. Stats
+    * come from a bounded sample (one cheap job over `fraction` of the
+    * reads — an explicit utility action, deliberately NOT inside the
+    * pure plan constructor `call()`), scaled back up. Clamped to
+    * [2x mean read span, 10 Mbp] so degenerate samples can't produce
+    * sub-read bins or whole-contig bins (the hot-key failure mode).
+    */
+  def chooseBinSize(
+      reads: Dataset[Read],
+      targetReadsPerBin: Long = 5000L,
+      fraction: Double = 0.01,
+      seed: Long = 42L): Double = {
+    val s = reads.sample(fraction, seed)
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("start")).as("lo"),
+        max(col("end")).as("hi"),
+        avg(col("end") - col("start")).as("span"),
+        countDistinct(col("contigName")).as("contigs"))
+      .head()
+    val n = s.getAs[Long]("n")
+    if (n == 0) return 1000.0
+    val genome = math.max(1L, s.getAs[Long]("hi") - s.getAs[Long]("lo")) *
+      math.max(1L, s.getAs[Long]("contigs"))
+    val meanSpan = math.max(1.0, s.getAs[Double]("span"))
+    // reads per base in the FULL data = sampled density / fraction
+    val density = n / fraction / genome
+    val raw = targetReadsPerBin / math.max(density, 1e-12)
+    math.min(1e7, math.max(2.0 * meanSpan, raw))
+  }
+
   def call(
       reads: Dataset[Read],
       variants: Dataset[DiscoveredVariant],

@@ -158,4 +158,21 @@ class GenotyperSpec extends SparkSpec {
     val ref = read("r1")
     assert(Observer.observe(ref, Seq(v)).map(_.support) === Seq(Observer.SupportRef))
   }
+
+  test("chooseBinSize targets the requested reads-per-bin band") {
+    import spark.implicits._
+    // 20k reads uniform over 100 kbp on one contig: density 0.2/base,
+    // so target 5000 reads/bin -> ~25 kbp bins
+    val uniform = (0 until 20000).map(i => read(s"u$i", start = (i * 5) % 100000)).toDS()
+    val bs = BiallelicGenotyper.chooseBinSize(uniform, targetReadsPerBin = 5000L,
+      fraction = 0.5)
+    val readsPerBin = 0.2 * bs
+    assert(readsPerBin > 2000 && readsPerBin < 12500, s"binSize $bs")
+
+    // a degenerate stack at one position must not produce sub-read bins
+    val stacked = (0 until 5000).map(i => read(s"s$i", start = 100)).toDS()
+    val bs2 = BiallelicGenotyper.chooseBinSize(stacked, targetReadsPerBin = 100L,
+      fraction = 0.5)
+    assert(bs2 >= 20.0, s"binSize $bs2 below 2x read span")
+  }
 }

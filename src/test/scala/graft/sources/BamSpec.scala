@@ -48,15 +48,18 @@ class BamSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("bamsplit").toString
     Bam.write(reads, s"$dir/big.bam", sample = "NA12878")
 
-    // splitSize far below the file size forces many chunks, including
-    // chunks that start mid-block (resync path) and chunks owning no
-    // block start (must yield nothing, not duplicates)
-    val split = Bam.read(spark, s"$dir/big.bam", splitSize = 8192)
-    assert(split.rdd.getNumPartitions > 1, "expected a multi-chunk scan")
+    // split sizes far below the file size force many chunks, including
+    // chunks that start mid-block (resync path), chunks owning no block
+    // start (must yield nothing, not duplicates), and chunk boundaries
+    // at varied positions relative to block starts
     val whole = Bam.readLocal(s"$dir/big.bam").sortBy(_.readName)
-    val got = split.collect().toSeq.sortBy(_.readName)
-    assert(got.size === whole.size)
-    got.zip(whole).foreach { case (a, b) => assert(a === b) }
+    for (splitSize <- Seq(1000L, 8192L, 77777L)) {
+      val split = Bam.read(spark, s"$dir/big.bam", splitSize = splitSize)
+      assert(split.rdd.getNumPartitions > 1, s"splitSize $splitSize: one chunk")
+      val got = split.collect().toSeq.sortBy(_.readName)
+      assert(got.size === whole.size, s"splitSize $splitSize")
+      got.zip(whole).foreach { case (a, b) => assert(a === b, s"splitSize $splitSize") }
+    }
   }
 
   test("golden site from BAM: hom alt deletion at 1/875159 matches SAM result") {
