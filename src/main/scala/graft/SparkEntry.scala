@@ -77,6 +77,8 @@ object SparkEntry {
     "e6_ann_recall" -> (Queries.e6_ann_recall _),
     "d5_dup_ngrams" -> (Queries.d5_dup_ngrams _),
     "c1_clean_corpus" -> (Queries.c1_clean_corpus _),
+    "c2_sample_mix" -> (Queries.c2_sample_mix _),
+    "c3_pack_sequences" -> (Queries.c3_pack_sequences _),
     "m1_multimodal_meta" -> (Queries.m1_multimodal_meta _),
     "m2_frame_sample" -> (Queries.m2_frame_sample _)
   )

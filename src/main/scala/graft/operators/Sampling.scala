@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-mix operators: deterministic stratified sampling (compose a
+  * corpus from per-class fractions) and sequence packing (assign
+  * documents to fixed token-budget bins for context-window training).
+  * Both are pure Column plans — no UDFs, no randomness: sampling
+  * decisions and bin assignments derive from md5 arithmetic and window
+  * sums, so any engine reproduces them bit-for-bit and a re-run over
+  * grown data keeps prior decisions stable (the property that matters
+  * when a 100 TB corpus is sampled incrementally).
+  */
+object Sampling {
+
+  /** 0..9999 deterministic ticket from the md5 of the id — the same
+    * 60-bit md5-prefix trick the LSH family uses, as a pure Column
+    * (DuckDB: ('0x' || substring(md5(id), 1, 15))::BIGINT % 10000).
+    */
+  private def ticket(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(10000L))
+
+  /** Keep each row iff its id-ticket falls under its class's fraction.
+    * Unlisted classes default to `defaultFraction`. Per-class keep rates
+    * concentrate tightly around the fractions (the ticket is uniform),
+    * and membership is stable across runs and engines.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      classCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    val cut = fractions.foldLeft(lit(defaultFraction)) { case (els, (cls, f)) =>
+      when(col(classCol) === cls, lit(f)).otherwise(els)
+    }
+    df.where(ticket(col(idCol)) < cut * 10000.0)
+  }
+
+  /** Pack documents into fixed token-budget bins, sharded for
+    * parallelism: each document lands in the shard `md5(id) % shards`,
+    * and within a shard (processed in id order) its bin is
+    * floor(start_offset / budget) of the running token cumsum — the
+    * deterministic streaming-pack rule (a document may straddle a
+    * boundary; the trainer truncates or rolls it, but the ASSIGNMENT is
+    * reproducible). Each shard packs independently — the whole plan is
+    * one window over (shard, id), which scales as shards × window sort,
+    * no global ordering anywhere.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budgetTokens: Long,
+      shards: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    df.select(
+      col(idCol).as("doc_id"),
+      pmod(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long"),
+        lit(shards.toLong)).as("shard"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tokens")) / budgetTokens))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("bin"))
+  }
+}

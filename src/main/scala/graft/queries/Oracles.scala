@@ -599,6 +599,36 @@ object Oracles {
         |  md5(substring(text, (frame_idx * frame_size + 1)::INTEGER, frame_size::INTEGER)) AS frame_fp
         |FROM f""".stripMargin,
 
+    // deterministic stratified sampling: the keep ticket is the md5-60bit
+    // of the doc id mod 10000 (same SQL-reproducible trick as the LSH
+    // family); class fractions 10%/50%/90% by length tercile
+    "c2_sample_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_extract_all(text, '\S+')) < 40 THEN 'short'
+        |         WHEN len(regexp_extract_all(text, '\S+')) < 70 THEN 'medium'
+        |         ELSE 'long' END AS cls,
+        |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS tk
+        |  FROM documents)
+        |SELECT doc_id, cls FROM d
+        |WHERE tk < CASE cls WHEN 'short' THEN 1000
+        |                    WHEN 'medium' THEN 5000 ELSE 9000 END""".stripMargin,
+
+    // sequence packing: shard by md5(id) % 8, running token cumsum per
+    // shard in id order, bin = start-offset // budget
+    "c3_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |  FROM d)
+        |SELECT doc_id, shard, n_tokens, (cum - n_tokens) // 2048 AS bin
+        |FROM c""".stripMargin,
+
     // composed cleaning pipeline: exact-dedup keepers -> contamination
     // cut (13-gram) -> quality gate -> language gate
     "c1_clean_corpus" ->

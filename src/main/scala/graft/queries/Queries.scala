@@ -330,6 +330,27 @@ object Queries {
   def t6_tfidf_topterms(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfIdfTopTerms(t(spark, dir, "documents"), "doc_id", "text", k = 5)
 
+  /** Deterministic stratified sampling for a training mix: documents
+    * classed by length tercile, sampled at 10%/50%/90% — membership from
+    * md5 arithmetic, stable across runs and engines.
+    */
+  def c2_sample_mix(spark: SparkSession, dir: String): DataFrame = {
+    val tc = TextAnalysis.tokenCount(col("text"))
+    val cls = when(tc < 40, "short").when(tc < 70, "medium").otherwise("long")
+    graft.operators.Sampling.stratifiedSample(
+      t(spark, dir, "documents").withColumn("cls", cls), "doc_id", "cls",
+      Map("short" -> 0.1, "medium" -> 0.5, "long" -> 0.9))
+      .select(col("doc_id"), col("cls"))
+  }
+
+  /** Sequence packing: assign documents to 2048-token context bins,
+    * sharded 8 ways for parallelism; one window per shard, no global
+    * sort.
+    */
+  def c3_pack_sequences(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.packSequences(
+      t(spark, dir, "documents"), "doc_id", "text", budgetTokens = 2048L, shards = 8)
+
   // ---- dedup (D1, D2) --------------------------------------------------
 
   def d1_dedup_exact(spark: SparkSession, dir: String): DataFrame =

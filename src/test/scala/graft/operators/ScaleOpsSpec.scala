@@ -21,6 +21,46 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!top.contains(("the", 1)))
   }
 
+  test("stratified sample: keep rates track fractions, membership deterministic") {
+    import spark.implicits._
+    val docs = (0 until 4000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "cls")
+    def run() = Sampling.stratifiedSample(docs, "doc_id", "cls",
+      Map("a" -> 0.2, "b" -> 0.8)).select("doc_id").as[Long].collect().toSet
+    val kept = run()
+    val aRate = kept.count(_ % 2 == 0) / 2000.0
+    val bRate = kept.count(_ % 2 == 1) / 2000.0
+    assert(math.abs(aRate - 0.2) < 0.05, s"a rate $aRate")
+    assert(math.abs(bRate - 0.8) < 0.05, s"b rate $bRate")
+    assert(run() === kept, "membership must be deterministic")
+    // unlisted classes drop by default
+    val none = Sampling.stratifiedSample(
+      docs.withColumn("cls", lit("other")), "doc_id", "cls", Map("a" -> 1.0))
+    assert(none.count() === 0)
+  }
+
+  test("sequence packing: per-shard bins follow the start-offset rule") {
+    import spark.implicits._
+    val docs = (0 until 500).map(i => (i.toLong, Seq.fill(10 + i % 90)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = Sampling.packSequences(docs, "doc_id", "text",
+      budgetTokens = 256L, shards = 4)
+      .select("doc_id", "shard", "n_tokens", "bin")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(packed.length === 500)
+    assert(packed.map(_._2).distinct.sorted === Seq(0L, 1L, 2L, 3L))
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val inOrder = rows.sortBy(_._1)
+      var cum = 0L
+      inOrder.foreach { case (_, _, n, bin) =>
+        assert(bin === cum / 256L, s"start-offset rule at cum $cum")
+        cum += n
+      }
+      assert(inOrder.map(_._4).toSeq === inOrder.map(_._4).toSeq.sorted,
+        "bins nondecreasing in id order")
+    }
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     // 90% of left rows share one hot key
