@@ -75,6 +75,7 @@ object SparkEntry {
     "e4_ivf_topk" -> (Queries.e4_ivf_topk _),
     "e5_kmeans_step" -> (Queries.e5_kmeans_step _),
     "e6_ann_recall" -> (Queries.e6_ann_recall _),
+    "e7_quantized_topk" -> (Queries.e7_quantized_topk _),
     "d5_dup_ngrams" -> (Queries.d5_dup_ngrams _),
     "c1_clean_corpus" -> (Queries.c1_clean_corpus _),
     "c2_sample_mix" -> (Queries.c2_sample_mix _),

@@ -34,6 +34,44 @@ object SimilaritySearch {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
 
+  /** Symmetric int8 quantization of the embedding column: per-vector
+    * scale maxabs/127, components round(v/scale) in [-127, 127]. The
+    * storage/serving format for a 100 TB embedding corpus — 4x smaller
+    * than float32 — and because cosine is scale-invariant, similarity
+    * ranking runs directly on the integer vectors: dot products are
+    * EXACT in double arithmetic (|q| <= 127, any realistic dim), so the
+    * quantized ranking is bit-reproducible by any engine.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val v = col(embCol).cast("array<double>")
+    val maxabs = array_max(transform(v, x => abs(x)))
+    val scl = maxabs / 127.0
+    val q = when(maxabs > 0,
+      transform(v, x => round(x / scl, 0).cast("int")))
+      .otherwise(transform(v, _ => lit(0)))
+    df.select(col(idCol), scl.as("scale"), q.as("q"))
+  }
+
+  /** Top-k by cosine over the int8-quantized corpus, query quantized
+    * identically (HALF_UP — away from zero, matching both the Column
+    * `round` and SQL engines). Same TakeOrderedAndProject shape as
+    * [[topK]].
+    */
+  def quantizedTopK(df: DataFrame, idCol: String, embCol: String,
+      query: Array[Double], k: Int): DataFrame = {
+    val qMax = if (query.isEmpty) 0.0 else query.map(math.abs).max
+    val qq =
+      if (qMax == 0.0) query.map(_ => 0.0)
+      else query.map { x =>
+        BigDecimal(x / (qMax / 127.0))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    quantizeInt8(df, idCol, embCol)
+      .select(col(idCol), cosine(col("q").cast("array<double>"), qq).as("qcos_sim"))
+      .orderBy(col("qcos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Random-hyperplane LSH bucket id (nBits-bit signature) for each row.
     * Deterministic seed; same planes bucket queries at probe time.
     */

@@ -831,7 +831,25 @@ object Oracles {
     "d3_minhash_lsh_pairs" -> d3Sql,
     "d4_simhash_pairs" -> d4Sql,
     "e2_ann_topk" -> e2Sql,
-    "e6_ann_recall" -> e6Sql)
+    "e6_ann_recall" -> e6Sql,
+
+    // int8-quantized cosine top-k: scale cancels in cosine, so the
+    // ranking runs on exact integer dot products — bit-reproducible
+    "e7_quantized_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max([abs(x) FOR x IN v]) AS ma FROM e),
+        |qn AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ma > 0 THEN [round(x / (ma / 127.0)) FOR x IN v]
+        |         ELSE [0.0 FOR x IN v] END AS q
+        |  FROM m),
+        |qv AS (SELECT q AS qq FROM qn WHERE vec_id = 0)
+        |SELECT qn.vec_id,
+        |  list_dot_product(qn.q, qv.qq)
+        |    / (sqrt(list_dot_product(qn.q, qn.q)) * sqrt(list_dot_product(qv.qq, qv.qq))) AS qcos_sim
+        |FROM qn, qv
+        |ORDER BY qcos_sim DESC, qn.vec_id
+        |LIMIT 20""".stripMargin)
 
   /** The 60-bit md5 hash both engines share: Dedup.md5Hash60 in Spark,
     * this expression in DuckDB.

@@ -795,6 +795,17 @@ object Queries {
       query = query, k = 20, nBits = 4)
   }
 
+  /** Top-20 by cosine over the int8-quantized corpus: the 4x-compressed
+    * serving format; ranking runs on exact integer dot products.
+    */
+  def e7_quantized_topk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    SimilaritySearch.quantizedTopK(emb, "vec_id", "embedding", query, k = 20)
+  }
+
   /** Exact embedding-cosine near-dup pairs (threshold join) — the
     * oracle-checkable flavor; the LSH candidate path is the same
     * operator with exact=false.

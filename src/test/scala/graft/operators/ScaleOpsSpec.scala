@@ -21,6 +21,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!top.contains(("the", 1)))
   }
 
+  test("int8 quantization: high recall vs exact top-k, bounded cosine error") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val corpus = (0 until 400).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val query = Array.fill(dim)(rnd.nextGaussian())
+    val exact = SimilaritySearch.topK(corpus, "vec_id", "embedding", query, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val quant = SimilaritySearch.quantizedTopK(corpus, "vec_id", "embedding", query, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact & quant).size / 20.0
+    assert(recall >= 0.8, s"recall@20 $recall")
+    // per-vector cosine error of the quantized form stays tiny
+    val err = SimilaritySearch.scoreAll(corpus, "vec_id", "embedding", query, scale = 6)
+      .join(SimilaritySearch.quantizedTopK(corpus, "vec_id", "embedding", query, 400)
+        .withColumnRenamed("qcos_sim", "qc"), "vec_id")
+      .select(max(abs(col("cos_sim") - col("qc")))).as[Double].head()
+    assert(err < 0.02, s"max cosine error $err")
+  }
+
   test("stratified sample: keep rates track fractions, membership deterministic") {
     import spark.implicits._
     val docs = (0 until 4000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
