@@ -77,6 +77,7 @@ object SparkEntry {
     "e6_ann_recall" -> (Queries.e6_ann_recall _),
     "e7_quantized_topk" -> (Queries.e7_quantized_topk _),
     "d5_dup_ngrams" -> (Queries.d5_dup_ngrams _),
+    "d6_decontaminate" -> (Queries.d6_decontaminate _),
     "c1_clean_corpus" -> (Queries.c1_clean_corpus _),
     "c2_sample_mix" -> (Queries.c2_sample_mix _),
     "c3_pack_sequences" -> (Queries.c3_pack_sequences _),

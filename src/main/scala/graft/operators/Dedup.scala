@@ -209,6 +209,28 @@ object Dedup {
       .where(col("df") > 1)
       .select(md5(col("g")).as("fp"), col("df"), col("keep_id"))
 
+  /** Benchmark decontamination: drop every corpus document sharing any
+    * n-gram with the benchmark (held-out eval) set — the hygiene step
+    * that keeps eval data out of a training corpus. The benchmark gram
+    * set is eval-set-sized, so it broadcasts; the corpus side is one
+    * explode + broadcast semi-probe + anti-join — no corpus-keyed
+    * shuffle at all.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13): DataFrame = {
+    val bench = shingleSets(benchmark, idCol, textCol, n)
+      .select(explode(col("shingles")).as("g")).distinct()
+    val contaminated = shingleSets(corpus, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+      .join(broadcast(bench), "g")
+      .select("doc_id").distinct()
+    corpus.join(contaminated.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** The cut set of contamination-based dedup: every doc that shares a
     * cross-document n-gram and is not that gram's keeper (min doc id).
     * Both the keeper and the document frequency ride ONE window shuffle

@@ -699,6 +699,21 @@ object Oracles {
         |SELECT md5(g) AS fp, count(*) AS df, min(doc_id) AS keep_id
         |FROM sh GROUP BY g HAVING count(*) > 1""".stripMargin,
 
+    // benchmark decontamination: eval set = doc_id % 10 = 0; a corpus
+    // doc survives iff it shares no 13-gram with any eval doc
+    "d6_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_distinct([array_to_string(t[i:i+12], ' ') FOR i IN range(1, len(t) - 11)])) AS g
+        |  FROM tok WHERE len(t) >= 13),
+        |bg AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0),
+        |bad AS (
+        |  SELECT DISTINCT doc_id FROM sh
+        |  WHERE doc_id % 10 <> 0 AND g IN (SELECT g FROM bg))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 10 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
     // genotyping per trio sample + pivot + Mendelian phase cascade
     "g5_trio_phase" ->
       """WITH v AS (

@@ -836,6 +836,19 @@ object Queries {
   def d5_dup_ngrams(spark: SparkSession, dir: String): DataFrame =
     Dedup.duplicatedNgrams(t(spark, dir, "documents"), "doc_id", "text", n = 13)
 
+  /** Benchmark decontamination: every 10th document plays the held-out
+    * eval set; the rest of the corpus drops any document sharing a
+    * 13-gram with it.
+    */
+  def d6_decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.decontaminate(
+      docs.where(col("doc_id") % 10 =!= 0),
+      docs.where(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 13)
+      .select("doc_id")
+  }
+
   /** Composed cleaning pipeline: exact dedup -> contamination cut ->
     * quality gate -> language gate, one declarative plan.
     */
