@@ -52,6 +52,25 @@ def main():
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.loads(Path(f"{OUT_DIR}/oracle_sql.json").read_text())
+    # Lint: DuckDB widens sum(BIGINT) to HUGEINT (and may produce DECIMAL),
+    # which Spark never emits — an uncast window/agg sum hash-mismatches even
+    # when every value is equal (bit r1 g4 and r3 c3). Flag them up front.
+    n_lint = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            cols = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:
+            print(f"LINT {name}: describe error {e}")
+            n_lint += 1
+            continue
+        for cname, ctype, *_ in cols:
+            if "HUGEINT" in ctype.upper() or "DECIMAL" in ctype.upper():
+                print(f"LINT {name}: column '{cname}' types as {ctype} — "
+                      f"Spark has no such type; add an explicit ::BIGINT/"
+                      f"::DOUBLE cast in the oracle SQL")
+                n_lint += 1
+    if n_lint:
+        print(f"{n_lint} oracle type lint failure(s)\n")
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         pq = f"{OUT_DIR}/{name}"
@@ -88,8 +107,8 @@ def main():
         else:
             print(f"PASS {name} ({len(g)} rows)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
-    sys.exit(1 if n_fail else 0)
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_lint} lint")
+    sys.exit(1 if (n_fail or n_lint) else 0)
 
 
 if __name__ == "__main__":

@@ -233,16 +233,26 @@ object Dedup {
 
   /** The cut set of contamination-based dedup: every doc that shares a
     * cross-document n-gram and is not that gram's keeper (min doc id).
-    * Both the keeper and the document frequency ride ONE window shuffle
-    * on the gram.
+    *
+    * SKEW: keeper + document frequency come from a groupBy (partial+final
+    * HashAggregate — a hot gram like a site-wide footer collapses map-side),
+    * NOT a window over the gram: a window gets no map-side combine and AQE
+    * cannot split a skewed window partition, so one mega-duplicated gram
+    * would land whole on a single reducer. The surviving dup-gram set
+    * (df > 1) is small by construction and broadcasts back onto the
+    * shingle stream; if it ever outgrew the broadcast budget, dropping the
+    * hint leaves an equi-join whose build side is one row per gram —
+    * AQE's skew-join CAN split that, unlike the window.
     */
   def contaminatedDocs(df: DataFrame, idCol: String, textCol: String, n: Int = 13): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
-    shingleSets(df, idCol, textCol, n)
+    val grams = shingleSets(df, idCol, textCol, n)
       .select(col("doc_id"), explode(col("shingles")).as("g"))
-      .withColumn("kp", min(col("doc_id")).over(w))
-      .withColumn("df", count(lit(1)).over(w))
-      .where(col("df") > 1 && col("doc_id") =!= col("kp"))
+    val dupGrams = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("kp"), count(lit(1)).as("df"))
+      .where(col("df") > 1)
+      .select(col("g"), col("kp"))
+    grams.join(broadcast(dupGrams), Seq("g"))
+      .where(col("doc_id") =!= col("kp"))
       .select("doc_id").distinct()
   }
 

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Composed training-data pipelines: the cleaning flow every large
@@ -12,7 +11,10 @@ object Pipeline {
 
   /** End-to-end corpus cleaning:
     *   1. exact dedup — keep the lowest doc id per content fingerprint
-    *      (one window shuffle on md5(text));
+    *      via one groupBy(md5(text)) + min_by (partial+final HashAggregate:
+    *      a mega-duplicated document collapses map-side; the window form
+    *      would land the whole hot fingerprint on one reducer, and AQE
+    *      cannot split a skewed window partition);
     *   2. contamination cut — drop docs repeating a cross-document
     *      n-gram they don't own ([[Dedup.contaminatedDocs]]; the cut set
     *      is tiny, so the anti-join broadcasts under AQE);
@@ -20,8 +22,9 @@ object Pipeline {
     *      (narrow codegen'd expressions, [[TextAnalysis]]);
     *   4. language gate — heuristic lang-id == keepLang (narrow).
     *
-    * Shuffle budget: two (fingerprint window + contamination gram
-    * window); everything else is narrow or broadcast. Survivors emit
+    * Shuffle budget: two partial+final aggregations (fingerprint groupBy
+    * + contamination gram groupBy) — no window over a content key
+    * anywhere; everything else is narrow or broadcast. Survivors emit
     * (doc_id, n_tokens, pred_lang).
     */
   def cleanCorpus(
@@ -36,15 +39,15 @@ object Pipeline {
       n: Int = 13): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val keepExact = base
-      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
-      .where(col("doc_id") === col("keep_id"))
-      .drop("keep_id")
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("keeper"))
+      .select(col("keeper.doc_id").as("doc_id"), col("keeper.text").as("text"))
     val txt = col("text")
     // The contamination scan reads the RAW corpus, not keepExact: the
     // victim set among survivors is provably identical either way (a
     // gram's min-id keeper always survives exact dedup — its exact twin
     // with a smaller id carries the same grams), and feeding keepExact
-    // would evaluate the fingerprint window TWICE (Spark plans the
+    // would evaluate the fingerprint aggregation TWICE (Spark plans the
     // shared subtree without exchange reuse here), which costs more than
     // shingling the duplicate mass unless the corpus is mostly copies.
     keepExact

@@ -626,7 +626,7 @@ object Oracles {
         |  SELECT doc_id, shard, n_tokens,
         |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
         |  FROM d)
-        |SELECT doc_id, shard, n_tokens, (cum - n_tokens) // 2048 AS bin
+        |SELECT doc_id, shard, n_tokens, ((cum - n_tokens) // 2048)::BIGINT AS bin
         |FROM c""".stripMargin,
 
     // composed cleaning pipeline: exact-dedup keepers -> contamination

@@ -606,7 +606,7 @@ object Queries {
           else graft.kernels.AlnMatch(1, Some(f.toString))
         }
         val (cigar, md) = graft.kernels.AlignmentOps.render(ops)
-        Read(name, contig, start, start + 28, readSeq, "I" * 28, cigar, md,
+        Read(name, contig, start, start + 28, readSeq, "I" * readSeq.length, cigar, md,
           60, readMapped = true, readNegativeStrand = false,
           duplicateRead = false, primaryAlignment = true, sampleId = "s1")
       }

@@ -99,12 +99,19 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size === 1, "exactly one shuffle (on the gram)")
   }
 
-  test("c1 cleaning pipeline: two window shuffles, broadcast anti-join, no nested loop") {
+  test("c1 cleaning pipeline: partial+final aggs (no content-key window), broadcast anti-join") {
     val plan = planOf(Queries.c1_clean_corpus(spark, sf("0.001")))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
-    // fingerprint window + contamination gram window + the (small)
-    // victim-set distinct; the anti-join itself must broadcast, adding
-    // no shuffle of the corpus
+    // Skew guard: a Window over md5(text) or the gram key gets no map-side
+    // combine and AQE cannot split its skewed partitions — one
+    // mega-duplicated doc / hot 13-gram would land whole on one reducer.
+    // Both dedup steps must be groupBy partial+final HashAggregates.
+    assert(!plan.contains("Window"), s"content-key window reintroduced:\n$plan")
+    assert("partial".r.findAllIn(plan).nonEmpty && "HashAggregate".r.findAllIn(plan).size >= 4,
+      s"expected partial+final aggregates on fingerprint and gram keys:\n$plan")
+    // fingerprint groupBy + gram groupBy + the (small) victim-set
+    // distinct; the anti-join itself must broadcast, adding no shuffle
+    // of the corpus
     assert(plan.contains("LeftAnti") && plan.contains("BroadcastExchange"), plan)
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 3,
       s"cleaning pipeline over-shuffles:\n$plan")
