@@ -13,12 +13,12 @@ import org.apache.spark.sql.functions._
   *
   *   graft.cli.Main discover <reads> <out> [minPhred] [minObs]
   *   graft.cli.Main biallelicGenotyper <reads> <out> [minPhred] [minObs]
-  *       [-ploidy N] [-contig_ploidy chrX=1,chrY=1]
+  *       [-ploidy N] [-contig_ploidy chrX=1,chrY=1] [-bin_size N]
   *   graft.cli.Main jointer <genotypes-parquet|vcf> <out-vcf> [-from_gvcf]
   *   graft.cli.Main mergeDiscovered <variants-glob> <out>
   *   graft.cli.Main reassemble <reads> <out>
   *   graft.cli.Main trioGenotyper <reads> <out> <mother> <father> <child>
-  *       [-ploidy N]
+  *       [-ploidy N] [-bin_size N]
   *
   * Reads: .sam/.bam files or parquet directories of the Read schema
   * (CRAM is a documented non-goal: the codec requires an external
@@ -26,7 +26,10 @@ import org.apache.spark.sql.functions._
   * (calls/variants/reads) or VCF text (jointer). -ploidy sets the base
   * ploidy; -contig_ploidy overrides whole contigs (sex chromosomes),
   * threading variable-ploidy calling through the genotyper's
-  * copy-number path.
+  * copy-number path. -bin_size pins the genotyper's (contig, bin)
+  * shuffle granularity; without it the CLI sizes bins from the data
+  * ([[BiallelicGenotyper.chooseBinSize]]) — a constant tuned for one
+  * coverage is the first thing to go wrong at 100x.
   */
 object Main {
 
@@ -59,7 +62,7 @@ object Main {
 
   /** Positional args with `-flag value` pairs and bare switches removed. */
   private def positional(args: Array[String]): Array[String] = {
-    val valued = Set("-ploidy", "-contig_ploidy")
+    val valued = Set("-ploidy", "-contig_ploidy", "-bin_size")
     val out = Array.newBuilder[String]
     var i = 0
     while (i < args.length) {
@@ -86,6 +89,14 @@ object Main {
       else None
     (base, cn)
   }
+
+  /** Bin size for the genotyper's (contig, bin) read shuffle: an explicit
+    * `-bin_size N` wins; otherwise sized from the data
+    * ([[BiallelicGenotyper.chooseBinSize]] — one cheap sampling job).
+    */
+  private[cli] def resolveBinSize(args: Array[String], reads: Dataset[Read]): Double =
+    flagValue(args, "-bin_size").map(_.toDouble)
+      .getOrElse(BiallelicGenotyper.chooseBinSize(reads))
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: <command> <in> <out> [...]")
@@ -115,7 +126,8 @@ object Main {
           .as[DiscoveredVariant]
         val called = RewriteHets(
           HardFilterGenotypes(BiallelicGenotyper.call(
-            reads, variants, ploidy = basePloidy, copyNumbers = cn)))
+            reads, variants, ploidy = basePloidy,
+            binSize = resolveBinSize(args, reads), copyNumbers = cn)))
         called.write.mode("overwrite").parquet(pos(2))
 
       case "jointer" =>
@@ -153,7 +165,8 @@ object Main {
           .select("contigName", "start", "referenceAllele", "alternateAllele")
           .as[DiscoveredVariant]
         val called = BiallelicGenotyper.call(
-          reads, variants, ploidy = basePloidy, copyNumbers = cn)
+          reads, variants, ploidy = basePloidy,
+          binSize = resolveBinSize(args, reads), copyNumbers = cn)
           .withColumn("end", col("start") + greatest(length(col("referenceAllele")), lit(1)))
         TrioCaller(called, pos(3), pos(4), pos(5))
           .write.mode("overwrite").parquet(pos(2))

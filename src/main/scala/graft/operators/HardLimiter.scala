@@ -31,6 +31,12 @@ object HardLimiter {
     * spreads across partitions; the cap then applies per partition with
     * edge effects at range boundaries — the reference's semantics.
     * `tieCols` break sort ties deterministically.
+    *
+    * SCALE GUARD: the exact flavor puts each key's rows on ONE task, so a
+    * hot key (a whole-contig WGS pileup) is a silent wall. A task whose
+    * partition exceeds `warnPartitionRows` logs a warning and bumps the
+    * `hardLimiter.exact.hotPartitions` accumulator pointing at
+    * `exact = false` — the documented at-scale flavor.
     */
   def capCoverage(
       df: DataFrame,
@@ -40,7 +46,8 @@ object HardLimiter {
       maxCoverage: Int,
       numPartitions: Int = 0,
       exact: Boolean = false,
-      tieCols: Seq[String] = Nil): DataFrame = {
+      tieCols: Seq[String] = Nil,
+      warnPartitionRows: Long = 10000000L): DataFrame = {
 
     val parts = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
@@ -54,11 +61,26 @@ object HardLimiter {
     val ei = sorted.schema.fieldIndex(endCol)
 
     implicit val enc: Encoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(sorted.schema))
+    val hotAcc =
+      if (exact) {
+        val a = df.sparkSession.sparkContext.longAccumulator("hardLimiter.exact.hotPartitions")
+        lastExactHotPartitions = Some(a)
+        Some(a)
+      } else None
     sorted.mapPartitions { rows =>
       // active = end positions of admitted, still-open intervals (per key)
       var curKey: Any = null
+      var seen = 0L
       val active = mutable.PriorityQueue.empty[Long](Ordering[Long].reverse)
       rows.filter { r =>
+        seen += 1
+        if (seen == warnPartitionRows) hotAcc.foreach { a =>
+          a.add(1)
+          org.slf4j.LoggerFactory.getLogger("graft.operators.HardLimiter").warn(
+            s"capCoverage(exact=true) partition exceeded $warnPartitionRows rows: " +
+              "a hot key lands entire on one task; use exact=false " +
+              "(range partitioning) at scale")
+        }
         val k = r.get(ki)
         if (k != curKey) { curKey = k; active.clear() }
         val s = r.getLong(si)
@@ -68,4 +90,11 @@ object HardLimiter {
       }
     }
   }
+
+  /** Accumulator from the most recent exact-flavor plan (test hook /
+    * post-run observability): number of tasks whose partition crossed
+    * `warnPartitionRows`.
+    */
+  @volatile private[graft] var lastExactHotPartitions:
+      Option[org.apache.spark.util.LongAccumulator] = None
 }

@@ -468,7 +468,11 @@ object Queries {
         .outputMode("append").format("memory").queryName(name).start()
       q.processAllAvailable()
       q.stop()
-      spark.table(name)
+      // dropDuplicatesWithinWatermark re-emits a key seen again more than
+      // the watermark apart — correct streaming semantics, but the oracle
+      // is the batch DISTINCT, so collapse re-emissions here rather than
+      // depend on the staged source fitting one micro-batch
+      spark.table(name).distinct()
     }
 
   /** Stream-static enrichment: the events stream joins the (static)

@@ -407,6 +407,12 @@ object Bam {
     */
   private[sources] def chunkReads(path: String, start: Long, end: Long, defaultSample: String): Iterator[Read] = {
     val raf = new java.io.RandomAccessFile(path, "r")
+    // a consumer that stops early (limit/take over the scan) never drains
+    // the iterator, so the drain-close below would leak the handle for the
+    // task's lifetime — the completion listener closes it regardless
+    // (close is idempotent); the drain-close remains for driver-side use
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => raf.close()))
     def closing(it: Iterator[Read]): Iterator[Read] = new Iterator[Read] {
       private var open = true
       override def hasNext: Boolean = {

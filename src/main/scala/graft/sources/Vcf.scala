@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions._
 object Vcf {
 
   def header(sampleIds: Seq[String], filterLines: Seq[String] = Nil,
-      extraFormatLines: Seq[String] = Nil): String =
+      extraFormatLines: Seq[String] = Nil,
+      extraInfoLines: Seq[String] = Nil): String =
     (Seq(
       "##fileformat=VCFv4.2",
       "##INFO=<ID=END,Number=1,Type=Integer,Description=\"End of the reference-model block (gVCF)\">"
-    ) ++ filterLines ++ Seq(
+    ) ++ extraInfoLines ++ filterLines ++ Seq(
       "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
       "##FORMAT=<ID=AD,Number=R,Type=Integer,Description=\"Allelic depths for the ref and alt alleles\">",
       "##FORMAT=<ID=DP,Number=1,Type=Integer,Description=\"Read Depth\">",
@@ -109,8 +110,10 @@ object Vcf {
     val annCells =
       (if (hasMq) Seq(coalesce(col("rmsMapQ").cast("string"), lit("."))) else Nil) ++
         (if (hasFs) Seq(coalesce(col("strandBiasPhred").cast("string"), lit("."))) else Nil) ++
-        (if (hasSb) Seq(coalesce(concat_ws(",",
-          col("strandBiasComponents").cast("array<string>")), lit("."))) else Nil)
+        // concat_ws over a NULL array is "" (not null), which would slip
+        // past the coalesce and emit an empty VCF cell — nullify it first
+        (if (hasSb) Seq(coalesce(nullif(concat_ws(",",
+          col("strandBiasComponents").cast("array<string>")), lit("")), lit("."))) else Nil)
     val fmtKeys = Seq("GT", "AD", "DP", "GQ", "PL") ++
       (if (hasMq) Seq("MQ") else Nil) ++
       (if (hasFs) Seq("FS") else Nil) ++
@@ -141,6 +144,17 @@ object Vcf {
         max(when(col("alternateAllele").isNull && col("end") > col("start") + 1,
           col("end"))).over(siteW)
       else lit(null).cast("long")
+    // site-level INFO annotations (the reference's converter also emits
+    // the calling annotations at the site, CORE/genotyping/
+    // BiallelicGenotyper.scala:731-747): MQ/FS summarized across the
+    // site's samples via the same window that carries FILTER/END/QUAL.
+    val mqInfoCell =
+      if (hasMq) max(col("rmsMapQ")).over(siteW) else lit(null).cast("double")
+    val fsInfoCell =
+      if (hasFs) max(col("strandBiasPhred")).over(siteW) else lit(null).cast("double")
+    val infoHeaderLines =
+      (if (hasMq) Seq("##INFO=<ID=MQ,Number=1,Type=Float,Description=\"RMS mapping quality across samples at the site\">") else Nil) ++
+        (if (hasFs) Seq("##INFO=<ID=FS,Number=1,Type=Float,Description=\"Phred-scaled Fisher strand bias at the site\">") else Nil)
     // site QUAL: confidence any sample carries the alt — the max variant
     // genotype quality at the site (reference blocks stay "."). Site-level
     // like FILTER/END, so it rides the pivot keys via the same window.
@@ -153,10 +167,18 @@ object Vcf {
       .withColumn("__cell", cell)
       .withColumn("__filter", filterCell)
       .withColumn("__end", infoCell)
+      .withColumn("__mq", mqInfoCell)
+      .withColumn("__fs", fsInfoCell)
       .withColumn("__qual", qualCell)
-      .groupBy((site :+ "__filter" :+ "__end" :+ "__qual").map(col): _*)
+      .groupBy((site :+ "__filter" :+ "__end" :+ "__mq" :+ "__fs" :+ "__qual").map(col): _*)
       .pivot("sampleId", samples)
       .agg(max(col("__cell")))
+    // INFO = ;-joined key=value pairs; concat(..., null) drops a pair,
+    // an all-null site degrades to "."
+    val info = coalesce(nullif(concat_ws(";",
+      concat(lit("END="), col("__end").cast("string")),
+      concat(lit("MQ="), col("__mq").cast("string")),
+      concat(lit("FS="), col("__fs").cast("string"))), lit("")), lit("."))
     val dataLine = concat_ws("\t",
       Seq(
         col("contigName"),
@@ -166,12 +188,13 @@ object Vcf {
         coalesce(col("alternateAllele"), lit(".")),
         coalesce(round(col("__qual"), 2).cast("string"), lit(".")),
         coalesce(col("__filter"), lit("PASS")),
-        coalesce(concat(lit("END="), col("__end").cast("string")), lit(".")),
+        info,
         lit(fmtKeys.mkString(":"))) ++
         samples.map(s => coalesce(col(s), lit(missingCell))): _*)
     val data = pivotedF
       .select(lit(1).as("__k"), col("contigName"), col("start"), dataLine.as("value"))
-    val head = header(samples, filterHeaderLines, fmtHeaderLines).split("\n").toSeq.zipWithIndex
+    val head = header(samples, filterHeaderLines, fmtHeaderLines, infoHeaderLines)
+      .split("\n").toSeq.zipWithIndex
       .map { case (l, i) => (0, "", i.toLong, l) }
       .toDF("__k", "contigName", "start", "value")
     val lines = head.unionByName(data)
@@ -248,6 +271,10 @@ object Vcf {
       // '.' = missing per spec; must become null before any ANSI cast
       nullif(when(i > 0, element_at(col("smp"), i)), lit("."))
     }
+    // INFO key=value lookup; regexp_extract yields '' on no match, which
+    // must become null, not an ANSI cast error
+    def infoField(name: String) =
+      nullif(regexp_extract(element_at(col("f"), 8), "(^|;)" + name + "=([^;]+)", 2), lit(""))
     val glFromPl = (a: org.apache.spark.sql.Column, g: Int) => {
       // PL index of genotype with g copies of allele a (diploid):
       // (j,k) -> k(k+1)/2 + j with (j,k) = (0,0)/(0,a)/(a,a)
@@ -277,10 +304,7 @@ object Vcf {
       .withColumn("gtAlleles", filter(split(col("gt"), "[/|]"), a => a =!= ""))
       .withColumn("end",
         coalesce(
-          // regexp_extract yields '' on no match; '' must become null,
-          // not an ANSI cast error
-          nullif(regexp_extract(element_at(col("f"), 8), "(^|;)END=([0-9]+)", 2), lit(""))
-            .cast("long"),
+          infoField("END").cast("long"),
           col("f").getItem(1).cast("long") - 1 + length(col("f").getItem(3))))
       .select(
         // original column order first (positional compatibility), gVCF
@@ -313,6 +337,10 @@ object Vcf {
         fmtField("MQ").cast("double").as("rmsMapQ"),
         fmtField("FS").cast("double").as("strandBiasPhred"),
         transform(split(fmtField("SB"), ","), x => x.cast("int"))
-          .as("strandBiasComponents"))
+          .as("strandBiasComponents"),
+        // site-level INFO annotations (this sink's write emits MQ/FS at
+        // the site alongside the per-sample FORMAT fields)
+        infoField("MQ").cast("double").as("siteRmsMapQ"),
+        infoField("FS").cast("double").as("siteStrandBiasPhred"))
   }
 }

@@ -42,6 +42,27 @@ class HardLimiterSpec extends SparkSpec {
     }
   }
 
+  test("exact mode flags hot partitions; range mode never does") {
+    import spark.implicits._
+    // one hot key: every row hashes to the same task under exact=true
+    val df = (0 until 500).map(i => ("hot", i.toLong, i.toLong + 5, i.toLong))
+      .toDF("key", "s", "e", "id")
+    val kept = HardLimiter.capCoverage(df, "key", "s", "e", maxCoverage = 1000,
+      exact = true, tieCols = Seq("id"), warnPartitionRows = 100).count()
+    assert(kept === 500)
+    assert(HardLimiter.lastExactHotPartitions.exists(_.value === 1L),
+      "the single hot hash partition should be flagged once")
+
+    // range partitioning spreads the same key: no task crosses the bar
+    HardLimiter.lastExactHotPartitions = None
+    val keptRange = HardLimiter.capCoverage(df, "key", "s", "e", maxCoverage = 1000,
+      exact = false, tieCols = Seq("id"), numPartitions = 16,
+      warnPartitionRows = 100).count()
+    assert(keptRange === 500)
+    assert(HardLimiter.lastExactHotPartitions.isEmpty,
+      "range flavor installs no hot-partition accumulator")
+  }
+
   test("uncapped input passes through untouched") {
     import spark.implicits._
     val df = (0 until 50).map(i => ("k", i.toLong * 100, i.toLong * 100 + 10, i.toLong))

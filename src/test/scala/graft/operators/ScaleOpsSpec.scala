@@ -83,6 +83,82 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  /** Deterministic property driver (no scalatestplus in the offline
+    * cache): sample the generator across fixed seeds.
+    */
+  private def forAllSeeded[T](gen: org.scalacheck.Gen[T], n: Int)(body: T => Unit): Unit = {
+    val params = org.scalacheck.Gen.Parameters.default
+    (0 until n).foreach { i =>
+      gen.apply(params, org.scalacheck.rng.Seed(i.toLong)).foreach(body)
+    }
+  }
+
+  test("property: stratified keep rate concentrates on each class fraction") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val gen = for {
+      nCls <- Gen.choose(2, 4)
+      fracs <- Gen.listOfN(nCls, Gen.choose(0, 10).map(_ / 10.0))
+    } yield fracs
+    forAllSeeded(gen, 6) { fracs =>
+      val classes = fracs.indices.map(i => s"c$i")
+      val fmap = classes.zip(fracs).toMap
+      val nDocs = 3000
+      val docs = (0 until nDocs).map(i => (i.toLong, classes(i % classes.size)))
+        .toDF("doc_id", "cls")
+      val kept = Sampling.stratifiedSample(docs, "doc_id", "cls", fmap)
+        .groupBy("cls").count().as[(String, Long)].collect().toMap
+      classes.zipWithIndex.foreach { case (c, ci) =>
+        val total = (0 until nDocs).count(_ % classes.size == ci).toDouble
+        val rate = kept.getOrElse(c, 0L) / total
+        // ~4 sigma for the worst class size at p = 0.5
+        assert(math.abs(rate - fmap(c)) < 0.07, s"class $c rate $rate want ${fmap(c)}")
+      }
+      // incremental-growth stability: sampling a prefix of the corpus
+      // makes exactly the decisions the full-corpus run makes on it —
+      // the property that lets a 100 TB corpus be sampled incrementally
+      val half = nDocs / 2
+      val keptPrefix = Sampling.stratifiedSample(
+        docs.where(col("doc_id") < half), "doc_id", "cls", fmap)
+        .select("doc_id").as[Long].collect().toSet
+      val keptFull = Sampling.stratifiedSample(docs, "doc_id", "cls", fmap)
+        .select("doc_id").as[Long].collect().toSet
+      assert(keptPrefix === keptFull.filter(_ < half))
+    }
+  }
+
+  test("property: packing bins are monotone and budget-bounded per shard") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val gen = for {
+      nDocs <- Gen.choose(50, 250)
+      budget <- Gen.choose(32L, 512L)
+      shards <- Gen.choose(1, 8)
+      toks <- Gen.listOfN(nDocs, Gen.choose(1, 120))
+    } yield (budget, shards, toks)
+    forAllSeeded(gen, 6) { case (budget, shards, toks) =>
+      val docs = toks.zipWithIndex.map { case (n, i) =>
+        (i.toLong, Seq.fill(n)("w").mkString(" "))
+      }.toDF("doc_id", "text")
+      val packed = Sampling.packSequences(docs, "doc_id", "text", budget, shards)
+        .as[(Long, Long, Long, Long)].collect()
+      assert(packed.length === toks.size)
+      packed.groupBy(_._2).foreach { case (shard, rows) =>
+        val inOrder = rows.sortBy(_._1)
+        assert(inOrder.map(_._4).toSeq === inOrder.map(_._4).toSeq.sorted,
+          s"bins must be nondecreasing in id order within shard $shard")
+        // budget bound: all of a bin's docs START inside the bin's budget
+        // window, so everything but the final straddler must fit; only a
+        // single over-budget doc may own a bin by itself
+        inOrder.groupBy(_._4).foreach { case (bin, binRows) =>
+          val exceptLast = binRows.sortBy(_._1).dropRight(1)
+          assert(exceptLast.map(_._3).sum < budget,
+            s"shard $shard bin $bin overpacks: ${exceptLast.map(_._3).sum} >= $budget")
+        }
+      }
+    }
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     // 90% of left rows share one hot key

@@ -79,6 +79,35 @@ class SourcesSpec extends SparkSpec {
       ("chr1", 100L, "s1", 55.317, 12.4, Seq(10, 11, 4, 5)),
       ("chr1", 100L, "s2", 59.958, 0.211, Seq(6, 7, 8, 9)),
       ("chr2", 42L, "s1", 41.5, 3.0, Seq(1, 2, 3, 4))))
+    // site-level INFO annotations ride alongside the FORMAT fields:
+    // MQ/FS summarized across the site's samples (max), declared in the
+    // header, and parsed back as siteRmsMapQ / siteStrandBiasPhred
+    val lines = spark.read.text(dir).as[String].collect()
+    assert(lines.exists(_.startsWith("##INFO=<ID=MQ")), lines.take(8).mkString("\n"))
+    assert(lines.exists(_.startsWith("##INFO=<ID=FS")), lines.take(8).mkString("\n"))
+    val infoByPos = lines.filterNot(_.startsWith("#"))
+      .map(l => { val f = l.split("\t"); f(1) -> f(7) }).toMap
+    assert(infoByPos("101") === "MQ=59.958;FS=12.4")
+    assert(infoByPos("43") === "MQ=41.5;FS=3.0")
+    val site = Vcf.read(spark, dir)
+      .select("start", "siteRmsMapQ", "siteStrandBiasPhred").distinct()
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(site === Set((100L, 59.958, 12.4), (42L, 41.5, 3.0)))
+
+    // null SB arrays must degrade to "." cells, never an empty string
+    val nullSb = Seq(
+      ("chr1", 7L, "A", "G", "s1", 1, 20.0, 9, 33.0, 1.5,
+        null.asInstanceOf[Seq[Int]]))
+      .toDF("contigName", "start", "referenceAllele", "alternateAllele",
+        "sampleId", "genotypeState", "genotypeQuality", "readDepth",
+        "rmsMapQ", "strandBiasPhred", "strandBiasComponents")
+    val dir3 = java.nio.file.Files.createTempDirectory("vcfnullsb").toString + "/out"
+    Vcf.write(nullSb, dir3, singleFile = true)
+    val cell3 = spark.read.text(dir3).as[String].collect()
+      .find(l => !l.startsWith("#")).get.split("\t")(9)
+    assert(cell3.endsWith(":."), cell3)
+    assert(!cell3.endsWith(":"), cell3)
+
     // files without annotation columns keep the exact golden FORMAT shape
     val plain = calls.drop("rmsMapQ", "strandBiasPhred", "strandBiasComponents")
     val dir2 = java.nio.file.Files.createTempDirectory("vcfplain").toString + "/out"
@@ -86,6 +115,9 @@ class SourcesSpec extends SparkSpec {
     val fmt2 = spark.read.text(dir2).as[String].collect()
       .find(l => !l.startsWith("#")).get.split("\t")(8)
     assert(fmt2 === "GT:AD:DP:GQ:PL")
+    val info2 = spark.read.text(dir2).as[String].collect()
+      .find(l => !l.startsWith("#")).get.split("\t")(7)
+    assert(info2 === ".", "plain dumps keep an empty INFO column")
   }
 
   test("VCF fast concat equals the coalesce(1) single file") {
