@@ -33,6 +33,7 @@ object Bench {
     "ev1_time_window_agg",
     "ev4_stream_sessions",
     "d6_decontaminate",
+    "d7_dup_clusters",
     "e7_quantized_topk",
     "g1_discover_variants",
     "g2_genotype_calls",
@@ -61,7 +62,9 @@ object Bench {
     // query, but on the production hash family (xx64) instead of the
     // DuckDB-reproducible md5 the oracle gate needs.
     val overrides: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-      Map("d3_minhash_lsh_pairs" -> (queries.Queries.d3_minhash_lsh_pairs_prod _))
+      Map(
+        "d3_minhash_lsh_pairs" -> (queries.Queries.d3_minhash_lsh_pairs_prod _),
+        "d7_dup_clusters" -> (queries.Queries.d7_dup_clusters_prod _))
 
     val results = headline.flatMap { name =>
       overrides.get(name).orElse(SparkEntry.queries.get(name)).map { fn =>

@@ -52,6 +52,7 @@ object SparkEntry {
     "t3_lang_id" -> (Queries.t3_lang_id _),
     "t4_fingerprint" -> (Queries.t4_fingerprint _),
     "t6_tfidf_topterms" -> (Queries.t6_tfidf_topterms _),
+    "t7_repetition" -> (Queries.t7_repetition _),
     "d1_dedup_exact" -> (Queries.d1_dedup_exact _),
     "d2_ngram_jaccard_pairs" -> (Queries.d2_ngram_jaccard_pairs _),
     "e1_cosine_score" -> (Queries.e1_cosine_score _),
@@ -78,6 +79,7 @@ object SparkEntry {
     "e7_quantized_topk" -> (Queries.e7_quantized_topk _),
     "d5_dup_ngrams" -> (Queries.d5_dup_ngrams _),
     "d6_decontaminate" -> (Queries.d6_decontaminate _),
+    "d7_dup_clusters" -> (Queries.d7_dup_clusters _),
     "c1_clean_corpus" -> (Queries.c1_clean_corpus _),
     "c2_sample_mix" -> (Queries.c2_sample_mix _),
     "c3_pack_sequences" -> (Queries.c3_pack_sequences _),

@@ -355,6 +355,66 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("agree"), 4).as("sig_agreement"))
   }
 
+  /** Duplicate-cluster resolution: turn a near-dup PAIR list (the output
+    * shape of [[minHashLshPairs]]/[[simHashPairs]]/ngram Jaccard) into
+    * per-document cluster ids via connected components — the step a real
+    * dedup pipeline needs before it can pick one keeper per transitive
+    * duplicate group (keeper = the row where doc_id == cluster_id).
+    *
+    * Distributed min-label propagation with pointer jumping: each
+    * iteration lowers every node's label to min(own, neighbors' labels)
+    * and then follows its label's label (path halving), so convergence is
+    * O(log diameter) iterations, not O(diameter) — long duplication
+    * chains (A~B~C~...) don't degrade into a sequential crawl. Each
+    * iteration is a bounded number of hash-partitioned joins/aggs over
+    * (node, label) pairs — never materializes components, never collects
+    * to the driver; lineage is cut per iteration (localCheckpoint) so the
+    * loop's plan doesn't grow. LSH dup graphs converge in 2-4 iterations.
+    *
+    * Returns (doc_id, cluster_id = min doc id reachable in the pair
+    * graph), one row per document that appears in any pair.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int = 30): DataFrame = {
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    val edges = pairs.select(a.as("src"), b.as("dst"))
+      .union(pairs.select(b.as("src"), a.as("dst")))
+      .distinct()
+      .localCheckpoint() // scanned every iteration: materialize once
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("cluster_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("dst"), col("cluster_id").as("dl")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("dl")).as("nmin"))
+      val lowered = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
+          col("cluster_id").as("prev"))
+      // pointer jump: a label is itself a node; adopting ITS label halves
+      // label-chain depth each round (labels only ever decrease)
+      val jumped = lowered
+        .join(labels.select(col("node").as("lbl_node"), col("cluster_id").as("lbl_lbl")),
+          lowered("cluster_id") === col("lbl_node"), "left")
+        .select(col("node"),
+          least(col("cluster_id"), coalesce(col("lbl_lbl"), col("cluster_id"))).as("cluster_id"),
+          col("prev"))
+        .localCheckpoint()
+      changed = jumped.where(col("cluster_id") =!= col("prev")).count()
+      labels = jumped.drop("prev")
+      it += 1
+    }
+    labels.select(col("node").as("doc_id"), col("cluster_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: cosine similarity >=
     * threshold over an array<float|double> column.
     *

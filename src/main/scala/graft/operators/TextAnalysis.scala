@@ -76,6 +76,55 @@ object TextAnalysis {
     * are exact ties here (same tf, df), but rounding first removes any
     * cross-engine last-ulp sensitivity of ln().
     */
+  /** Repetition / boilerplate signals — the Gopher-style quality rules a
+    * pretraining pipeline cuts on: fraction of repeated token
+    * occurrences, weight of the single most frequent token, and the same
+    * two signals over bigrams (machine-generated and boilerplate text
+    * scores high on all four; docs with no bigram emit null bigram
+    * ratios).
+    *
+    * Plan shape: one partial+final count per (doc, gram), then one
+    * partial+final per-doc rollup — two bounded shuffles per gram order,
+    * no windows, no driver state; a mega-document's grams still combine
+    * map-side.
+    */
+  def repetitionSignals(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      scale: Int = 4): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+      filter(tokens(col(textCol)), t => t =!= "").as("toks"))
+      .where(size(col("toks")) >= 1)
+    def stats(grams: org.apache.spark.sql.DataFrame, pfx: String) =
+      grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum(col("c")).as(s"${pfx}_total"),
+          count(lit(1)).as(s"${pfx}_distinct"),
+          max(col("c")).as(s"${pfx}_top"))
+    val tok = stats(base.select(col("doc_id"), explode(col("toks")).as("g")), "tok")
+    // bigrams via one array pass per doc (the array is a projected
+    // attribute, so the explode evaluates it once, not per output row)
+    val bi = stats(base
+      .select(col("doc_id"),
+        zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat_ws(" ", a, b)).as("bis"))
+      .where(size(col("bis")) >= 1)
+      .select(col("doc_id"), explode(col("bis")).as("g")), "bi")
+    tok.join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(lit(1.0) - col("tok_distinct") / col("tok_total").cast("double"), scale)
+          .as("dup_token_ratio"),
+        round(col("tok_top") / col("tok_total").cast("double"), scale)
+          .as("top_token_ratio"),
+        round(lit(1.0) - col("bi_distinct") / col("bi_total").cast("double"), scale)
+          .as("dup_bigram_ratio"),
+        round(col("bi_top") / col("bi_total").cast("double"), scale)
+          .as("top_bigram_ratio"))
+  }
+
   def tfIdfTopTerms(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,

@@ -306,6 +306,29 @@ object Oracles {
         |  FROM s)
         |SELECT doc_id, term, tfidf, rk FROM r WHERE rk <= 5""".stripMargin,
 
+    // bigram list i ranges over [1, len) 1-based, so ts[i+1] tops out at
+    // ts[len]; docs with no bigram emit null bigram ratios on both sides
+    "t7_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, [t FOR t IN string_split(text, ' ') IF t <> ''] AS ts
+        |  FROM documents),
+        |fl AS (SELECT doc_id, unnest(ts) AS g FROM tok WHERE len(ts) >= 1),
+        |tc AS (SELECT doc_id, g, count(*) AS c FROM fl GROUP BY 1, 2),
+        |ta AS (SELECT doc_id, sum(c) AS total, count(*) AS dst, max(c) AS top
+        |       FROM tc GROUP BY 1),
+        |bg AS (SELECT doc_id, [ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))] AS bs
+        |       FROM tok),
+        |bfl AS (SELECT doc_id, unnest(bs) AS g FROM bg WHERE len(bs) >= 1),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM bfl GROUP BY 1, 2),
+        |ba AS (SELECT doc_id, sum(c) AS total, count(*) AS dst, max(c) AS top
+        |       FROM bc GROUP BY 1)
+        |SELECT ta.doc_id,
+        |  round(1 - ta.dst / ta.total::DOUBLE, 4) AS dup_token_ratio,
+        |  round(ta.top / ta.total::DOUBLE, 4) AS top_token_ratio,
+        |  round(1 - ba.dst / ba.total::DOUBLE, 4) AS dup_bigram_ratio,
+        |  round(ba.top / ba.total::DOUBLE, 4) AS top_bigram_ratio
+        |FROM ta LEFT JOIN ba ON ta.doc_id = ba.doc_id""".stripMargin,
+
     "d1_dedup_exact" ->
       """SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text)""".stripMargin,
@@ -845,6 +868,7 @@ object Oracles {
   ) ++ Map(
     "d3_minhash_lsh_pairs" -> d3Sql,
     "d4_simhash_pairs" -> d4Sql,
+    "d7_dup_clusters" -> d7Sql,
     "e2_ann_topk" -> e2Sql,
     "e6_ann_recall" -> e6Sql,
 
@@ -903,6 +927,24 @@ object Oracles {
        |SELECT doc_a, doc_b, round(agree, 4) AS sig_agreement
        |FROM ag WHERE agree >= 0.5""".stripMargin
   }
+
+  /** Oracle for d7: the d3 pair graph (nested as a subquery — DuckDB
+    * allows WITH inside a derived table) closed transitively with a
+    * recursive CTE; cluster id = min reachable node. Tractable because
+    * the walk is bounded by Σ component_size² over small LSH clusters.
+    */
+  private def d7Sql: String =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_a, doc_b FROM (${d3Sql.replace("\n", "\n  ")}) dp),
+       |nodes AS (SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |walk(node, lbl) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.node = e.b)
+       |SELECT node AS doc_id, min(lbl) AS cluster_id
+       |FROM walk GROUP BY node""".stripMargin
 
   /** Generated oracle for d4: 60-bit simhash (bit j = sign of the vote
     * sum over distinct tokens), 4x15-bit pigeonhole chunks, Hamming <= 3.

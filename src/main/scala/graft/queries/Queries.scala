@@ -330,6 +330,10 @@ object Queries {
   def t6_tfidf_topterms(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfIdfTopTerms(t(spark, dir, "documents"), "doc_id", "text", k = 5)
 
+  /** Gopher-style repetition/boilerplate signals per document. */
+  def t7_repetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionSignals(t(spark, dir, "documents"), "doc_id", "text")
+
   /** Deterministic stratified sampling for a training mix: documents
     * classed by length tercile, sampled at 10%/50%/90% — membership from
     * md5 arithmetic, stable across runs and engines.
@@ -789,6 +793,19 @@ object Queries {
   def d4_simhash_pairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(t(spark, dir, "documents"), "doc_id", "text",
       maxHamming = 3, hashFamily = "md5")
+
+  /** Duplicate-cluster resolution over the minhash pair graph: connected
+    * components turn pair hits into per-doc cluster ids (keeper = the
+    * min id). md5 flavor so the oracle reproduces the pair set.
+    */
+  def d7_dup_clusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      d3_minhash_lsh_pairs(spark, dir), "doc_a", "doc_b")
+
+  /** Production flavor of d7 (xx64 pair graph) — what Bench times. */
+  def d7_dup_clusters_prod(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      d3_minhash_lsh_pairs_prod(spark, dir), "doc_a", "doc_b")
 
   def e2_ann_topk(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")

@@ -172,6 +172,32 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(104L), "language gate cut")
   }
 
+  test("connected components resolve transitive duplicate clusters") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter forces multi-round convergence), clique
+    // 10-11-12, isolated pair 20-21; 30 appears in no pair -> no row
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    // keepers are exactly the cluster representatives
+    assert(got.filter { case (d, c) => d == c }.map(_._1) === Set(1L, 10L, 20L))
+
+    // long chain (diameter 63): pointer jumping keeps iterations low
+    val chain = (0 until 63).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIters = 12)
+      .as[(Long, Long)].collect()
+    assert(cc.length === 64 && cc.forall(_._2 === 0L),
+      "64-node chain must fully converge within 12 rounds")
+  }
+
   test("simhash LSH pair finder obeys hamming cap") {
     import spark.implicits._
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)

@@ -21,6 +21,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!top.contains(("the", 1)))
   }
 
+  test("repetition signals: boilerplate scores high, diverse text low") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),        // degenerate
+      (2L, "all work and no play makes jack a dull boy " * 3), // looped
+      (3L, "the quick brown fox jumps over lazy dogs today"),  // diverse
+      (4L, "solo")                                             // no bigram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: one token repeated 8x (ratios rounded to 4 decimals)
+    assert(out(1L).getDouble(1) === 0.875 && out(1L).getDouble(2) === 1.0)
+    assert(out(1L).getDouble(3) === 0.8571 && out(1L).getDouble(4) === 1.0)
+    // looped boilerplate repeats every token and almost every bigram
+    assert(out(2L).getDouble(1) > 0.6 && out(2L).getDouble(3) > 0.6)
+    // diverse text: no repetition at all
+    assert(out(3L).getDouble(1) === 0.0 && out(3L).getDouble(2) === 0.1111)
+    assert(out(3L).getDouble(3) === 0.0)
+    // single-token doc has no bigrams: null bigram ratios, unigram ones live
+    assert(out(4L).getDouble(2) === 1.0 && out(4L).isNullAt(3) && out(4L).isNullAt(4))
+  }
+
   test("int8 quantization: high recall vs exact top-k, bounded cosine error") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
