@@ -32,6 +32,7 @@ object Bench {
     "t6_tfidf_topterms",
     "ev1_time_window_agg",
     "ev4_stream_sessions",
+    "ev7_asof_enrich",
     "d6_decontaminate",
     "d7_dup_clusters",
     "e7_quantized_topk",

@@ -62,6 +62,7 @@ object SparkEntry {
     "ev4_stream_sessions" -> (Queries.ev4_stream_sessions _),
     "ev5_stream_enrich" -> (Queries.ev5_stream_enrich _),
     "ev6_stream_dedup" -> (Queries.ev6_stream_dedup _),
+    "ev7_asof_enrich" -> (Queries.ev7_asof_enrich _),
     "g1_discover_variants" -> (Queries.g1_discover_variants _),
     "g2_genotype_calls" -> (Queries.g2_genotype_calls _),
     "g3_realign" -> (Queries.g3_realign _),

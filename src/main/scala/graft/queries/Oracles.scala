@@ -358,6 +358,32 @@ object Oracles {
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // mirrors the Spark union-scan as-of exactly: right rows (tag 0) sort
+    // before a left row at equal ts (inclusive as-of), largest orderkey
+    // wins equal-ts ties, and the payload rides one struct so both output
+    // columns come from the same matched row
+    "ev7_asof_enrich" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id AS k, epoch_ms(ts) AS ts, 1 AS tag,
+        |         NULL::BIGINT AS ok, NULL::DOUBLE AS tp
+        |  FROM events),
+        |r AS (
+        |  SELECT NULL::BIGINT AS event_id, o_custkey AS k,
+        |         epoch_ms(o_orderdate) AS ts, 0 AS tag,
+        |         o_orderkey AS ok, o_totalprice AS tp
+        |  FROM orders),
+        |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        |m AS (
+        |  SELECT event_id, k, tag,
+        |    last_value(CASE WHEN tag = 0 THEN struct_pack(ok := ok, tp := tp) END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY k ORDER BY ts, tag, ok
+        |            ROWS UNBOUNDED PRECEDING) AS p
+        |  FROM u)
+        |SELECT event_id, k AS user_id, p.ok AS last_orderkey,
+        |  round(p.tp, 2) AS last_total
+        |FROM m WHERE tag = 1""".stripMargin,
+
     "g1_discover_variants" ->
       """SELECT concat('chr', l_returnflag) AS contigName,
         |  (l_partkey % 1000) * 20 + (l_suppkey % 10) AS start,

@@ -386,6 +386,24 @@ object Queries {
     * parquet TIMESTAMP(NANOS) has no Spark type). Integer `div` — nanos
     * overflow double precision.
     */
+  /** As-of enrichment: each event picks up the user's most recent order
+    * at or before the event (ms precision; largest orderkey breaks
+    * same-timestamp ties). One window shuffle on user_id — no
+    * inequality join.
+    */
+  def ev7_asof_enrich(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000000").as("ts_ms"))
+    val ords = t(spark, dir, "orders")
+      .select(col("o_custkey"), unix_millis(col("o_orderdate")).as("o_ms"),
+        col("o_orderkey"), col("o_totalprice"))
+    graft.operators.AsOfJoin.asOf(ev, ords, "user_id", "o_custkey", "ts_ms", "o_ms",
+      payload = Seq("o_orderkey", "o_totalprice"), rightTies = Seq("o_orderkey"))
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("last_orderkey"),
+        round(col("o_totalprice"), 2).as("last_total"))
+  }
+
   def ev1_time_window_agg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .groupBy(
@@ -689,6 +707,11 @@ object Queries {
   def g6_gvcf_squareoff(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
+    // NOTE: the per-sample loop re-derives the narrow cohortReads
+    // projection 2x per sample; persisting it was measured SLOWER at
+    // sf0.1 (47 s vs 32 s end-to-end — encoder (de)serialization into
+    // the block store costs more than re-running a cheap narrow scan),
+    // so the recompute stays.
     val rds = cohortReads(spark, dir)
     val sampleIds = rds.select("sampleId").distinct().as[String].collect().sorted
     val gvcfs = sampleIds.toSeq.map { s =>
