@@ -18,8 +18,16 @@ import org.apache.spark.sql.functions._
   * The naive `l.ts >= r.ts` join plans as a nested loop (or explodes a
   * range bucketing); this shape is why engines with a native ASOF JOIN
   * (DuckDB, kdb) implement it as exactly this merge-scan.
+  *
+  * Skew note: like any per-key ordered scan, ALL rows of one key land in
+  * one window partition — a single pathologically hot key (one user with
+  * 10^9 events) serializes onto one task. That is inherent to per-key
+  * ordering semantics, not this implementation; if such keys exist,
+  * pre-split them upstream (e.g. sessionize first) or accept the tail.
   */
 object AsOfJoin {
+
+  private val Reserved = Seq("__k", "__ts", "__tag", "__p", "__m")
 
   /** Left as-of join.
     *
@@ -27,7 +35,10 @@ object AsOfJoin {
     *                  the SAME matched right row; null when the key has
     *                  no right row at or before the left timestamp)
     * @param rightTies deterministic tie-break among right rows sharing
-    *                  (key, ts): the LARGEST tie tuple wins
+    *                  (key, ts): the LARGEST tie tuple wins. Supply this
+    *                  whenever right (key, ts) pairs can collide — with it
+    *                  empty, which of the colliding rows wins is
+    *                  partition-order-dependent and may vary across runs.
     *
     * Timestamp columns must already be mutually comparable (same type /
     * unit) — unit conversion is the caller's one job.
@@ -41,6 +52,10 @@ object AsOfJoin {
       rightTs: String,
       payload: Seq[String],
       rightTies: Seq[String] = Nil): DataFrame = {
+    val reserved = Reserved ++ rightTies.map("__tie_" + _)
+    val clash = (left.columns ++ right.columns).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"asOf: input columns collide with reserved working names: ${clash.mkString(", ")}")
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__k", col(leftKey))

@@ -395,7 +395,11 @@ object Queries {
     val ev = t(spark, dir, "events")
       .select(col("event_id"), col("user_id"), expr("ts div 1000000").as("ts_ms"))
     val ords = t(spark, dir, "orders")
-      .select(col("o_custkey"), unix_millis(col("o_orderdate")).as("o_ms"),
+      // o_orderdate reads from parquet as TIMESTAMP_NTZ; unix_millis needs
+      // TIMESTAMP. Session tz is pinned UTC in Bench/Verify/tests, so the
+      // cast reproduces the oracle's epoch_ms(o_orderdate) exactly.
+      .select(col("o_custkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_ms"),
         col("o_orderkey"), col("o_totalprice"))
     graft.operators.AsOfJoin.asOf(ev, ords, "user_id", "o_custkey", "ts_ms", "o_ms",
       payload = Seq("o_orderkey", "o_totalprice"), rightTies = Seq("o_orderkey"))
