@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g across 32 local task threads (~250 MB/task) GC-cliffed the
+  // genotyping pass unpredictably (g4 5.7s vs 25.6s run-to-run); 24g on
+  // the 128 GiB box keeps headroom for the page cache while removing
+  // the cliff.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -41,6 +41,28 @@ object Bench {
     "g4_joint_recall",
     "g6_gvcf_squareoff")
 
+  /** Fixed CPU-bound reference probe: 400M xxhash64 over a local range,
+    * no I/O, no shuffle — its cost is stable on a quiet box, so a slow
+    * probe means the MACHINE is contended, not the code. Quiet-box cost
+    * measured at calibration time (local[32]): ~CAL_REF_SEC. A run whose
+    * probe exceeds 1.5x that is flagged `"contended": true` so a
+    * polluted artifact self-describes (BENCH_r04 showed 1.8x inflation
+    * with no way to tell from the JSON).
+    */
+  def calibrate(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 400000000L, 1, 32)
+      .selectExpr("bit_xor(xxhash64(id)) AS h") // bit_xor: no ANSI long overflow
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  // measured on the quiet target box (local[32]): 0.38 s first run
+  // (codegen compile included), 0.25 s steady-state; 0.40 keeps quiet
+  // runs under the 1.5x band while a BENCH_r04-style 1.8x-contended run
+  // lands well over it
+  val CalRefSec = 0.40
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -67,22 +89,43 @@ object Bench {
         "d3_minhash_lsh_pairs" -> (queries.Queries.d3_minhash_lsh_pairs_prod _),
         "d7_dup_clusters" -> (queries.Queries.d7_dup_clusters_prod _))
 
+    // contention probe before the suite (after warmup, so it measures the
+    // box, not class loading); repeated after, so contention arriving
+    // mid-run is also visible
+    val calPre = calibrate(spark)
+    if (calPre > 1.5 * CalRefSec)
+      System.err.println(f"[bench] WARNING: calibration probe $calPre%.2fs > 1.5x reference $CalRefSec%.2fs — machine contended, timings unreliable")
+
+    // a failed query records -1.0 (numeric, so the driver's parse still
+    // reads the map) and is excluded from the total; a fast failure must
+    // not masquerade as a fast success
     val results = headline.flatMap { name =>
       overrides.get(name).orElse(SparkEntry.queries.get(name)).map { fn =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        name -> (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e")
+            name -> -1.0
+        }
       }
     }
+    val calPost = calibrate(spark)
+    // min of the two probes: a genuinely contended box slows BOTH; a
+    // single slow probe can be a GC/codegen coincidence
+    val contended = math.min(calPre, calPost) > 1.5 * CalRefSec
+    val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     // overrides are recorded in the output so a reader knows which rows
     // ran a non-oracle configuration (d3 times the xx64 production hash
     // family; the oracle gate verifies the md5 flavor of the same plan)
     val ov = overrides.keys.toSeq.sorted
       .map(k => "\"" + k + "\":\"xx64\"").mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"hash_family_overrides":$ov,"sf":"$sfDir"}"""
+    val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"hash_family_overrides":$ov,"failed":$fj,"failed_count":${failed.size},"calibration_sec":[$calPre,$calPost],"calibration_ref_sec":$CalRefSec,"contended":$contended,"sf":"$sfDir"}"""
     // stdout (unprefixed via fork + StdoutOutput) AND a file artifact,
     // so the driver's parse can't be defeated by log interleaving
     println(json)
