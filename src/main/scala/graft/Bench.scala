@@ -101,6 +101,11 @@ object Bench {
     // not masquerade as a fast success
     val results = headline.flatMap { name =>
       overrides.get(name).orElse(SparkEntry.queries.get(name)).map { fn =>
+        // prompt the GC-triggered ContextCleaner between queries:
+        // broadcast/shuffle debris from 26 prior queries otherwise
+        // accumulates (full GCs are rare on a 24g heap) and late queries
+        // absorb the reclamation cost as phantom regressions
+        System.gc()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -97,7 +97,48 @@ object BiallelicGenotyper {
       binSize: Double = 1000.0,
       broadcastVariants: Boolean = true,
       copyNumbers: Option[CopyNumberMap.Built] = None,
+      scoreAllSites: Boolean = false): DataFrame =
+    callImpl(reads, variants.toDF, perSample = false, ploidy, maxQual, maxMapQ,
+      binSize, broadcastVariants, copyNumbers, scoreAllSites)
+
+  /** Multi-sample calling in ONE pass: `variants` carries a `sampleId`
+    * column and each sample is scored ONLY against its own variant set —
+    * sampleId joins the SNV equi-join, the indel interval join, and the
+    * gVCF non-ref anti-join, and the wide agg already groups by sample.
+    * Semantically identical to looping `call` over per-sample read
+    * filters (the reference's per-sample invocation,
+    * BiallelicGenotyper.scala:99-105 — its single-sample gate becomes
+    * per-group scoping here), but the cohort reads are scanned a
+    * CONSTANT number of times instead of 2x per sample, and there is no
+    * S-way driver-built union plan.
+    */
+  def callPerSample(
+      reads: Dataset[Read],
+      variants: DataFrame,
+      ploidy: Int = 2,
+      maxQual: Int = 93,
+      maxMapQ: Int = 93,
+      binSize: Double = 1000.0,
+      broadcastVariants: Boolean = true,
+      copyNumbers: Option[CopyNumberMap.Built] = None,
       scoreAllSites: Boolean = false): DataFrame = {
+    require(variants.columns.contains("sampleId"),
+      "callPerSample: variants must carry a sampleId column (use DiscoverVariants.discoverPerSample)")
+    callImpl(reads, variants, perSample = true, ploidy, maxQual, maxMapQ,
+      binSize, broadcastVariants, copyNumbers, scoreAllSites)
+  }
+
+  private def callImpl(
+      reads: Dataset[Read],
+      variantsDf: DataFrame,
+      perSample: Boolean,
+      ploidy: Int,
+      maxQual: Int,
+      maxMapQ: Int,
+      binSize: Double,
+      broadcastVariants: Boolean,
+      copyNumbers: Option[CopyNumberMap.Built],
+      scoreAllSites: Boolean): DataFrame = {
 
     val spark = reads.sparkSession
     import spark.implicits._
@@ -115,12 +156,14 @@ object BiallelicGenotyper {
     // cache leak in long-lived sessions). The indel branch is always
     // unioned in; when no indel candidates exist it scans an empty
     // filtered side, which AQE collapses at runtime.
-    val vdf = variants.toDF.select(
-      col("contigName").as("v_contig"),
-      col("start").as("v_start"),
-      col("referenceAllele").as("v_ref"),
-      col("alternateAllele").as("v_alt"),
-      (col("start") + greatest(length(col("referenceAllele")), lit(1))).as("v_end"))
+    val vdf = variantsDf.select(
+      Seq(
+        col("contigName").as("v_contig"),
+        col("start").as("v_start"),
+        col("referenceAllele").as("v_ref"),
+        col("alternateAllele").as("v_alt"),
+        (col("start") + greatest(length(col("referenceAllele")), lit(1))).as("v_end")) ++
+        (if (perSample) Seq(col("sampleId").as("v_sample")) else Nil): _*)
     val isSnv = length(col("v_ref")) === 1 && length(col("v_alt")) === 1
     val snvV = vdf.where(col("v_alt").isNotNull && isSnv)
     val indelV = vdf.where(col("v_alt").isNull || !isSnv)
@@ -136,9 +179,12 @@ object BiallelicGenotyper {
     // codegen'd support classification. No per-(read,variant) kernel.
     val pileup = Observer.compressedPileup(reads)
     val snvSide = if (broadcastVariants) broadcast(snvV) else snvV
+    val snvCond = {
+      val base = pileup("contigName") === snvV("v_contig") && pileup("pos") === snvV("v_start")
+      if (perSample) base && pileup("sampleId") === snvV("v_sample") else base
+    }
     val snvObs = pileup
-      .join(snvSide,
-        pileup("contigName") === snvV("v_contig") && pileup("pos") === snvV("v_start"))
+      .join(snvSide, snvCond)
       .select(
         col("contigName"),
         col("v_start").as("start"),
@@ -158,7 +204,9 @@ object BiallelicGenotyper {
     val indelJoined = IntervalJoin.overlap(
       reads.toDF, "start", "end",
       indelV, "v_start", "v_end",
-      binSize, keys = Seq("contigName" -> "v_contig"),
+      binSize,
+      keys = Seq("contigName" -> "v_contig") ++
+        (if (perSample) Seq("sampleId" -> "v_sample") else Nil),
       broadcastRight = broadcastVariants)
     val indelObs = indelJoined
       .select(
@@ -183,11 +231,15 @@ object BiallelicGenotyper {
     // null, and the downstream likelihood blend gives the log-odds of
     // 0..m copies of an unknown non-reference allele. Anti-join on the
     // (tiny, broadcast) candidate-position set keeps this narrow.
-    lazy val vPos = vdf.select(col("v_contig"), col("v_start")).distinct()
+    lazy val vPos = vdf.select(
+      Seq(col("v_contig"), col("v_start")) ++
+        (if (perSample) Seq(col("v_sample")) else Nil): _*).distinct()
+    lazy val antiCond = {
+      val base = pileup("contigName") === col("v_contig") && pileup("pos") === col("v_start")
+      if (perSample) base && pileup("sampleId") === col("v_sample") else base
+    }
     lazy val nonRefObs = pileup
-      .join(if (broadcastVariants) broadcast(vPos) else vPos,
-        pileup("contigName") === col("v_contig") && pileup("pos") === col("v_start"),
-        "left_anti")
+      .join(if (broadcastVariants) broadcast(vPos) else vPos, antiCond, "left_anti")
       .select(
         col("contigName"),
         col("pos").as("start"),

@@ -87,4 +87,25 @@ object DiscoverVariants {
       .agg(count(lit(1)).as("n_obs"))
       .where($"n_obs" >= minObservations)
   }
+
+  /** Per-sample discovery in ONE pass over a multi-sample cohort: same
+    * per-read kernel, but the min-support threshold applies WITHIN each
+    * sample (the reference's discovery is invoked per sample,
+    * DiscoverVariants.scala:90-97 — adding sampleId to the group key
+    * preserves that semantics without S driver-looped jobs). Still one
+    * shuffle, keyed (sampleId, site); partial aggregation collapses
+    * map-side, so the shuffle volume is one row per distinct
+    * (sample, variant) per partition regardless of cohort size.
+    */
+  def discoverPerSample(
+      reads: Dataset[Read], minPhred: Int = 20, minObservations: Long = 2): DataFrame = {
+    import reads.sparkSession.implicits._
+    reads
+      .flatMap(r => variantsInRead(r, minPhred).map(v =>
+        (r.sampleId, v.contigName, v.start, v.referenceAllele, v.alternateAllele)))
+      .toDF("sampleId", "contigName", "start", "referenceAllele", "alternateAllele")
+      .groupBy($"sampleId", $"contigName", $"start", $"referenceAllele", $"alternateAllele")
+      .agg(count(lit(1)).as("n_obs"))
+      .where($"n_obs" >= minObservations)
+  }
 }

@@ -533,6 +533,10 @@ object Queries {
   def profileReads(spark: SparkSession, dir: String): Dataset[Read] =
     syntheticReads(spark, dir)
 
+  /** Profiling hook (tools/G6Profile): the g4/g6 cohort read set. */
+  def cohortReadsForProfile(spark: SparkSession, dir: String): Dataset[Read] =
+    cohortReads(spark, dir)
+
   private def syntheticReads(spark: SparkSession, dir: String): Dataset[Read] = {
     val spark2 = spark
     import spark2.implicits._
@@ -709,28 +713,31 @@ object Queries {
     * own-different-alt case), and the recall in closed form.
     */
   def g6_gvcf_squareoff(spark: SparkSession, dir: String): DataFrame = {
-    val spark2 = spark
-    import spark2.implicits._
-    // NOTE: the per-sample loop re-derives the narrow cohortReads
-    // projection 2x per sample; persisting it was measured SLOWER at
-    // sf0.1 (47 s vs 32 s end-to-end — encoder (de)serialization into
-    // the block store costs more than re-running a cheap narrow scan),
-    // so the recompute stays.
+    // Single-pass cohort gVCF: discovery groups by (sampleId, site) and
+    // the genotyper scopes every variant join by sampleId, so ONE
+    // discover+call over the cohort emits every sample's gVCF —
+    // semantically the per-sample loop (each sample scored only against
+    // its own variants, per-sample min-observation threshold), but the
+    // cohort reads are scanned a constant number of times instead of
+    // 2x per sample, with no S-way driver-built union plan.
     val rds = cohortReads(spark, dir)
-    val sampleIds = rds.select("sampleId").distinct().as[String].collect().sorted
-    val gvcfs = sampleIds.toSeq.map { s =>
-      val rs = rds.filter(col("sampleId") === s)
-      val vs = DiscoverVariants
-        .discover(rs, minPhred = 20, minObservations = 2)
-        .select("contigName", "start", "referenceAllele", "alternateAllele")
-        .as[DiscoveredVariant]
-      BiallelicGenotyper.call(rs, vs, ploidy = 2, binSize = 20.0, scoreAllSites = true)
-        .withColumn("end", col("start") + greatest(length(col("referenceAllele")), lit(1)))
-        .select("contigName", "start", "end", "referenceAllele", "alternateAllele",
-          "sampleId", "genotypeState", "genotypeQuality", "readDepth",
-          "gl_0", "gl_1", "gl_2")
-    }
-    val cohort = gvcfs.reduce(_.unionByName(_))
+    val vs = DiscoverVariants
+      .discoverPerSample(rds, minPhred = 20, minObservations = 2)
+      .select("sampleId", "contigName", "start", "referenceAllele", "alternateAllele")
+    // SquareOff's variant-union ⨝ gvcf-rows is a self-join: it references
+    // the called cohort twice, and each reference would re-run the whole
+    // discover+call subtree. Materialize the cohort gVCF once instead —
+    // it is ~1% of the read volume (the production pipeline persists this
+    // exact artifact as its gVCF output); localCheckpoint is the
+    // in-session equivalent and truncates the lineage the self-join
+    // would otherwise duplicate.
+    val cohort = BiallelicGenotyper
+      .callPerSample(rds, vs, ploidy = 2, binSize = 20.0, scoreAllSites = true)
+      .withColumn("end", col("start") + greatest(length(col("referenceAllele")), lit(1)))
+      .select("contigName", "start", "end", "referenceAllele", "alternateAllele",
+        "sampleId", "genotypeState", "genotypeQuality", "readDepth",
+        "gl_0", "gl_1", "gl_2")
+      .localCheckpoint()
     val squared = graft.genomics.SquareOff.squareOff(cohort, binSize = 20.0)
     graft.genomics.JointAnnotatorCaller(squared)
       .select(

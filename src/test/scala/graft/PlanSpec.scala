@@ -73,7 +73,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("gVCF pipeline: anti-join broadcasts, no nested loop, partial aggs") {
-    val plan = planOf(Queries.g6_gvcf_squareoff(spark, sf("0.001")))
+    // g6 checkpoints the called cohort before the square-off self-join,
+    // so inspect the cohort CONSTRUCTION plan (where the genotyper lives)
+    val rds = Queries.cohortReadsForProfile(spark, sf("0.001"))
+    val vs = graft.genomics.DiscoverVariants.discoverPerSample(rds, 20, 2)
+      .select("sampleId", "contigName", "start", "referenceAllele", "alternateAllele")
+    val plan = planOf(graft.genomics.BiallelicGenotyper.callPerSample(
+      rds, vs, ploidy = 2, binSize = 20.0, scoreAllSites = true))
     // the non-ref model's candidate-position anti-join must broadcast
     // (tiny position set vs the whole pileup)
     assert(plan.contains("BroadcastHashJoin") &&
@@ -82,6 +88,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
     // the wide site agg keeps map-side combine
     assert("HashAggregate".r.findAllIn(plan).size >= 2, "partial+final agg expected")
+    // single-pass cohort: the scan count is a CONSTANT of the plan shape
+    // (discovery, snv pileup, non-ref pileup, indel reads, and their
+    // variant-side rescans), never a function of the sample count — the
+    // per-sample driver loop this replaced scanned the cohort 2x per
+    // sample and built an S-way union
+    // 6 = discovery x3 references (snv/indel/non-ref variant sides) +
+    // pileup x2 (snv join, non-ref anti-join) + indel read side; the one
+    // Union in the plan is the 3-way observation-KIND union, also constant
+    assert("FileScan".r.findAllIn(plan).size <= 6,
+      s"cohort call should scan a constant number of times:\n$plan")
+    assert("Union".r.findAllIn(plan).size <= 1, "only the constant obs-kind union expected")
   }
 
   test("e4 IVF probe: narrow cell assignment, top-k without global sort") {
