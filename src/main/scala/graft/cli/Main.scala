@@ -2,7 +2,7 @@ package graft.cli
 
 import graft.genomics._
 import graft.model.{DiscoveredVariant, Read}
-import graft.sources.{Bam, Sam, Vcf}
+import graft.sources.{Bam, Gff, Sam, Vcf}
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
   *   graft.cli.Main discover <reads> <out> [minPhred] [minObs]
   *   graft.cli.Main biallelicGenotyper <reads> <out> [minPhred] [minObs]
   *       [-ploidy N] [-contig_ploidy chrX=1,chrY=1] [-bin_size N]
+  *       [-cnv calls.gff]
   *   graft.cli.Main jointer <genotypes-parquet|vcf> <out-vcf> [-from_gvcf]
   *   graft.cli.Main mergeDiscovered <variants-glob> <out>
   *   graft.cli.Main reassemble <reads> <out>
@@ -26,7 +27,11 @@ import org.apache.spark.sql.functions._
   * (calls/variants/reads) or VCF text (jointer). -ploidy sets the base
   * ploidy; -contig_ploidy overrides whole contigs (sex chromosomes),
   * threading variable-ploidy calling through the genotyper's
-  * copy-number path. -bin_size pins the genotyper's (contig, bin)
+  * copy-number path. -cnv feeds a GFF3 (or parquet) file of DUP/DEL
+  * calls into the same path (reference
+  * avocado-cli/.../BiallelicGenotyper.scala:245-251); interval CNV calls
+  * and whole-contig overrides compose, intervals winning inside their
+  * span. -bin_size pins the genotyper's (contig, bin)
   * shuffle granularity; without it the CLI sizes bins from the data
   * ([[BiallelicGenotyper.chooseBinSize]]) — a constant tuned for one
   * coverage is the first thing to go wrong at 100x.
@@ -62,7 +67,7 @@ object Main {
 
   /** Positional args with `-flag value` pairs and bare switches removed. */
   private def positional(args: Array[String]): Array[String] = {
-    val valued = Set("-ploidy", "-contig_ploidy", "-bin_size")
+    val valued = Set("-ploidy", "-contig_ploidy", "-bin_size", "-cnv")
     val out = Array.newBuilder[String]
     var i = 0
     while (i < args.length) {
@@ -84,9 +89,15 @@ object Main {
         c -> p.toInt
       }.toMap
     }.getOrElse(Map.empty[String, Int])
-    val cn =
-      if (perContig.nonEmpty) Some(CopyNumberMap.fromContigPloidies(spark, perContig, base))
-      else None
+    val features = flagValue(args, "-cnv").map { p =>
+      if (p.endsWith(".gff") || p.endsWith(".gff3")) Gff.read(spark, p).toDF
+      else spark.read.parquet(p)
+    }
+    val cn = (features, perContig.nonEmpty) match {
+      case (Some(f), _)     => Some(CopyNumberMap.fromFeatures(f, base, perContig))
+      case (None, true)     => Some(CopyNumberMap.fromContigPloidies(spark, perContig, base))
+      case (None, false)    => None
+    }
     (base, cn)
   }
 

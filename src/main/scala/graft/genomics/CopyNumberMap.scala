@@ -64,21 +64,56 @@ object CopyNumberMap {
   }
 
   /** Build from a feature table with columns (contigName, start, end,
-    * featureType 'DUP'|'DEL'): DUP -> base+1, DEL -> base-1.
+    * featureType 'DUP'|'DEL'): DUP -> base+1, DEL -> base-1, relative to
+    * the contig's base ploidy. `contigBases` composes whole-contig
+    * overrides (sex chromosomes) with interval CNV calls: inside an
+    * overridden contig the override fills the gaps BETWEEN features
+    * (intervals win inside their span), so e.g. a DUP on chrX=1 calls
+    * diploid while the rest of chrX stays haploid. Assumes CNV calls
+    * within a contig do not overlap each other (callers emit disjoint
+    * segments).
     */
-  def fromFeatures(features: DataFrame, basePloidy: Int = 2): Built = {
+  def fromFeatures(
+      features: DataFrame,
+      basePloidy: Int = 2,
+      contigBases: Map[String, Int] = Map.empty): Built = {
     val spark = features.sparkSession
     val rows = features
-      .select(col("contigName"), col("start"), col("end"),
-        when(col("featureType") === "DUP", basePloidy + 1)
-          .when(col("featureType") === "DEL", basePloidy - 1)
-          .otherwise(basePloidy).as("cn"))
+      .select(col("contigName"), col("start"), col("end"), col("featureType"))
       .collect() // deliberately small: the CNV call set
-    val byContig: CnMap = rows
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
-      .groupBy(_._1)
-      .map { case (c, rs) => c -> rs.map(t => (t._2, t._3, t._4)).sortBy(_._1) }
-    val cns = rows.map(_.getInt(3))
+      .map { r =>
+        val c = r.getString(0)
+        val base = contigBases.getOrElse(c, basePloidy)
+        val cn = r.getString(3) match {
+          case "DUP" => base + 1
+          case "DEL" => base - 1
+          case _     => base
+        }
+        (c, r.getLong(1), r.getLong(2), cn)
+      }
+    val featured = rows.groupBy(_._1).map { case (c, rs) =>
+      val ivs = rs.map(t => (t._2, t._3, t._4)).sortBy(_._1)
+      contigBases.get(c) match {
+        case None => c -> ivs
+        case Some(base) =>
+          // fill inter-feature gaps with the contig override so the
+          // probe's sorted non-overlapping invariant holds
+          val out = Array.newBuilder[(Long, Long, Int)]
+          var cursor = 0L
+          ivs.foreach { case (s, e, cn) =>
+            if (s > cursor) out += ((cursor, s, base))
+            out += ((s, e, cn))
+            cursor = math.max(cursor, e)
+          }
+          out += ((cursor, Long.MaxValue, base))
+          c -> out.result()
+      }
+    }
+    // override-only contigs (no features) keep their whole-contig row
+    val byContig: CnMap = featured ++
+      contigBases.view.filterKeys(c => !featured.contains(c))
+        .map { case (c, p) => c -> Array((0L, Long.MaxValue, p)) }.toMap
+    val cns = rows.map(_._4).toSeq ++ contigBases.values
     Built(
       spark.sparkContext.broadcast(byContig),
       if (cns.isEmpty) basePloidy else math.min(basePloidy, cns.min),

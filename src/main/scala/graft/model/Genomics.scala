@@ -91,3 +91,16 @@ case class CalledGenotype(
     phased: Boolean = false,
     filtersPassed: Boolean = true,
     filtersFailed: Seq[String] = Nil)
+
+/** A genomic feature (reference Feature usage, CopyNumberMap.scala:46-54:
+  * CNV calls typed DUP/DEL). Half-open [start, end).
+  */
+case class Feature(
+    contigName: String,
+    start: Long,
+    end: Long,
+    featureType: String,
+    source: String,
+    score: Option[Double] = None,
+    strand: Option[String] = None,
+    attributes: String = "")

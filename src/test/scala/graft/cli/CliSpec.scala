@@ -58,6 +58,35 @@ class CliSpec extends SparkSpec {
     assert(row.getAs[Int]("genotypeState") === 1, "haploid alt state")
   }
 
+  test("biallelicGenotyper -cnv calls a triploid state inside a GFF DUP region") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 12 alt + 6 ref reads at chr1:105 — inside the DUP the genotyper
+    // explores states 0..3 and the 2/3 alt fraction lands on 2-of-3;
+    // depth 18 keeps the top-2 margin above the 10-phred emission gate
+    // (at depth 9 the state-2 vs state-3 margin is sub-threshold and the
+    // CLI's emission filter rightly drops the call)
+    val reads = ((0 until 12).map { i =>
+      graft.model.Read(s"alt$i", "chr1", 100L, 110L, "AAAAACAAAA", "IIIIIIIIII",
+        "10M", "5A4", 60, readMapped = true, readNegativeStrand = false,
+        duplicateRead = false, primaryAlignment = true, sampleId = "s1")
+    } ++ (0 until 6).map { i =>
+      graft.model.Read(s"ref$i", "chr1", 100L, 110L, "AAAAAAAAAA", "IIIIIIIIII",
+        "10M", "10", 60, readMapped = true, readNegativeStrand = false,
+        duplicateRead = false, primaryAlignment = true, sampleId = "s1")
+    })
+    reads.toDS().write.mode("overwrite").parquet(s"$tmp/cnvreads")
+    val gff = s"$tmp/dup.gff"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(gff),
+      "##gff-version 3\nchr1\tcnvkit\tDUP\t51\t200\t.\t+\t.\tID=dup1\n")
+    run("biallelicGenotyper", s"$tmp/cnvreads", s"$tmp/cnvcalls", "-cnv", gff)
+    val row = spark.read.parquet(s"$tmp/cnvcalls")
+      .where(col("start") === 105L).collect().head
+    assert(row.getAs[Int]("copyNumber") === 3, "DUP region is triploid")
+    assert(row.getAs[Int]("genotypeState") === 2, "2 of 3 alleles alt")
+    assert(row.getAs[Seq[String]]("alleles") === Seq("REF", "ALT", "ALT"))
+  }
+
   test("biallelicGenotyper sizes bins from the data; -bin_size overrides") {
     val reads = graft.sources.Sam.read(spark, sam)
     // default = the data-driven estimator (deterministic: fixed sample seed)
