@@ -238,11 +238,14 @@ object Dedup {
     * HashAggregate — a hot gram like a site-wide footer collapses map-side),
     * NOT a window over the gram: a window gets no map-side combine and AQE
     * cannot split a skewed window partition, so one mega-duplicated gram
-    * would land whole on a single reducer. The surviving dup-gram set
-    * (df > 1) is small by construction and broadcasts back onto the
-    * shingle stream; if it ever outgrew the broadcast budget, dropping the
-    * hint leaves an equi-join whose build side is one row per gram —
-    * AQE's skew-join CAN split that, unlike the window.
+    * would land whole on a single reducer. The dup-gram join-back carries
+    * NO broadcast hint on purpose: a corpus with pervasive cross-document
+    * boilerplate makes the df>1 gram set arbitrarily large, and an
+    * unconditional hint would bypass autoBroadcastJoinThreshold and blow
+    * the build side past executor memory. Catalyst broadcasts it when its
+    * size estimate is small, and AQE re-decides from the ACTUAL size at
+    * runtime (converting to broadcast, or splitting a skewed merge join)
+    * — the safe call at every scale.
     */
   def contaminatedDocs(df: DataFrame, idCol: String, textCol: String, n: Int = 13): DataFrame = {
     val grams = shingleSets(df, idCol, textCol, n)
@@ -251,7 +254,7 @@ object Dedup {
       .agg(min(col("doc_id")).as("kp"), count(lit(1)).as("df"))
       .where(col("df") > 1)
       .select(col("g"), col("kp"))
-    grams.join(broadcast(dupGrams), Seq("g"))
+    grams.join(dupGrams, Seq("g"))
       .where(col("doc_id") =!= col("kp"))
       .select("doc_id").distinct()
   }
@@ -373,12 +376,21 @@ object Dedup {
     *
     * Returns (doc_id, cluster_id = min doc id reachable in the pair
     * graph), one row per document that appears in any pair.
+    *
+    * If the loop exhausts `maxIters` before the labels fix-point
+    * (theoretically impossible for maxIters >= log2(diameter) + 2, but a
+    * silent wrong answer is worse than a loud stop), it THROWS rather
+    * than returning labels that would split true duplicate groups;
+    * `requireConvergence = false` downgrades that to a warning for
+    * callers that prefer a partial (over-segmented, never over-merged)
+    * clustering.
     */
   def connectedComponents(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIters: Int = 30): DataFrame = {
+      maxIters: Int = 30,
+      requireConvergence: Boolean = true): DataFrame = {
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
     val edges = pairs.select(a.as("src"), b.as("dst"))
@@ -411,6 +423,12 @@ object Dedup {
       changed = jumped.where(col("cluster_id") =!= col("prev")).count()
       labels = jumped.drop("prev")
       it += 1
+    }
+    if (changed > 0) {
+      val msg = s"connectedComponents did not converge in $maxIters iterations " +
+        s"($changed labels still moving): cluster ids are over-segmented"
+      if (requireConvergence) throw new IllegalStateException(msg)
+      System.err.println(s"[graft] WARNING: $msg")
     }
     labels.select(col("node").as("doc_id"), col("cluster_id"))
   }

@@ -198,6 +198,22 @@ class DedupSpec extends SparkSpec {
       "64-node chain must fully converge within 12 rounds")
   }
 
+  test("connected components refuse to return unconverged labels") {
+    import spark.implicits._
+    // diameter 63 cannot converge in 1 iteration: throw by default...
+    val chain = (0 until 63).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIters = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // ...and return over-segmented (never over-merged) labels when the
+    // caller opts out
+    val partial = Dedup.connectedComponents(chain, "doc_a", "doc_b",
+      maxIters = 1, requireConvergence = false).as[(Long, Long)].collect()
+    assert(partial.length === 64)
+    assert(partial.forall { case (d, c) => c <= d }, "labels only ever decrease")
+  }
+
   test("simhash LSH pair finder obeys hamming cap") {
     import spark.implicits._
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
