@@ -148,8 +148,17 @@ object Vcf {
     // the calling annotations at the site, CORE/genotyping/
     // BiallelicGenotyper.scala:731-747): MQ/FS summarized across the
     // site's samples via the same window that carries FILTER/END/QUAL.
+    // Site MQ is the RMS across the site's READS (reference semantics),
+    // reconstructed exactly from per-sample RMS + depth:
+    // sqrt(Σ_s rms_s² · dp_s / Σ_s dp_s); samples without an MQ are
+    // excluded from both sums. Falls back to max when depth is absent.
     val mqInfoCell =
-      if (hasMq) max(col("rmsMapQ")).over(siteW) else lit(null).cast("double")
+      if (hasMq && has("readDepth"))
+        round(sqrt(
+          sum(pow(col("rmsMapQ"), 2) * col("readDepth")).over(siteW) /
+            sum(when(col("rmsMapQ").isNotNull, col("readDepth"))).over(siteW)), 3)
+      else if (hasMq) max(col("rmsMapQ")).over(siteW)
+      else lit(null).cast("double")
     val fsInfoCell =
       if (hasFs) max(col("strandBiasPhred")).over(siteW) else lit(null).cast("double")
     val infoHeaderLines =

@@ -80,19 +80,21 @@ class SourcesSpec extends SparkSpec {
       ("chr1", 100L, "s2", 59.958, 0.211, Seq(6, 7, 8, 9)),
       ("chr2", 42L, "s1", 41.5, 3.0, Seq(1, 2, 3, 4))))
     // site-level INFO annotations ride alongside the FORMAT fields:
-    // MQ/FS summarized across the site's samples (max), declared in the
-    // header, and parsed back as siteRmsMapQ / siteStrandBiasPhred
+    // MQ = RMS across the site's reads (reconstructed from per-sample
+    // RMS + depth: sqrt((55.317^2*30 + 59.958^2*22)/52) = 57.326),
+    // FS = max across samples; declared in the header and parsed back
+    // as siteRmsMapQ / siteStrandBiasPhred
     val lines = spark.read.text(dir).as[String].collect()
     assert(lines.exists(_.startsWith("##INFO=<ID=MQ")), lines.take(8).mkString("\n"))
     assert(lines.exists(_.startsWith("##INFO=<ID=FS")), lines.take(8).mkString("\n"))
     val infoByPos = lines.filterNot(_.startsWith("#"))
       .map(l => { val f = l.split("\t"); f(1) -> f(7) }).toMap
-    assert(infoByPos("101") === "MQ=59.958;FS=12.4")
+    assert(infoByPos("101") === "MQ=57.326;FS=12.4")
     assert(infoByPos("43") === "MQ=41.5;FS=3.0")
     val site = Vcf.read(spark, dir)
       .select("start", "siteRmsMapQ", "siteStrandBiasPhred").distinct()
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
-    assert(site === Set((100L, 59.958, 12.4), (42L, 41.5, 3.0)))
+    assert(site === Set((100L, 57.326, 12.4), (42L, 41.5, 3.0)))
 
     // null SB arrays must degrade to "." cells, never an empty string
     val nullSb = Seq(
