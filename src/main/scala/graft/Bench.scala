@@ -33,6 +33,9 @@ object Bench {
     "ev1_time_window_agg",
     "ev4_stream_sessions",
     "ev7_asof_enrich",
+    "ev8_stream_asof_enrich",
+    "c4_temperature_mix",
+    "t8_pii_redact",
     "d6_decontaminate",
     "d7_dup_clusters",
     "e7_quantized_topk",

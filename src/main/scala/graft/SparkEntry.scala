@@ -63,6 +63,7 @@ object SparkEntry {
     "ev5_stream_enrich" -> (Queries.ev5_stream_enrich _),
     "ev6_stream_dedup" -> (Queries.ev6_stream_dedup _),
     "ev7_asof_enrich" -> (Queries.ev7_asof_enrich _),
+    "ev8_stream_asof_enrich" -> (Queries.ev8_stream_asof_enrich _),
     "g1_discover_variants" -> (Queries.g1_discover_variants _),
     "g2_genotype_calls" -> (Queries.g2_genotype_calls _),
     "g3_realign" -> (Queries.g3_realign _),
@@ -83,6 +84,8 @@ object SparkEntry {
     "d7_dup_clusters" -> (Queries.d7_dup_clusters _),
     "c1_clean_corpus" -> (Queries.c1_clean_corpus _),
     "c2_sample_mix" -> (Queries.c2_sample_mix _),
+    "c4_temperature_mix" -> (Queries.c4_temperature_mix _),
+    "t8_pii_redact" -> (Queries.t8_pii_redact _),
     "c3_pack_sequences" -> (Queries.c3_pack_sequences _),
     "m1_multimodal_meta" -> (Queries.m1_multimodal_meta _),
     "m2_frame_sample" -> (Queries.m2_frame_sample _)

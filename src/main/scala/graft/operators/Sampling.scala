@@ -40,6 +40,49 @@ object Sampling {
     df.where(ticket(col(idCol)) < cut * 10000.0)
   }
 
+  /** Temperature-based source re-weighting — the multi-source pretraining
+    * mix rule (target share q_i ∝ p_i^alpha: alpha < 1 upweights rare
+    * sources, alpha = 1 keeps natural proportions): keep each document
+    * deterministically with probability a_i = min(1, K·q_i/n_i), where
+    * n_i is the source's document count and K = targetFraction·N the
+    * output budget. Two tiny aggregations (per-source counts, then the
+    * normalizer over the handful of sources) joined back onto the
+    * corpus — no randomness, no driver action; the same md5 ticket as
+    * [[stratifiedSample]] makes membership stable across runs, engines,
+    * and incremental corpus growth.
+    *
+    * Cross-engine exactness: per-source weights are INTEGER-scaled
+    * (floor(n^alpha · 2^20)) and every remaining operation is IEEE
+    * correctly-rounded (sqrt — used for alpha = 0.5 — add, multiply,
+    * divide of exact integers), so the acceptance cutoffs are
+    * bit-identical in any engine and summation order cannot flip a
+    * boundary ticket. General alpha goes through pow(), which is NOT
+    * correctly rounded — fine in one engine, but pin alpha = 0.5 when an
+    * external system must reproduce the sample bit-for-bit.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      alpha: Double = 0.5,
+      targetFraction: Double = 0.5): DataFrame = {
+    val counts = df.groupBy(col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w",
+        floor((if (alpha == 0.5) sqrt(col("__n")) else pow(col("__n"), alpha)) *
+          lit(1048576.0)).cast("long"))
+    val norm = counts.agg(
+      sum(col("__n")).as("__nn"), sum(col("__w")).as("__z"))
+    val acc = counts.crossJoin(norm)
+      .select(col("__src"),
+        least(lit(1.0),
+          (floor(lit(targetFraction) * col("__nn")) * col("__w")).cast("double") /
+            (col("__z") * col("__n")).cast("double")).as("__acc"))
+    df.join(acc, df(sourceCol) === acc("__src"))
+      .where(ticket(col(idCol)) < col("__acc") * 10000.0)
+      .drop("__src", "__acc")
+  }
+
   /** Pack documents into fixed token-budget bins, sharded for
     * parallelism: each document lands in the shard `md5(id) % shards`,
     * and within a shard (processed in id order) its bin is

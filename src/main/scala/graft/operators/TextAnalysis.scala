@@ -147,4 +147,35 @@ object TextAnalysis {
       .where(col("rk") <= k)
       .select(col("doc_id"), col("term"), col("tfidf"), col("rk"))
   }
+
+  // ---- PII detection / redaction ---------------------------------------
+  // The scrub step every shareable training corpus needs. Patterns stay
+  // in the regex subset Java and RE2 evaluate identically (no
+  // backreferences/lookaround), so the DuckDB oracle reproduces them.
+
+  /** RFC-ish email addresses. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 addresses. */
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Long bare digit runs (phone/account-number shaped); 7..15 digits,
+    * so IPv4 octets (1-3 digits) never double-match.
+    */
+  val DigitRunPattern = "\\b\\d{7,15}\\b"
+
+  /** Occurrences of one PII pattern (codegen'd; no UDF). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Redact emails -> <EMAIL>, IPv4 -> <IP>, digit runs -> <NUM>, in
+    * that order (emails first so their local-part digits don't surface
+    * as digit runs).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      DigitRunPattern, "<NUM>")
 }

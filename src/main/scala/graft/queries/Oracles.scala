@@ -384,6 +384,30 @@ object Oracles {
         |  round(p.tp, 2) AS last_total
         |FROM m WHERE tag = 1""".stripMargin,
 
+    // streaming flavor: per-event as-of against a STATIC right side is
+    // invariant to micro-batch boundaries, so the batch oracle carries
+    "ev8_stream_asof_enrich" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id AS k, epoch_ms(ts) AS ts, 1 AS tag,
+        |         NULL::BIGINT AS ok, NULL::DOUBLE AS tp
+        |  FROM events),
+        |r AS (
+        |  SELECT NULL::BIGINT AS event_id, o_custkey AS k,
+        |         epoch_ms(o_orderdate) AS ts, 0 AS tag,
+        |         o_orderkey AS ok, o_totalprice AS tp
+        |  FROM orders),
+        |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        |m AS (
+        |  SELECT event_id, k, tag,
+        |    last_value(CASE WHEN tag = 0 THEN struct_pack(ok := ok, tp := tp) END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY k ORDER BY ts, tag, ok
+        |            ROWS UNBOUNDED PRECEDING) AS p
+        |  FROM u)
+        |SELECT event_id, k AS user_id, p.ok AS last_orderkey,
+        |  round(p.tp, 2) AS last_total
+        |FROM m WHERE tag = 1""".stripMargin,
+
     "g1_discover_variants" ->
       """SELECT concat('chr', l_returnflag) AS contigName,
         |  (l_partkey % 1000) * 20 + (l_suppkey % 10) AS start,
@@ -662,6 +686,42 @@ object Oracles {
         |SELECT doc_id, cls FROM d
         |WHERE tk < CASE cls WHEN 'short' THEN 1000
         |                    WHEN 'medium' THEN 5000 ELSE 9000 END""".stripMargin,
+
+    // temperature mix: integer-scaled sqrt weights (floor(sqrt(n)*2^20))
+    // keep every op IEEE correctly-rounded, so acceptance cutoffs are
+    // bit-identical to the Spark plan regardless of summation order
+    "c4_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 16 < 9 THEN 's0' WHEN doc_id % 16 < 13 THEN 's1'
+        |         WHEN doc_id % 16 < 15 THEN 's2' ELSE 's3' END AS src,
+        |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS tk
+        |  FROM documents),
+        |s AS (SELECT src, count(*) AS n,
+        |             floor(sqrt(count(*)) * 1048576)::BIGINT AS w
+        |      FROM d GROUP BY 1),
+        |t AS (SELECT sum(n) AS nn, sum(w) AS z FROM s),
+        |a AS (SELECT src,
+        |        least(1.0, (floor(0.5 * nn)::BIGINT * w)::DOUBLE / (z * n)::DOUBLE) AS acc
+        |      FROM s, t)
+        |SELECT d.doc_id, d.src FROM d JOIN a USING (src)
+        |WHERE d.tk < a.acc * 10000""".stripMargin,
+
+    "t8_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id::VARCHAR || '@example.com from 10.0.0.' ||
+        |      (doc_id % 256)::VARCHAR || ' call ' || (doc_id + 5550000000)::VARCHAR AS pt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(pt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+        |  len(regexp_extract_all(pt, '\b\d{7,15}\b')) AS n_digit_runs,
+        |  regexp_replace(regexp_replace(regexp_replace(pt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{7,15}\b', '<NUM>', 'g') AS redacted
+        |FROM p""".stripMargin,
 
     // sequence packing: shard by md5(id) % 8, running token cumsum per
     // shard in id order, bin = start-offset // budget

@@ -347,6 +347,40 @@ object Queries {
       .select(col("doc_id"), col("cls"))
   }
 
+  /** Temperature-based source mix (alpha = 0.5 upweights rare sources):
+    * a skewed 9:4:2:1 synthetic source split over the documents table,
+    * re-balanced to a half-size corpus. Deterministic md5 tickets +
+    * integer-scaled sqrt weights keep the sample bit-identical across
+    * engines (see [[graft.operators.Sampling.temperatureMix]]).
+    */
+  def c4_temperature_mix(spark: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id") % 16
+    val src = when(m < 9, "s0").when(m < 13, "s1").when(m < 15, "s2").otherwise("s3")
+    graft.operators.Sampling.temperatureMix(
+      t(spark, dir, "documents").withColumn("src", src), "doc_id", "src",
+      alpha = 0.5, targetFraction = 0.5)
+      .select(col("doc_id"), col("src"))
+  }
+
+  /** PII scrub: counts + redaction of emails / IPv4 / long digit runs
+    * over text with synthesized deterministic PII (the raw corpus has
+    * none, so the patterns are exercised for real on every row).
+    */
+  def t8_pii_redact(spark: SparkSession, dir: String): DataFrame = {
+    val pt = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com from 10.0.0."), (col("doc_id") % 256).cast("string"),
+      lit(" call "), (col("doc_id") + 5550000000L).cast("string"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), pt.as("pt"))
+      .select(
+        col("doc_id"),
+        TextAnalysis.piiCount(col("pt"), TextAnalysis.EmailPattern).as("n_emails"),
+        TextAnalysis.piiCount(col("pt"), TextAnalysis.Ipv4Pattern).as("n_ipv4"),
+        TextAnalysis.piiCount(col("pt"), TextAnalysis.DigitRunPattern).as("n_digit_runs"),
+        TextAnalysis.redactPii(col("pt")).as("redacted"))
+  }
+
   /** Sequence packing: assign documents to 2048-token context bins,
     * sharded 8 ways for parallelism; one window per shard, no global
     * sort.
@@ -407,6 +441,32 @@ object Queries {
         col("o_orderkey").as("last_orderkey"),
         round(col("o_totalprice"), 2).as("last_total"))
   }
+
+  /** Streaming flavor of the as-of enrichment: each micro-batch of the
+    * events stream as-of joins the STATIC orders side via foreachBatch +
+    * the batch [[graft.operators.AsOfJoin]], appending to a real parquet
+    * sink (no driver collection). Against a static right side the as-of
+    * is a pure per-event function — micro-batch boundaries cannot change
+    * it — so this shares ev7's oracle.
+    */
+  def ev8_stream_asof_enrich(spark: SparkSession, dir: String): DataFrame =
+    withStagedEvents(dir, "ev8_stream") { staged =>
+      val ev = graft.streaming.StreamingOps.readEvents(spark, staged)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000000").as("ts_ms"))
+      val ords = t(spark, dir, "orders").select(
+        col("o_custkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_ms"),
+        col("o_orderkey"), col("o_totalprice"))
+      val out = java.nio.file.Files.createTempDirectory("ev8_out").toString + "/r"
+      graft.streaming.StreamingOps.asOfEnrichStream(
+        ev, ords, "user_id", "o_custkey", "ts_ms", "o_ms",
+        payload = Seq("o_orderkey", "o_totalprice"),
+        rightTies = Seq("o_orderkey"), outDir = out)
+      spark.read.parquet(out).select(
+        col("event_id"), col("user_id"),
+        col("o_orderkey").as("last_orderkey"),
+        round(col("o_totalprice"), 2).as("last_total"))
+    }
 
   def ev1_time_window_agg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")

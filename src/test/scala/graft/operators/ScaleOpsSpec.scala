@@ -319,4 +319,61 @@ class ScaleOpsSpec extends SparkSpec {
       .map(d => d.doc_id -> d.checksum).toMap
     assert(again(1L) === decoded(1L).checksum)
   }
+
+  test("temperature mix: alpha<1 upweights rare sources; budget holds; deterministic") {
+    import spark.implicits._
+    // 1600 common : 100 rare (16:1)
+    val docs = ((0 until 1600).map(i => (i.toLong, "common")) ++
+      (10000 until 10100).map(i => (i.toLong, "rare"))).toDF("doc_id", "src")
+    val kept = Sampling.temperatureMix(docs, "doc_id", "src",
+      alpha = 0.5, targetFraction = 0.5)
+    val bySrc = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    // alpha=0.5: weights sqrt(1600):sqrt(100) = 4:1, so target shares are
+    // 4/5 and 1/5 of K=850 -> acceptance 680/1600 = 42.5% common,
+    // min(1, 170/100) = 100% rare
+    assert(bySrc("rare") === 100L, "rare source fully kept (acceptance capped at 1)")
+    assert(bySrc("common") > 550 && bySrc("common") < 810,
+      s"common source thinned to ~42.5%: ${bySrc("common")}")
+    // overall budget ~ targetFraction (rare cap makes it slightly under)
+    val total = bySrc.values.sum
+    assert(total > 550 && total < 950, s"total near K=850: $total")
+    // deterministic: same tickets, same sample
+    val again = Sampling.temperatureMix(docs, "doc_id", "src",
+      alpha = 0.5, targetFraction = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(again.toSeq === kept.select("doc_id").as[Long].collect().sorted.toSeq)
+
+    // alpha=1: natural proportions — per-source acceptance equalizes
+    val nat = Sampling.temperatureMix(docs, "doc_id", "src",
+      alpha = 1.0, targetFraction = 0.5)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    val commonRate = nat("common").toDouble / 1600
+    val rareRate = nat("rare").toDouble / 100
+    assert(math.abs(commonRate - rareRate) < 0.15,
+      s"alpha=1 keeps sources at equal rates: $commonRate vs $rareRate")
+  }
+
+  test("PII redaction: emails, IPv4, digit runs — counted and replaced") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail alice.smith+x@corp.example.org and bob@ex.io now"),
+      (2L, "server 192.168.0.1 talked to 10.0.0.255"),
+      (3L, "call 5551234567 or account 123456789012345"),
+      (4L, "v1.2 has 42 bugs at 3.14 percent")). // none: short runs, not IPs
+      toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.piiCount(col("text"), TextAnalysis.EmailPattern).as("e"),
+      TextAnalysis.piiCount(col("text"), TextAnalysis.Ipv4Pattern).as("i"),
+      TextAnalysis.piiCount(col("text"), TextAnalysis.DigitRunPattern).as("d"),
+      TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) === 2 && out(1L).getString(4) ===
+      "mail <EMAIL> and <EMAIL> now")
+    assert(out(2L).getInt(2) === 2 && out(2L).getString(4) ===
+      "server <IP> talked to <IP>")
+    assert(out(3L).getInt(3) === 2 && out(3L).getString(4) ===
+      "call <NUM> or account <NUM>")
+    assert(out(4L).getInt(1) === 0 && out(4L).getInt(2) === 0 &&
+      out(4L).getInt(3) === 0 && out(4L).getString(4) === docs.collect()(3).getString(1))
+  }
 }
