@@ -165,12 +165,19 @@ object Dedup {
       .withColumn("rank", row_number().over(w))
       .withColumn("n_sh", count(lit(1)).over(wAll))
       .where(col("rank") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
-      .select(col("doc_id"), col("g"))
+      .select(col("doc_id"), col("g"), col("n_sh"))
 
-    // candidates: prefix-to-prefix collisions only
+    // candidates: prefix-to-prefix collisions, pruned by the AllPairs
+    // length filter — J(A,B) >= t forces |common| >= t/(1+t)·(|A|+|B|)
+    // and |common| <= min(|A|,|B|), hence min >= t·max: a 40-shingle doc
+    // can never reach J >= 0.5 against a 200-shingle doc, so the pair
+    // never leaves the join (real corpora are length-diverse; this is
+    // free insurance the uniform synthetic corpus doesn't exercise)
     val cand = prefix.alias("pa")
       .join(prefix.alias("pb"),
-        col("pa.g") === col("pb.g") && col("pa.doc_id") < col("pb.doc_id"))
+        col("pa.g") === col("pb.g") && col("pa.doc_id") < col("pb.doc_id") &&
+          least(col("pa.n_sh"), col("pb.n_sh")) >=
+            lit(threshold) * greatest(col("pa.n_sh"), col("pb.n_sh")))
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
 

@@ -46,7 +46,17 @@ class DedupSpec extends SparkSpec {
       val t2 = toks.updated(rnd.nextInt(toks.size), vocab(rnd.nextInt(vocab.size)))
       (id + 1000, t2)
     }
-    val corpus = (base ++ mutated).map { case (id, toks) => (id, toks.mkString(" ")) }
+    // length-diverse extremes: a short doc fully CONTAINED in a 7x longer
+    // one (high containment, low Jaccard — the case the candidate join's
+    // length filter prunes) plus its near-twin (a true pair that must
+    // survive the filter)
+    val shortToks = Seq.fill(15)(vocab(rnd.nextInt(vocab.size)))
+    val longToks = shortToks ++ Seq.fill(90)(vocab(rnd.nextInt(vocab.size)))
+    val extremes = Seq(
+      (5000L, shortToks), (5001L, longToks),
+      (5002L, longToks.updated(50, vocab(rnd.nextInt(vocab.size)))))
+    val corpus = (base ++ mutated ++ extremes)
+      .map { case (id, toks) => (id, toks.mkString(" ")) }
       .toDF("doc_id", "text")
     for (t <- Seq(0.3, 0.5, 0.8)) {
       val naive = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, t)
@@ -55,6 +65,10 @@ class DedupSpec extends SparkSpec {
         .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
       assert(fast === naive, s"threshold $t")
       assert(naive.nonEmpty, s"test corpus produced no pairs at $t — weak test")
+      assert(!naive.exists(p => p._1 == 5000L && p._2 == 5001L),
+        "containment pair is below every threshold (sanity)")
+      assert(naive.exists(p => p._1 == 5001L && p._2 == 5002L) == (t <= 0.8),
+        s"long near-twins pair up to 0.8 (sanity at $t)")
     }
   }
 
