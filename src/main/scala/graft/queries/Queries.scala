@@ -781,9 +781,15 @@ object Queries {
     // cohort reads are scanned a constant number of times instead of
     // 2x per sample, with no S-way driver-built union plan.
     val rds = cohortReads(spark, dir)
+    // the genotyper references the variant frame 3x (SNV side, indel
+    // side, non-ref anti-join), and each reference would re-run the
+    // discovery flatMap+shuffle over the cohort reads; the discovered
+    // set is tiny at any scale (bounded by distinct (sample, site)), so
+    // materialize it once — same production logic as the gVCF below
     val vs = DiscoverVariants
       .discoverPerSample(rds, minPhred = 20, minObservations = 2)
       .select("sampleId", "contigName", "start", "referenceAllele", "alternateAllele")
+      .localCheckpoint()
     // SquareOff's variant-union ⨝ gvcf-rows is a self-join: it references
     // the called cohort twice, and each reference would re-run the whole
     // discover+call subtree. Materialize the cohort gVCF once instead —
