@@ -86,6 +86,7 @@ object SparkEntry {
     "c2_sample_mix" -> (Queries.c2_sample_mix _),
     "c4_temperature_mix" -> (Queries.c4_temperature_mix _),
     "t8_pii_redact" -> (Queries.t8_pii_redact _),
+    "t9_url_stats" -> (Queries.t9_url_stats _),
     "c3_pack_sequences" -> (Queries.c3_pack_sequences _),
     "m1_multimodal_meta" -> (Queries.m1_multimodal_meta _),
     "m2_frame_sample" -> (Queries.m2_frame_sample _)

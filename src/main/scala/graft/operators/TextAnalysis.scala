@@ -168,6 +168,21 @@ object TextAnalysis {
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
+  // ---- URL analysis ----------------------------------------------------
+  // Web-corpus provenance ops (host/domain blocking, per-domain caps).
+  // Regex-only (no engine-specific parse_url), Java/RE2-identical.
+
+  /** Host (authority minus port/userinfo) of an absolute URL. */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1)
+
+  /** Registrable-domain approximation: the host's last two labels
+    * (public-suffix lists are a lookup table upgrade, not a shape
+    * change).
+    */
+  def urlDomain(url: Column): Column =
+    regexp_extract(urlHost(url), "([^.]+\\.[^.]+)$", 1)
+
   /** Redact emails -> <EMAIL>, IPv4 -> <IP>, digit runs -> <NUM>, in
     * that order (emails first so their local-part digits don't surface
     * as digit runs).

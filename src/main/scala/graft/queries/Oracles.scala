@@ -723,6 +723,27 @@ object Oracles {
         |    '\b\d{7,15}\b', '<NUM>', 'g') AS redacted
         |FROM p""".stripMargin,
 
+    "t9_url_stats" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 7 = 0 THEN 'crawler:pw@' ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'www.' WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END ||
+        |    'site' || (doc_id % 50)::VARCHAR || '.' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'com' WHEN doc_id % 4 = 1 THEN 'org'
+        |         WHEN doc_id % 4 = 2 THEN 'net' ELSE 'io' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+        |    '/p/' || doc_id::VARCHAR || '?q=x' AS url
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1) AS host,
+        |    regexp_extract(regexp_extract(url, '^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1),
+        |      '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM u)
+        |SELECT doc_id, host, domain, count(*) OVER (PARTITION BY domain) AS n_domain_docs
+        |FROM d""".stripMargin,
+
     // sequence packing: shard by md5(id) % 8, running token cumsum per
     // shard in id order, bin = start-offset // budget
     "c3_pack_sequences" ->

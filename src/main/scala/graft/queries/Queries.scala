@@ -381,6 +381,32 @@ object Queries {
         TextAnalysis.redactPii(col("pt")).as("redacted"))
   }
 
+  /** URL provenance: host + registrable-domain extraction over
+    * deterministically synthesized crawl URLs (subdomains, ports,
+    * userinfo and query strings exercised), plus the per-domain doc
+    * count a domain-cap policy keys on (one partial+final agg windowed
+    * back — here via a groupBy join since the domain set is small).
+    */
+  def t9_url_stats(spark: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id") % 3
+    val sub = when(m === 0, "www.").when(m === 1, "cdn.").otherwise("")
+    val tld = when(col("doc_id") % 4 === 0, "com").when(col("doc_id") % 4 === 1, "org")
+      .when(col("doc_id") % 4 === 2, "net").otherwise("io")
+    val port = when(col("doc_id") % 5 === 0, ":8080").otherwise("")
+    val url = concat(lit("https://"),
+      when(col("doc_id") % 7 === 0, "crawler:pw@").otherwise(""),
+      sub, lit("site"), (col("doc_id") % 50).cast("string"), lit("."), tld,
+      port, lit("/p/"), col("doc_id").cast("string"), lit("?q=x"))
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        TextAnalysis.urlHost(col("url")).as("host"),
+        TextAnalysis.urlDomain(col("url")).as("domain"))
+    val perDomain = docs.groupBy("domain").agg(count(lit(1)).as("n_domain_docs"))
+    docs.join(perDomain, "domain")
+      .select("doc_id", "host", "domain", "n_domain_docs")
+  }
+
   /** Sequence packing: assign documents to 2048-token context bins,
     * sharded 8 ways for parallelism; one window per shard, no global
     * sort.

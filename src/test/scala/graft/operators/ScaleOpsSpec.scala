@@ -353,6 +353,25 @@ class ScaleOpsSpec extends SparkSpec {
       s"alpha=1 keeps sources at equal rates: $commonRate vs $rareRate")
   }
 
+  test("URL host/domain extraction handles ports, userinfo, subdomains") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://www.example.com/a/b?q=1"),
+      (2L, "http://cdn.static.example.co:8080/x"),
+      (3L, "ftp://user:pw@files.example.io/y"),
+      (4L, "https://localhost/z"),         // single label: no domain
+      (5L, "not a url at all")).toDF("doc_id", "url")
+    val out = urls.select(col("doc_id"),
+      TextAnalysis.urlHost(col("url")).as("h"),
+      TextAnalysis.urlDomain(col("url")).as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L) === (("www.example.com", "example.com")))
+    assert(out(2L) === (("cdn.static.example.co", "example.co")), "port stripped")
+    assert(out(3L) === (("files.example.io", "example.io")), "userinfo stripped")
+    assert(out(4L) === (("localhost", "")), "single-label host has no registrable domain")
+    assert(out(5L) === (("", "")), "non-URL yields empty, not error")
+  }
+
   test("PII redaction: emails, IPv4, digit runs — counted and replaced") {
     import spark.implicits._
     val docs = Seq(
