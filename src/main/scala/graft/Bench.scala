@@ -35,7 +35,9 @@ object Bench {
     "ev7_asof_enrich",
     "ev8_stream_asof_enrich",
     "c4_temperature_mix",
+    "c5_domain_cap",
     "t8_pii_redact",
+    "t9_url_stats",
     "d6_decontaminate",
     "d7_dup_clusters",
     "e7_quantized_topk",

@@ -85,6 +85,7 @@ object SparkEntry {
     "c1_clean_corpus" -> (Queries.c1_clean_corpus _),
     "c2_sample_mix" -> (Queries.c2_sample_mix _),
     "c4_temperature_mix" -> (Queries.c4_temperature_mix _),
+    "c5_domain_cap" -> (Queries.c5_domain_cap _),
     "t8_pii_redact" -> (Queries.t8_pii_redact _),
     "t9_url_stats" -> (Queries.t9_url_stats _),
     "c3_pack_sequences" -> (Queries.c3_pack_sequences _),

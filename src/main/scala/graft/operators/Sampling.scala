@@ -83,6 +83,35 @@ object Sampling {
       .drop("__src", "__acc")
   }
 
+  /** Per-key document cap — "at most K docs per domain", the crawl
+    * policy that stops one hot site from dominating a corpus. Keeps the
+    * K rows with the smallest (md5 ticket, id) per key, so membership is
+    * deterministic, engine-reproducible, and ticket-random rather than
+    * id-ordered.
+    *
+    * SKEW: per-key top-K via [[BoundedTopKAgg]] — a bounded-buffer typed
+    * Aggregator that runs partial+final with map-side combine, so a
+    * 10^9-doc domain costs K per partition, never a window that lands
+    * the whole domain on one reducer. The kept-id set (<= K per key) is
+    * exploded and semi-joined back; Catalyst/AQE broadcast it when
+    * small.
+    */
+  def capPerKey(df: DataFrame, idCol: String, keyCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new BoundedTopKAgg(k)
+    val kept = df
+      .select(col(keyCol).cast("string").as("__key"),
+        ticket(col(idCol)).as("__tk"), col(idCol).cast("long").as("__id"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (_, top) => top.map(_._2) }
+      .toDF("__kept_id")
+    df.join(kept, col(idCol).cast("long") === col("__kept_id"), "left_semi")
+  }
+
   /** Pack documents into fixed token-budget bins, sharded for
     * parallelism: each document lands in the shard `md5(id) % shards`,
     * and within a shard (processed in id order) its bin is

@@ -28,3 +28,38 @@ object OrderStatsAgg extends Aggregator[Order, StatsBuf, StatsBuf] {
   override def bufferEncoder: Encoder[StatsBuf] = Encoders.product[StatsBuf]
   override def outputEncoder: Encoder[StatsBuf] = Encoders.product[StatsBuf]
 }
+
+/** Bounded per-group top-K (smallest (rank, id) pairs): the buffer never
+  * exceeds K elements, so the aggregation runs partial+final with
+  * map-side combine and a HOT GROUP COSTS K, NOT ITS CARDINALITY — the
+  * skew-safe alternative to a row_number window for per-key caps (a
+  * window ships every row of the hot key to one reducer; this ships at
+  * most K per partition). Pairs are (rank, id) longs ordered
+  * lexicographically; id uniqueness makes the cap deterministic.
+  */
+class BoundedTopKAgg(k: Int)
+    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+  private val ord = Ordering.Tuple2[Long, Long]
+  override def zero: Seq[(Long, Long)] = Vector.empty
+  override def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] =
+    if (b.size < k) insert(b, a)
+    else if (ord.lt(a, b.last)) insert(b.init, a)
+    else b
+  override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    (a ++ b).sorted(ord).take(k)
+  override def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
+  override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+
+  // keep the buffer sorted: binary-search insert, O(K) copy
+  private def insert(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] = {
+    var lo = 0; var hi = b.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ord.lt(b(mid), a)) lo = mid + 1 else hi = mid
+    }
+    (b.take(lo) :+ a) ++ b.drop(lo)
+  }
+}

@@ -723,6 +723,20 @@ object Oracles {
         |    '\b\d{7,15}\b', '<NUM>', 'g') AS redacted
         |FROM p""".stripMargin,
 
+    "c5_domain_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_extract(
+        |      CASE WHEN doc_id % 3 = 0 THEN 'www.' WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END ||
+        |      'site' || (doc_id % 50)::VARCHAR || '.' ||
+        |      CASE WHEN doc_id % 4 = 0 THEN 'com' WHEN doc_id % 4 = 1 THEN 'org'
+        |           WHEN doc_id % 4 = 2 THEN 'net' ELSE 'io' END,
+        |      '([^.]+\.[^.]+)$', 1) AS domain,
+        |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS tk
+        |  FROM documents)
+        |SELECT doc_id, domain FROM d
+        |QUALIFY row_number() OVER (PARTITION BY domain ORDER BY tk, doc_id) <= 3""".stripMargin,
+
     "t9_url_stats" ->
       """WITH u AS (
         |  SELECT doc_id,

@@ -407,6 +407,24 @@ object Queries {
       .select("doc_id", "host", "domain", "n_domain_docs")
   }
 
+  /** Per-domain cap: at most 3 docs per registrable domain (t9's URL
+    * synthesis), kept by smallest (md5 ticket, id) via the bounded
+    * typed top-K aggregate — skew-safe where a row_number window is not.
+    */
+  def c5_domain_cap(spark: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id") % 3
+    val sub = when(m === 0, "www.").when(m === 1, "cdn.").otherwise("")
+    val tld = when(col("doc_id") % 4 === 0, "com").when(col("doc_id") % 4 === 1, "org")
+      .when(col("doc_id") % 4 === 2, "net").otherwise("io")
+    val url = concat(lit("https://"), sub,
+      lit("site"), (col("doc_id") % 50).cast("string"), lit("."), tld,
+      lit("/p/"), col("doc_id").cast("string"))
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.urlDomain(url).as("domain"))
+    graft.operators.Sampling.capPerKey(docs, "doc_id", "domain", k = 3)
+      .select("doc_id", "domain")
+  }
+
   /** Sequence packing: assign documents to 2048-token context bins,
     * sharded 8 ways for parallelism; one window per shard, no global
     * sort.

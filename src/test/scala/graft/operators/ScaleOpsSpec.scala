@@ -353,6 +353,32 @@ class ScaleOpsSpec extends SparkSpec {
       s"alpha=1 keeps sources at equal rates: $commonRate vs $rareRate")
   }
 
+  test("per-key cap: bounded top-K agg == window rank; hot key costs K") {
+    import spark.implicits._
+    // one hot domain (1000 docs), two small ones
+    val docs = ((0 until 1000).map(i => (i.toLong, "hot.com")) ++
+      (2000 until 2002).map(i => (i.toLong, "tiny.org")) ++
+      (3000 until 3010).map(i => (i.toLong, "mid.net"))).toDF("doc_id", "domain")
+    val kept = Sampling.capPerKey(docs, "doc_id", "domain", k = 3)
+      .select("doc_id", "domain").as[(Long, String)].collect().toSet
+    val byDomain = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byDomain("hot.com") === 3 && byDomain("mid.net") === 3)
+    assert(byDomain("tiny.org") === 2, "groups under the cap keep everything")
+    // equivalence with the (skew-unsafe) window-rank reference semantics
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy(col("tk"), col("doc_id"))
+    val ref = docs
+      .withColumn("tk", pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long"), lit(10000L)))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+      .select("doc_id", "domain").as[(Long, String)].collect().toSet
+    assert(kept === ref)
+    // deterministic across runs
+    val again = Sampling.capPerKey(docs, "doc_id", "domain", k = 3)
+      .select("doc_id", "domain").as[(Long, String)].collect().toSet
+    assert(again === kept)
+  }
+
   test("URL host/domain extraction handles ports, userinfo, subdomains") {
     import spark.implicits._
     val urls = Seq(
