@@ -121,11 +121,12 @@ object BiallelicGenotyper {
       binSize: Double = 1000.0,
       broadcastVariants: Boolean = true,
       copyNumbers: Option[CopyNumberMap.Built] = None,
-      scoreAllSites: Boolean = false): DataFrame = {
+      scoreAllSites: Boolean = false,
+      materializePileup: Boolean = false): DataFrame = {
     require(variants.columns.contains("sampleId"),
       "callPerSample: variants must carry a sampleId column (use DiscoverVariants.discoverPerSample)")
     callImpl(reads, variants, perSample = true, ploidy, maxQual, maxMapQ,
-      binSize, broadcastVariants, copyNumbers, scoreAllSites)
+      binSize, broadcastVariants, copyNumbers, scoreAllSites, materializePileup)
   }
 
   private def callImpl(
@@ -138,7 +139,8 @@ object BiallelicGenotyper {
       binSize: Double,
       broadcastVariants: Boolean,
       copyNumbers: Option[CopyNumberMap.Built],
-      scoreAllSites: Boolean): DataFrame = {
+      scoreAllSites: Boolean,
+      materializePileup: Boolean = false): DataFrame = {
 
     val spark = reads.sparkSession
     import spark.implicits._
@@ -177,7 +179,12 @@ object BiallelicGenotyper {
     // (Observer.compressedPileup) — readLength× fewer shuffled rows
     // than exploding first. Then equi-join on (contig, position) with
     // codegen'd support classification. No per-(read,variant) kernel.
-    val pileup = Observer.compressedPileup(reads)
+    // scoreAllSites references the pileup twice (SNV equi-join + the
+    // non-ref anti-join); materializePileup (an EXPLICIT opt-in — it
+    // runs a job, so the default call() stays a pure plan constructor)
+    // evaluates the compression once instead of twice
+    val pileup0 = Observer.compressedPileup(reads)
+    val pileup = if (materializePileup) pileup0.localCheckpoint() else pileup0
     val snvSide = if (broadcastVariants) broadcast(snvV) else snvV
     val snvCond = {
       val base = pileup("contigName") === snvV("v_contig") && pileup("pos") === snvV("v_start")
