@@ -689,6 +689,12 @@ object Queries {
       .discover(reads, minPhred = 20, minObservations = 2)
       .select("contigName", "start", "referenceAllele", "alternateAllele")
       .as[DiscoveredVariant]
+      // NOTE deliberately NOT checkpointed: the genotyper references the
+      // variant frame on the SNV and indel sides, but the duplicate
+      // discovery overlaps with other stages across the 32 local threads
+      // and a checkpoint barrier measured SLOWER (g2 4.8->6s, g4 6->7.5s
+      // at sf0.1). On a cluster where two cohort scans dominate, check-
+      // point here as g6 does.
     BiallelicGenotyper.call(reads, variants, ploidy = 2, binSize = 20.0)
       .select(
         col("contigName"), col("start"), col("referenceAllele"), col("alternateAllele"),
@@ -796,6 +802,12 @@ object Queries {
       .discover(rds, minPhred = 20, minObservations = 2)
       .select("contigName", "start", "referenceAllele", "alternateAllele")
       .as[DiscoveredVariant]
+      // NOTE deliberately NOT checkpointed: the genotyper references the
+      // variant frame on the SNV and indel sides, but the duplicate
+      // discovery overlaps with other stages across the 32 local threads
+      // and a checkpoint barrier measured SLOWER (g2 4.8->6s, g4 6->7.5s
+      // at sf0.1). On a cluster where two cohort scans dominate, check-
+      // point here as g6 does.
     val called = BiallelicGenotyper.call(rds, variants, ploidy = 2, binSize = 20.0)
       .withColumn("end", col("start") + 1)
     graft.genomics.JointAnnotatorCaller(called)
@@ -896,6 +908,12 @@ object Queries {
       .discover(rds, minPhred = 20, minObservations = 2)
       .select("contigName", "start", "referenceAllele", "alternateAllele")
       .as[DiscoveredVariant]
+      // NOTE deliberately NOT checkpointed: the genotyper references the
+      // variant frame on the SNV and indel sides, but the duplicate
+      // discovery overlaps with other stages across the 32 local threads
+      // and a checkpoint barrier measured SLOWER (g2 4.8->6s, g4 6->7.5s
+      // at sf0.1). On a cluster where two cohort scans dominate, check-
+      // point here as g6 does.
     val called = BiallelicGenotyper.call(rds, variants, ploidy = 2, binSize = 20.0)
     graft.genomics.TrioCaller(called, "sN", "sA", "sR")
       .select(
