@@ -73,6 +73,45 @@ class AsOfJoinSpec extends SparkSpec {
     assert(all.contains(9L), "right-only key visible in the diagnostic")
   }
 
+  /** Deterministic property driver (no scalatestplus in the offline
+    * cache): sample the generator across fixed seeds.
+    */
+  private def forAllSeeded[T](gen: org.scalacheck.Gen[T], n: Int)(body: T => Unit): Unit = {
+    val params = org.scalacheck.Gen.Parameters.default
+    (0 until n).foreach { i =>
+      gen.apply(params, org.scalacheck.rng.Seed(i.toLong)).foreach(body)
+    }
+  }
+
+  test("property: asOf == brute-force latest-at-or-before on random data") {
+    import org.scalacheck.Gen
+    // small key/ts domains force heavy collisions — equal timestamps,
+    // shared keys, keys on one side only
+    val gen = for {
+      nl <- Gen.choose(1, 60)
+      nr <- Gen.choose(0, 60)
+      ls <- Gen.listOfN(nl, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 20L)))
+      rs <- Gen.listOfN(nr, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 20L)))
+    } yield (ls, rs)
+    forAllSeeded(gen, 25) { case (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+      val right = rs.zipWithIndex.map { case ((k, ts), i) =>
+        (k, ts, i.toLong, i * 1.5) // ok = index (unique tie-break), price
+      }
+      val got = run(left, right)
+      val want = left.map { case (id, k, ts) =>
+        val cands = right.filter(r => r._1 == k && r._2 <= ts)
+        if (cands.isEmpty) (id, None, None)
+        else {
+          // latest ts; among equal ts the LARGEST ok wins
+          val best = cands.maxBy(r => (r._2, r._3))
+          (id, Some(best._3), Some(best._4))
+        }
+      }.sortBy(_._1)
+      assert(got === want, s"left=$left right=$right")
+    }
+  }
+
   test("rejects inputs whose columns collide with reserved working names") {
     import spark.implicits._
     val l = Seq((1L, 1L, 1L)).toDF("id", "__k", "ts")
