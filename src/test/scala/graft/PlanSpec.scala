@@ -116,6 +116,27 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size === 1, "exactly one shuffle (on the gram)")
   }
 
+  test("c5 domain cap: typed top-K agg is partial+final, no window over the key") {
+    val plan = planOf(Queries.c5_domain_cap(spark, sf("0.001")))
+    // the bounded typed aggregate must plan with map-side combine
+    // (ObjectHashAggregate or SortAggregate, partial + final) — and the
+    // cap must NOT be a row_number window over the domain (one hot
+    // domain would land whole on a reducer)
+    assert("ObjectHashAggregate|SortAggregate".r.findAllIn(plan).size >= 2,
+      s"typed agg should be partial+final:\n$plan")
+    assert(!plan.contains("Window"), s"cap must not use a window:\n$plan")
+    assert(plan.contains("LeftSemi"), "kept ids semi-join back")
+  }
+
+  test("c4 temperature mix: two tiny aggs, no window, join back onto corpus") {
+    val plan = planOf(Queries.c4_temperature_mix(spark, sf("0.001")))
+    assert(!plan.contains("Window"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "partial+final source counts")
+    // (the normalizer is a deliberate 1-row cross join — no assertion on
+    // its physical flavor; the acceptance join-back must exist)
+    assert(plan.contains("Join"), plan)
+  }
+
   test("c1 cleaning pipeline: partial+final aggs (no content-key window), broadcast anti-join") {
     val plan = planOf(Queries.c1_clean_corpus(spark, sf("0.001")))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
