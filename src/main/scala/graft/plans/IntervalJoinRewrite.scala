@@ -47,35 +47,48 @@ case class IntervalJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val (ineqs, rest) = conjuncts.partition {
-        case LessThan(a, b) => isOrderable(a) && isOrderable(b) &&
-          sideOf(a, left, right).isDefined && sideOf(b, left, right).isDefined &&
-          sideOf(a, left, right) != sideOf(b, left, right)
-        case _ => false
+      // accept strict AND non-strict bounds (SQL intervals are written
+      // both ways); the ORIGINAL predicate rides as the residual, so the
+      // rewrite only needs the bin replication to COVER matches — bins
+      // are inclusive of both endpoints' bins, so <= changes nothing in
+      // the coverage argument
+      def boundsOf(e: Expression): Option[(Expression, Expression)] = e match {
+        case LessThan(a, b)        => Some((a, b))
+        case LessThanOrEqual(a, b) => Some((a, b))
+        case _                     => None
+      }
+      val (ineqs, rest) = conjuncts.partition { e =>
+        boundsOf(e).exists { case (a, b) =>
+          isOrderable(a) && isOrderable(b) &&
+            sideOf(a, left, right).isDefined && sideOf(b, left, right).isDefined &&
+            sideOf(a, left, right) != sideOf(b, left, right)
+        }
       }
       val equisOnly = rest.forall {
         case EqualTo(a, b) => sideOf(a, left, right).isDefined &&
           sideOf(b, left, right).isDefined && sideOf(a, left, right) != sideOf(b, left, right)
         case _ => false
       }
-      // exactly the crossing pair (lLo < rHi) && (rLo < lHi), remaining
-      // conjuncts all equi — otherwise leave the join alone
+      // exactly the crossing pair (lLo <[=] rHi) && (rLo <[=] lHi),
+      // remaining conjuncts all equi — otherwise leave the join alone
       val crossing = ineqs match {
-        case Seq(LessThan(a1, b1), LessThan(a2, b2)) =>
+        case Seq(e1, e2) =>
+          val Some((a1, b1)) = boundsOf(e1)
+          val Some((a2, b2)) = boundsOf(e2)
           val s1 = (sideOf(a1, left, right), sideOf(b1, left, right))
           val s2 = (sideOf(a2, left, right), sideOf(b2, left, right))
           (s1, s2) match {
             case ((Some(true), Some(false)), (Some(false), Some(true))) =>
-              // a1=lLo < b1=rHi ; a2=rLo < b2=lHi
-              Some((a1, b1, a2, b2))
+              // a1=lLo <[=] b1=rHi ; a2=rLo <[=] b2=lHi
+              Some((a1, b1, a2, b2, e1, e2))
             case ((Some(false), Some(true)), (Some(true), Some(false))) =>
-              Some((a2, b2, a1, b1))
+              Some((a2, b2, a1, b1, e2, e1))
             case _ => None
           }
         case _ => None
       }
       crossing match {
-        case Some((lLo, rHi, rLo, lHi)) if equisOnly =>
+        case Some((lLo, rHi, rLo, lHi, lIneq, rIneq)) if equisOnly =>
           val bs = Literal(binSize(), DoubleType)
           def bin(e: Expression): Expression =
             Cast(Floor(Divide(Cast(e, DoubleType), bs)), LongType)
@@ -104,7 +117,7 @@ case class IntervalJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper 
           val dedup = EqualTo(lBin, Greatest(Seq(bin(lLo), bin(rLo))))
           val newCond = (Seq(
             EqualTo(lBin, rBin),
-            LessThan(lLo, rHi), LessThan(rLo, lHi),
+            lIneq, rIneq, // ORIGINAL bounds (strictness preserved) as residual
             dedup) ++ rest).reduce(And)
           Project(
             j.output,

@@ -78,6 +78,35 @@ class IntervalJoinRewriteSpec extends AnyFunSuite with org.scalatest.BeforeAndAf
     assert(df.as[(Long, Long)].collect().toSet === Set((1L, 10L)))
   }
 
+  test("non-strict (<=) and mixed-strictness overlap joins also rewrite, boundary-exact") {
+    mkTables()
+    // closed intervals: SQL users write BETWEEN-style bounds — strictness
+    // must be preserved in the residual, not silently tightened/loosened
+    val q = "SELECT lid, rid FROM lint JOIN rint ON ls <= re AND rs < le"
+    val df = spark.sql(q)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"mixed-strictness overlap join not rewritten:\n$plan")
+    import spark.implicits._
+    val l = spark.table("lint").as[(Long, Double, Double)].collect()
+    val r = spark.table("rint").as[(Long, Double, Double)].collect()
+    val expected = (for {
+      (lid, ls, le) <- l; (rid, rs, re) <- r; if ls <= re && rs < le
+    } yield (lid, rid)).toSet
+    assert(df.as[(Long, Long)].collect().toSet === expected)
+
+    // exact boundary touch: [0,10] vs [10,20] matches ONLY with <=
+    Seq((1L, 0.0, 10.0)).toDF("lid", "ls", "le").createOrReplaceTempView("lb")
+    Seq((2L, 10.0, 20.0)).toDF("rid", "rs", "re").createOrReplaceTempView("rb")
+    val closed = spark.sql(
+      "SELECT lid, rid FROM lb JOIN rb ON ls <= re AND rs <= le")
+    assert(closed.as[(Long, Long)].collect().toSet === Set((1L, 2L)))
+    assert(!closed.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val open = spark.sql(
+      "SELECT lid, rid FROM lb JOIN rb ON ls < re AND rs < le")
+    assert(open.as[(Long, Long)].collect().isEmpty, "strict bounds exclude the touch")
+  }
+
   test("non-overlap theta joins are left alone") {
     mkTables()
     // single inequality: not an interval overlap; must still work
