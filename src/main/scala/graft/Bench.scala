@@ -34,6 +34,9 @@ object Bench {
     "ev4_stream_sessions",
     "ev7_asof_enrich",
     "ev8_stream_asof_enrich",
+    "ev9_stream_stream_join",
+    "t10_length_quantiles",
+    "d8_dup_spans",
     "c4_temperature_mix",
     "c5_domain_cap",
     "t8_pii_redact",

@@ -64,6 +64,7 @@ object SparkEntry {
     "ev6_stream_dedup" -> (Queries.ev6_stream_dedup _),
     "ev7_asof_enrich" -> (Queries.ev7_asof_enrich _),
     "ev8_stream_asof_enrich" -> (Queries.ev8_stream_asof_enrich _),
+    "ev9_stream_stream_join" -> (Queries.ev9_stream_stream_join _),
     "g1_discover_variants" -> (Queries.g1_discover_variants _),
     "g2_genotype_calls" -> (Queries.g2_genotype_calls _),
     "g3_realign" -> (Queries.g3_realign _),
@@ -87,6 +88,8 @@ object SparkEntry {
     "c4_temperature_mix" -> (Queries.c4_temperature_mix _),
     "c5_domain_cap" -> (Queries.c5_domain_cap _),
     "t8_pii_redact" -> (Queries.t8_pii_redact _),
+    "t10_length_quantiles" -> (Queries.t10_length_quantiles _),
+    "d8_dup_spans" -> (Queries.d8_dup_spans _),
     "t9_url_stats" -> (Queries.t9_url_stats _),
     "c3_pack_sequences" -> (Queries.c3_pack_sequences _),
     "m1_multimodal_meta" -> (Queries.m1_multimodal_meta _),

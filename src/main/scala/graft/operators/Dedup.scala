@@ -216,6 +216,57 @@ object Dedup {
       .where(col("df") > 1)
       .select(md5(col("g")).as("fp"), col("df"), col("keep_id"))
 
+  /** Duplicated-SPAN report — the span-cut flavor of exact substring
+    * dedup (Lee et al. 2022 deduplicate-training-data): instead of
+    * dropping whole documents that share an n-gram, find for each
+    * document the merged token spans covered by any n-token window that
+    * occurs more than once in the corpus, i.e. the exact spans a
+    * span-cutting cleaner would remove. Plan: positional shingles
+    * (kernel UDF, same single-evaluation property as [[shingleSets]]) ->
+    * one gram-keyed partial+final groupBy for global occurrence counts ->
+    * equi-join back (AQE handles hot grams) -> per-document
+    * gaps-and-islands interval merge. The merge windows partition on
+    * doc_id — unique per document, so unskewable and bounded by document
+    * length; no content-keyed window anywhere.
+    *
+    * Overlapping-or-adjacent spans merge into one (adjacent removals are
+    * one contiguous cut). Output per document: token count, merged span
+    * count, tokens removed/kept.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val mk = udf((toks: Seq[String]) =>
+      if (toks.length < n) Seq.empty[String]
+      else toks.sliding(n).map(_.mkString(" ")).toSeq)
+    val occ = df
+      .select(col(idCol).as("doc_id"), mk(split(col(textCol), " ")).as("grams"))
+      .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos", "g")))
+    val dup = occ.groupBy("g").agg(count(lit(1)).as("occ_n"))
+      .where(col("occ_n") > 1).select("g")
+    val spans = occ.join(dup, "g")
+      .select(col("doc_id"), col("pos").as("st"), (col("pos") + n - 1).as("en"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wOrd = W.partitionBy("doc_id").orderBy("st")
+    val prevMax = max(col("en"))
+      .over(wOrd.rowsBetween(W.unboundedPreceding, -1))
+    val islands = spans
+      .withColumn("new_island",
+        when(prevMax.isNull || col("st") > prevMax + 1, 1).otherwise(0))
+      .withColumn("island",
+        sum(col("new_island")).over(wOrd.rowsBetween(W.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min("st").as("s0"), max("en").as("e1"))
+    val perDoc = islands.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e1") - col("s0") + lit(1)).as("tokens_removed"))
+    df.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        (col("n_tokens") - coalesce(col("tokens_removed"), lit(0L))).as("tokens_kept"))
+  }
+
   /** Benchmark decontamination: drop every corpus document sharing any
     * n-gram with the benchmark (held-out eval) set — the hygiene step
     * that keeps eval data out of a training corpus. The benchmark gram

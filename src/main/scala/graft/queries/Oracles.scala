@@ -408,6 +408,18 @@ object Oracles {
         |  round(p.tp, 2) AS last_total
         |FROM m WHERE tag = 1""".stripMargin,
 
+    // batch twin of the watermarked stream-stream interval join: same
+    // equi-key + 30-minute range predicate; gap at the micro precision
+    // both engines floor the TIMESTAMP(NANOS) column to
+    "ev9_stream_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.user_id AS user_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM events p JOIN events c
+        |ON p.user_id = c.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE""".stripMargin,
+
     "g1_discover_variants" ->
       """SELECT concat('chr', l_returnflag) AS contigName,
         |  (l_partkey % 1000) * 20 + (l_suppkey % 10) AS start,
@@ -757,6 +769,44 @@ object Oracles {
         |  FROM u)
         |SELECT doc_id, host, domain, count(*) OVER (PARTITION BY domain) AS n_domain_docs
         |FROM d""".stripMargin,
+
+    // exact percentiles: both engines interpolate lower + frac·(upper−lower)
+    "t10_length_quantiles" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  round(quantile_cont(n_chars, 0.25), 4) AS p25,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.75), 4) AS p75,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90
+        |FROM documents GROUP BY source""".stripMargin,
+
+    // span-cut substring dedup: positional 13-grams (occurrence count
+    // > 1 anywhere in the corpus), merged per doc via gaps-and-islands
+    // (adjacent-or-overlapping spans fuse into one cut)
+    "d8_dup_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |occ AS (
+        |  SELECT doc_id,
+        |    unnest([{'s': i - 1, 'g': array_to_string(t[i:i+12], ' ')}
+        |            FOR i IN range(1, len(t) - 11)], recursive := true)
+        |  FROM tok WHERE len(t) >= 13),
+        |dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) > 1),
+        |sp AS (SELECT o.doc_id, o.s AS st, o.s + 12 AS en FROM occ o JOIN dup USING (g)),
+        |w AS (SELECT doc_id, st, en,
+        |        max(en) OVER (PARTITION BY doc_id ORDER BY st
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |      FROM sp),
+        |isl AS (SELECT doc_id, st, en,
+        |        sum(CASE WHEN pm IS NULL OR st > pm + 1 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY st ROWS UNBOUNDED PRECEDING) AS island
+        |        FROM w),
+        |m AS (SELECT doc_id, island, min(st) AS s0, max(en) AS e1 FROM isl GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, count(*)::BIGINT AS n_spans,
+        |         sum(e1 - s0 + 1)::BIGINT AS tokens_removed FROM m GROUP BY 1)
+        |SELECT d.doc_id, len(string_split(d.text, ' '))::BIGINT AS n_tokens,
+        |  coalesce(pd.n_spans, 0)::BIGINT AS n_spans,
+        |  coalesce(pd.tokens_removed, 0)::BIGINT AS tokens_removed,
+        |  (len(string_split(d.text, ' ')) - coalesce(pd.tokens_removed, 0))::BIGINT AS tokens_kept
+        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
     // sequence packing: shard by md5(id) % 8, running token cumsum per
     // shard in id order, bin = start-offset // budget

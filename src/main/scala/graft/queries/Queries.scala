@@ -334,6 +334,25 @@ object Queries {
   def t7_repetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionSignals(t(spark, dir, "documents"), "doc_id", "text")
 
+  /** Per-source length-distribution statistics: EXACT percentiles via
+    * Spark's sort-based `percentile` (one agg buffer for all four
+    * quantiles), the corpus profiling step a mix designer reads before
+    * setting sampling weights. Both engines interpolate linearly
+    * (lower + frac·(upper−lower)), so values agree bit-for-bit; rounding
+    * is belt-and-braces.
+    */
+  def t10_length_quantiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.9D))").as("q"))
+      .select(col("source"), col("n_docs"),
+        round(element_at(col("q"), 1), 4).as("p25"),
+        round(element_at(col("q"), 2), 4).as("p50"),
+        round(element_at(col("q"), 3), 4).as("p75"),
+        round(element_at(col("q"), 4), 4).as("p90"))
+
   /** Deterministic stratified sampling for a training mix: documents
     * classed by length tercile, sampled at 10%/50%/90% — membership from
     * md5 arithmetic, stable across runs and engines.
@@ -623,6 +642,36 @@ object Queries {
       spark.table(name).select(
         col("c_mktsegment"), col("event_type"), col("n"),
         round(col("sv"), 2).as("sum_value"))
+    }
+
+  /** Stream-STREAM interval join: the purchases stream joins the clicks
+    * stream of the same user within a 30-minute lookback — two unbounded
+    * sides, watermark-bounded join state (see
+    * [[graft.streaming.StreamingOps.intervalJoinStreams]]). The oracle is
+    * the batch self-join with the identical range predicate.
+    */
+  def ev9_stream_stream_join(spark: SparkSession, dir: String): DataFrame =
+    withStagedEvents(dir, "ev9_stream") { staged =>
+      val p = graft.streaming.StreamingOps.readEvents(spark, staged)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"), col("event_time").as("p_time"))
+      val c = graft.streaming.StreamingOps.readEvents(spark, staged)
+        .where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+          col("ts").as("c_ts"), col("event_time").as("c_time"))
+      val joined = graft.streaming.StreamingOps.intervalJoinStreams(
+        p, c, "user_id", "c_uid", "p_time", "c_time", lookback = "30 minutes")
+      val name = "ev9_" + java.lang.Long.toHexString(System.nanoTime())
+      val q = joined.writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      // gap in micros from the nanos longs — DuckDB surfaces the parquet
+      // TIMESTAMP(NANOS) at micro precision, same floor-division
+      spark.table(name).select(
+        col("purchase_id"), col("click_id"), col("user_id"),
+        expr("(p_ts div 1000) - (c_ts div 1000)").as("gap_us"))
     }
 
   // ---- genomics pipeline on synthesized reads (G1, G2) -----------------
@@ -1022,6 +1071,13 @@ object Queries {
   /** Cross-document duplicated 13-gram contamination report. */
   def d5_dup_ngrams(spark: SparkSession, dir: String): DataFrame =
     Dedup.duplicatedNgrams(t(spark, dir, "documents"), "doc_id", "text", n = 13)
+
+  /** Span-cut substring dedup: per document, the merged token spans
+    * covered by any corpus-duplicated 13-gram — what an exact
+    * span-cutting cleaner removes (vs d6's whole-document drop).
+    */
+  def d8_dup_spans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(t(spark, dir, "documents"), "doc_id", "text", n = 13)
 
   /** Benchmark decontamination: every 10th document plays the held-out
     * eval set; the rest of the corpus drops any document sharing a

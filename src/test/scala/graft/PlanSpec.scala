@@ -116,6 +116,19 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size === 1, "exactly one shuffle (on the gram)")
   }
 
+  test("d8 span cut: gram counts partial+final; windows partition on doc_id only") {
+    val plan = planOf(Queries.d8_dup_spans(spark, sf("0.001")))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "map-side combine on the gram key")
+    // the gaps-and-islands merge may window — but ONLY partitioned by
+    // doc_id (unique per document, unskewable); a window keyed on the
+    // gram content would put every occurrence of one hot boilerplate
+    // gram on a single reducer
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(plan).toSeq
+    assert(specs.nonEmpty, plan)
+    assert(specs.forall(_.contains("doc_id")), s"window not doc_id-keyed:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("c5 domain cap: typed top-K agg is partial+final, no window over the key") {
     val plan = planOf(Queries.c5_domain_cap(spark, sf("0.001")))
     // the bounded typed aggregate must plan with map-side combine

@@ -228,6 +228,29 @@ class DedupSpec extends SparkSpec {
     assert(partial.forall { case (d, c) => c <= d }, "labels only ever decrease")
   }
 
+  test("duplicated spans merge overlapping and adjacent cuts, count kept tokens") {
+    import spark.implicits._
+    val corpus = Seq(
+      // "a b c" and "b c d" duplicated across docs 1/2 (n=3)
+      (1L, "a b c d e f"),        // spans [0,2]+[1,3] overlap -> [0,3]
+      (2L, "x a b c y b c d z"),  // spans [1,3], [5,7]: gap -> 2 spans
+      // "p q r" and "s t u" duplicated across docs 3/4
+      (3L, "p q r s t u"),        // spans [0,2]+[3,5] ADJACENT -> one cut [0,5]
+      (4L, "p q r z z z s t u"),  // spans [0,2], [6,8]: gap -> 2 spans
+      (5L, "m n o"),              // no duplicated gram
+      (6L, "k")                   // shorter than n: no grams at all
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(corpus, "doc_id", "text", n = 3)
+      .select("doc_id", "n_tokens", "n_spans", "tokens_removed", "tokens_kept")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 6L, 1L, 4L, 2L)))
+    assert(got(2L) === ((2L, 9L, 2L, 6L, 3L)))
+    assert(got(3L) === ((3L, 6L, 1L, 6L, 0L)))
+    assert(got(4L) === ((4L, 9L, 2L, 6L, 3L)))
+    assert(got(5L) === ((5L, 3L, 0L, 0L, 3L)))
+    assert(got(6L) === ((6L, 1L, 0L, 0L, 1L)))
+  }
+
   test("simhash LSH pair finder obeys hamming cap") {
     import spark.implicits._
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
