@@ -251,6 +251,43 @@ class DedupSpec extends SparkSpec {
     assert(got(6L) === ((6L, 1L, 0L, 0L, 1L)))
   }
 
+  test("duplicated spans match a brute-force oracle on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("a", "b", "c", "d", "e")
+    // tiny vocab + short grams force heavy cross-doc gram collisions,
+    // nested/overlapping/adjacent spans included
+    val corpus = (0 until 40).map { id =>
+      val len = 1 + rnd.nextInt(12)
+      (id.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val n = 3
+    val gramCount = scala.collection.mutable.Map.empty[String, Int]
+    val toks = corpus.map { case (id, text) => id -> text.split(" ", -1).toSeq }
+    toks.foreach { case (_, t) =>
+      t.sliding(n).filter(_.length == n).map(_.mkString(" "))
+        .foreach(g => gramCount(g) = gramCount.getOrElse(g, 0) + 1)
+    }
+    val expected = toks.map { case (id, t) =>
+      val covered = Array.fill(t.length)(false)
+      if (t.length >= n)
+        t.sliding(n).zipWithIndex.foreach { case (w, i) =>
+          if (w.length == n && gramCount(w.mkString(" ")) > 1)
+            (i until i + n).foreach(covered(_) = true)
+        }
+      // count maximal covered runs; adjacent spans fuse by construction
+      val spans = covered.foldLeft((0, false)) { case ((k, in), c) =>
+        if (c && !in) (k + 1, true) else (k, c)
+      }._1
+      (id, t.length.toLong, spans.toLong, covered.count(identity).toLong,
+        (t.length - covered.count(identity)).toLong)
+    }.toSet
+    val got = Dedup.duplicatedSpans(corpus.toDF("doc_id", "text"), "doc_id", "text", n = n)
+      .select("doc_id", "n_tokens", "n_spans", "tokens_removed", "tokens_kept")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
   test("simhash LSH pair finder obeys hamming cap") {
     import spark.implicits._
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
