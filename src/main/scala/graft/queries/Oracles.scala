@@ -409,8 +409,11 @@ object Oracles {
         |FROM m WHERE tag = 1""".stripMargin,
 
     // batch twin of the watermarked stream-stream interval join: same
-    // equi-key + 30-minute range predicate; gap at the micro precision
-    // both engines floor the TIMESTAMP(NANOS) column to
+    // equi-key + 30-minute range predicate. Spark reads the parquet
+    // TIMESTAMP(NANOS) column floored to micros, so the range predicate
+    // must also compare at micro precision (epoch_us), not raw
+    // nanosecond ts — a sub-microsecond timestamp exactly at the
+    // 30-minute boundary would otherwise diverge between engines.
     "ev9_stream_stream_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
         |  p.user_id AS user_id,
@@ -418,7 +421,8 @@ object Oracles {
         |FROM events p JOIN events c
         |ON p.user_id = c.user_id
         |  AND p.event_type = 'purchase' AND c.event_type = 'click'
-        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE""".stripMargin,
+        |  AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000""".stripMargin,
 
     "g1_discover_variants" ->
       """SELECT concat('chr', l_returnflag) AS contigName,

@@ -116,8 +116,12 @@ class StreamingSpec extends SparkSpec {
       .select("purchase_id", "click_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    // inner stream-stream join emits every match once both sides arrive;
-    // nothing is watermark-suppressed for an inner join, so the sets match
+    // inner stream-stream joins DO evict state past the watermark: events
+    // arriving more than watermarkDelay (1h) out of order would lose their
+    // match vs the batch oracle. The sets match here only because the single
+    // staged file is processed in one micro-batch, so all data arrives
+    // within the watermark delay — a multi-file fixture must keep each
+    // side's disorder under 1h or expect missing pairs.
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
