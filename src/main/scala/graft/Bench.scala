@@ -43,6 +43,9 @@ object Bench {
     "t9_url_stats",
     "d6_decontaminate",
     "d7_dup_clusters",
+    "d9_bloom_decontaminate",
+    "t11_quality_filter",
+    "c6_shard_manifest",
     "e7_quantized_topk",
     "g1_discover_variants",
     "g2_genotype_calls",
@@ -104,10 +107,20 @@ object Bench {
     if (calPre > 1.5 * CalRefSec)
       System.err.println(f"[bench] WARNING: calibration probe $calPre%.2fs > 1.5x reference $CalRefSec%.2fs — machine contended, timings unreliable")
 
+    // SPARK_GRAFT_ONLY=g2,g4 (comma-separated name prefixes) restricts
+    // the suite — the profiling path for a single drifting query without
+    // paying the full 35-query run
+    val selected = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(pfx) =>
+        val ps = pfx.split(',').map(_.trim).filter(_.nonEmpty)
+        headline.filter(n => ps.exists(n.startsWith))
+      case None => headline
+    }
+
     // a failed query records -1.0 (numeric, so the driver's parse still
     // reads the map) and is excluded from the total; a fast failure must
     // not masquerade as a fast success
-    val results = headline.flatMap { name =>
+    val results = selected.flatMap { name =>
       overrides.get(name).orElse(SparkEntry.queries.get(name)).map { fn =>
         // prompt the GC-triggered ContextCleaner between queries:
         // broadcast/shuffle debris from 26 prior queries otherwise

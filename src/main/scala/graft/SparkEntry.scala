@@ -90,6 +90,9 @@ object SparkEntry {
     "t8_pii_redact" -> (Queries.t8_pii_redact _),
     "t10_length_quantiles" -> (Queries.t10_length_quantiles _),
     "d8_dup_spans" -> (Queries.d8_dup_spans _),
+    "d9_bloom_decontaminate" -> (Queries.d9_bloom_decontaminate _),
+    "t11_quality_filter" -> (Queries.t11_quality_filter _),
+    "c6_shard_manifest" -> (Queries.c6_shard_manifest _),
     "t9_url_stats" -> (Queries.t9_url_stats _),
     "c3_pack_sequences" -> (Queries.c3_pack_sequences _),
     "m1_multimodal_meta" -> (Queries.m1_multimodal_meta _),

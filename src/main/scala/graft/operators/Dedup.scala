@@ -235,7 +235,9 @@ object Dedup {
     */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String, n: Int = 13): DataFrame = {
     val mk = udf((toks: Seq[String]) =>
-      if (toks.length < n) Seq.empty[String]
+      // split() yields null for null text; treat null/empty docs as
+      // gram-free, as a production span-cutter would.
+      if (toks == null || toks.length < n) Seq.empty[String]
       else toks.sliding(n).map(_.mkString(" ")).toSeq)
     val occ = df
       .select(col(idCol).as("doc_id"), mk(split(col(textCol), " ")).as("grams"))
@@ -286,6 +288,47 @@ object Dedup {
       .select(col("doc_id"), explode(col("shingles")).as("g"))
       .join(broadcast(bench), "g")
       .select("doc_id").distinct()
+    corpus.join(contaminated.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /** Bloom-sketch decontamination — byte-identical output to
+    * [[decontaminate]], built for the scale where the benchmark gram SET
+    * no longer broadcasts as exact strings. A Bloom filter's size is
+    * fixed by item count and fpp, independent of gram text length
+    * (10^9 grams at 1% fpp ≈ 1.2 GB vs tens of GB of exact 13-gram
+    * strings), so the cheap codegen-adjacent probe runs map-side over
+    * every corpus gram and only the ~fpp survivors reach the exact
+    * verification join that removes false positives. The corpus side
+    * therefore ships `hits` rows into the join instead of ALL grams —
+    * at 100 TB that is the difference between a broadcast-probe scan
+    * and an all-grams shuffle.
+    *
+    * The sketch itself is driver-built ([[org.apache.spark.sql.DataFrameStatFunctions.bloomFilter]]
+    * aggregates partial sketches), which is the intended pattern: it is
+    * a size-bounded summary, not data.
+    */
+  def bloomDecontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13,
+      fpp: Double = 0.01): DataFrame = {
+    val bench = shingleSets(benchmark, idCol, textCol, n)
+      .select(explode(col("shingles")).as("g")).distinct()
+      // referenced twice (sketch build + verify join); tiny relative to
+      // the corpus, and re-deriving it would re-shingle the benchmark
+      .localCheckpoint()
+    val nGrams = math.max(bench.count(), 1L)
+    val bf = bench.stat.bloomFilter("g", nGrams, fpp)
+    val bcast = corpus.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((g: String) => g != null && bcast.value.mightContainString(g))
+    val candidates = shingleSets(corpus, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+      .where(might(col("g")))
+    // exact verify kills Bloom false positives; Catalyst/AQE pick the
+    // join strategy from the benchmark side's ACTUAL size
+    val contaminated = candidates.join(bench, "g").select("doc_id").distinct()
     corpus.join(contaminated.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
   }
 

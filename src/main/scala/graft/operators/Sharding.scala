@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic output sharding + integrity manifest for training-data
+  * exports. A training job writes a corpus as N shards and later
+  * validates each shard against a manifest (doc count, token count, an
+  * order-independent content checksum); the shard id must be a pure
+  * function of the document id so re-runs, backfills and multi-engine
+  * pipelines agree on placement.
+  *
+  * Everything here is Column expressions over one partial+final
+  * aggregation keyed by the shard id — the md5-ticket assignment is
+  * uniform by construction, so shards (and therefore the agg's reduce
+  * keys) cannot skew no matter how skewed the corpus is. Content
+  * checksums use bit_xor, which is commutative/associative, so the
+  * manifest is independent of row order and partitioning — the property
+  * that lets a 1000-executor writer and a single-node verifier agree.
+  */
+object Sharding {
+
+  /** Deterministic shard id in [0, numShards): the same 60-bit md5-prefix
+    * ticket the sampling/LSH families use (DuckDB:
+    * ('0x' || substring(md5(id), 1, 15))::BIGINT % numShards).
+    */
+  def shardId(id: Column, numShards: Int): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(numShards.toLong))
+
+  /** 60-bit md5 content fingerprint of one document (non-negative long,
+    * both-engine reproducible).
+    */
+  def contentFp(text: Column): Column =
+    conv(substring(md5(text), 1, 15), 16, 10).cast("long")
+
+  /** Corpus with a `shard` column appended. */
+  def assignShards(df: DataFrame, idCol: String, numShards: Int): DataFrame =
+    df.withColumn("shard", shardId(col(idCol), numShards))
+
+  /** Per-shard manifest: document count, token/char totals, and the
+    * order-independent xor-of-fingerprints checksum. One hash-agg pass;
+    * no window, no sort, no driver collection.
+    */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String, numShards: Int): DataFrame =
+    assignShards(df, idCol, numShards)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        bit_xor(contentFp(col(textCol))).as("content_fp"))
+}

@@ -193,4 +193,51 @@ object TextAnalysis {
         regexp_replace(text, EmailPattern, "<EMAIL>"),
         Ipv4Pattern, "<IP>"),
       DigitRunPattern, "<NUM>")
+
+  // ---- Composite quality gate -------------------------------------------
+
+  /** Gopher/C4-style composite quality gate WITH provenance: each rule is
+    * a named boolean column, `fail_mask` packs them (bit i set = rule i
+    * failed), and `keep` is mask==0 — so a cleaning pipeline can report
+    * WHY each document was dropped, not just that it was (per-rule drop
+    * rates are the monitoring signal a production filter ships).
+    *
+    * All rules are integer arithmetic over single-space tokenization
+    * (`sum_wordlen*10 < n*25` instead of `mean < 2.5`), so the decisions
+    * are exactly reproducible in any SQL engine — no float rounding at
+    * rule boundaries. Pure Column expressions; the higher-order
+    * filter/exists lambdas evaluate once per document (no explode
+    * fan-out), and the whole gate is a single projection: zero shuffles,
+    * trivially scan-parallel at any corpus size.
+    *
+    * Rule bits: 0 too-short, 1 too-long, 2 mean-word-length out of
+    * [2.5, 10], 3 stopword ratio < 2%, 4 distinct-token ratio < 30%
+    * (boilerplate/repetition), 5 any token longer than 25 chars
+    * (markup/binary junk).
+    */
+  def qualityRules(
+      text: Column,
+      minTokens: Int = 50,
+      maxTokens: Int = 50000,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")): Seq[(String, Column)] = {
+    val toks = split(text, " ")
+    val n = size(toks).cast("long")
+    // tokens are single-space-joined, so total word chars = len - (n-1)
+    val sumLen = (length(text) - (n - lit(1L))).cast("long")
+    val stopN = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+    val uniqN = size(array_distinct(toks)).cast("long")
+    Seq(
+      "r_too_short" -> (n < minTokens),
+      "r_too_long" -> (n > maxTokens),
+      "r_word_len" -> (sumLen * 10 < n * 25 || sumLen > n * 10),
+      "r_low_stopword" -> (stopN * 100 < n * 2),
+      "r_repetitive" -> (uniqN * 100 < n * 30),
+      "r_mega_word" -> exists(toks, t => length(t) > 25))
+  }
+
+  /** `fail_mask` for [[qualityRules]]: bit i set = rule i failed. */
+  def qualityFailMask(rules: Seq[(String, Column)]): Column =
+    rules.zipWithIndex
+      .map { case ((_, r), i) => when(r, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce(_ + _)
 }

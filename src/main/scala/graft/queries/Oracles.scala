@@ -912,6 +912,65 @@ object Oracles {
         |WHERE doc_id % 10 <> 0
         |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
+    // d9 is d6 through the Bloom-probe plan: the exact-verify join makes
+    // the output byte-identical, so the oracle is the same closed form.
+    "d9_bloom_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_distinct([array_to_string(t[i:i+12], ' ') FOR i IN range(1, len(t) - 11)])) AS g
+        |  FROM tok WHERE len(t) >= 13),
+        |bg AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0),
+        |bad AS (
+        |  SELECT DISTINCT doc_id FROM sh
+        |  WHERE doc_id % 10 <> 0 AND g IN (SELECT g FROM bg))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 10 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    // composite quality gate: integer-arithmetic rules (no float mean at
+    // a rule boundary), bit i of fail_mask = rule i failed
+    "t11_quality_filter" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS n,
+        |    (length(text) - (len(string_split(text, ' ')) - 1))::BIGINT AS sum_len,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','of','and','to','in')))::BIGINT AS stop_n,
+        |    len(list_distinct(string_split(text, ' ')))::BIGINT AS uniq_n,
+        |    len(list_filter(string_split(text, ' '), t -> length(t) > 25)) > 0 AS mega
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n,
+        |    (n < 50) AS r_too_short,
+        |    (n > 50000) AS r_too_long,
+        |    (sum_len * 10 < n * 25 OR sum_len > n * 10) AS r_word_len,
+        |    (stop_n * 100 < n * 2) AS r_low_stopword,
+        |    (uniq_n * 100 < n * 30) AS r_repetitive,
+        |    mega AS r_mega_word
+        |  FROM s)
+        |SELECT doc_id, n AS n_tokens,
+        |  r_too_short, r_too_long, r_word_len, r_low_stopword, r_repetitive,
+        |  r_mega_word,
+        |  (CASE WHEN r_too_short THEN 1 ELSE 0 END
+        |   + CASE WHEN r_too_long THEN 2 ELSE 0 END
+        |   + CASE WHEN r_word_len THEN 4 ELSE 0 END
+        |   + CASE WHEN r_low_stopword THEN 8 ELSE 0 END
+        |   + CASE WHEN r_repetitive THEN 16 ELSE 0 END
+        |   + CASE WHEN r_mega_word THEN 32 ELSE 0 END)::BIGINT AS fail_mask,
+        |  NOT (r_too_short OR r_too_long OR r_word_len OR r_low_stopword
+        |       OR r_repetitive OR r_mega_word) AS keep
+        |FROM r""".stripMargin,
+
+    // deterministic md5-ticket sharding + order-independent xor manifest
+    "c6_shard_manifest" ->
+      """SELECT
+        |  ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS shard,
+        |  count(*)::BIGINT AS n_docs,
+        |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+        |  sum(length(text))::BIGINT AS n_chars,
+        |  bit_xor(('0x' || substring(md5(text), 1, 15))::BIGINT) AS content_fp
+        |FROM documents GROUP BY 1""".stripMargin,
+
     // genotyping per trio sample + pivot + Mendelian phase cascade
     "g5_trio_phase" ->
       """WITH v AS (

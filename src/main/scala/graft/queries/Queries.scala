@@ -1092,6 +1092,40 @@ object Queries {
       .select("doc_id")
   }
 
+  /** Bloom-sketch decontamination: same corpus/eval split and same
+    * output as d6, via the map-side Bloom probe + exact-verify join —
+    * the plan that holds when the eval gram set is too large to
+    * broadcast as exact strings.
+    */
+  def d9_bloom_decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.bloomDecontaminate(
+      docs.where(col("doc_id") % 10 =!= 0),
+      docs.where(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 13)
+      .select("doc_id")
+  }
+
+  /** Composite quality gate with per-rule provenance: named rule flags,
+    * packed fail_mask, keep decision — integer-arithmetic rules, exactly
+    * engine-reproducible.
+    */
+  def t11_quality_filter(spark: SparkSession, dir: String): DataFrame = {
+    val rules = TextAnalysis.qualityRules(col("text"))
+    val mask = TextAnalysis.qualityFailMask(rules)
+    t(spark, dir, "documents").select(
+      Seq(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")) ++
+        rules.map { case (nm, c) => c.as(nm) } ++
+        Seq(mask.as("fail_mask"), (mask === 0L).as("keep")): _*)
+  }
+
+  /** Deterministic 16-way shard assignment + per-shard integrity
+    * manifest (doc/token/char totals, order-independent xor checksum).
+    */
+  def c6_shard_manifest(spark: SparkSession, dir: String): DataFrame =
+    Sharding.shardManifest(t(spark, dir, "documents"), "doc_id", "text", numShards = 16)
+
   /** Composed cleaning pipeline: exact dedup -> contamination cut ->
     * quality gate -> language gate, one declarative plan.
     */

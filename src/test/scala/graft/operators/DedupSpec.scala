@@ -288,6 +288,35 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("bloom decontaminate == exact decontaminate on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("a", "b", "c", "d", "e", "f")
+    val corpus = (0 until 60).map { id =>
+      val len = 2 + rnd.nextInt(10)
+      (id.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val left = corpus.where(col("doc_id") % 5 =!= 0)
+    val bench = corpus.where(col("doc_id") % 5 === 0)
+    val exact = Dedup.decontaminate(left, bench, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    // high fpp on purpose: the exact-verify join must absorb false
+    // positives, so even a sloppy sketch yields identical output
+    val bloom = Dedup.bloomDecontaminate(left, bench, "doc_id", "text", n = 3, fpp = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloom === exact)
+  }
+
+  test("duplicatedSpans treats null/short text as gram-free, not an NPE") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c a b c"), (2L, null.asInstanceOf[String]), (3L, "x"))
+      .toDF("doc_id", "text")
+    // must not throw; null/short docs produce no grams -> zero spans
+    val spans = Dedup.duplicatedSpans(d, "doc_id", "text", n = 3)
+      .select("doc_id", "n_spans").as[(Long, Long)].collect().toMap
+    assert(spans(2L) === 0L && spans(3L) === 0L)
+  }
+
   test("simhash LSH pair finder obeys hamming cap") {
     import spark.implicits._
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ShardingSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    (0 until 200).map(i => (i.toLong, s"token$i content word ${i % 7} tail"))
+      .toDF("doc_id", "text")
+  }
+
+  test("shard assignment is deterministic and in range") {
+    import spark.implicits._
+    val a = Sharding.assignShards(docs, "doc_id", 16)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    val b = Sharding.assignShards(docs, "doc_id", 16)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert(a === b)
+    assert(a.values.forall(s => s >= 0 && s < 16))
+    // uniform md5 ticket: 200 docs over 16 shards should hit most shards
+    assert(a.values.toSet.size >= 12)
+  }
+
+  test("manifest totals equal whole-corpus totals") {
+    import spark.implicits._
+    val m = Sharding.shardManifest(docs, "doc_id", "text", 16)
+    val (nd, nt, nc) = m.agg(sum("n_docs"), sum("n_tokens"), sum("n_chars"))
+      .as[(Long, Long, Long)].head()
+    val (ed, et, ec) = docs.agg(
+      count(lit(1)),
+      sum(size(split(col("text"), " ")).cast("long")),
+      sum(length(col("text")).cast("long"))).as[(Long, Long, Long)].head()
+    assert((nd, nt, nc) === ((ed, et, ec)))
+  }
+
+  test("content checksum is order- and partitioning-independent") {
+    import spark.implicits._
+    val base = Sharding.shardManifest(docs, "doc_id", "text", 8)
+      .select("shard", "content_fp").as[(Long, Long)].collect().toMap
+    val shuffled = Sharding.shardManifest(
+      docs.orderBy(rand(42)).repartition(7), "doc_id", "text", 8)
+      .select("shard", "content_fp").as[(Long, Long)].collect().toMap
+    assert(base === shuffled)
+  }
+
+  test("quality rule mask packs exactly the failing rule bits") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the a of and to in " + (1 to 60).map(i => s"w$i").mkString(" ")), // healthy
+      (2L, "a b"), // too short + others
+      (3L, ("the of and to in a " + Seq.fill(60)("dup").mkString(" "))) // repetitive
+    ).toDF("doc_id", "text")
+    val rules = TextAnalysis.qualityRules(col("text"))
+    val mask = TextAnalysis.qualityFailMask(rules)
+    val out = d.select(
+      (Seq(col("doc_id")) ++ rules.map { case (n, c) => c.as(n) } :+ mask.as("m")): _*)
+      .collect()
+    out.foreach { r =>
+      val flags = (1 to 6).map(i => r.getBoolean(i))
+      val expected = flags.zipWithIndex.map { case (f, i) => if (f) 1L << i else 0L }.sum
+      assert(r.getLong(7) === expected)
+    }
+    // doc 1 passes every rule; doc 3 fails the repetition rule
+    val byId = out.map(r => r.getLong(0) -> r.getLong(7)).toMap
+    assert(byId(1L) === 0L)
+    assert((byId(3L) & 16L) === 16L)
+  }
+}
