@@ -46,6 +46,7 @@ object Bench {
     "d9_bloom_decontaminate",
     "t11_quality_filter",
     "c6_shard_manifest",
+    "c7_training_order",
     "e7_quantized_topk",
     "g1_discover_variants",
     "g2_genotype_calls",
@@ -122,10 +123,17 @@ object Bench {
     // not masquerade as a fast success
     val results = selected.flatMap { name =>
       overrides.get(name).orElse(SparkEntry.queries.get(name)).map { fn =>
-        // prompt the GC-triggered ContextCleaner between queries:
-        // broadcast/shuffle debris from 26 prior queries otherwise
-        // accumulates (full GCs are rare on a 24g heap) and late queries
-        // absorb the reclamation cost as phantom regressions
+        // release localCheckpoint blocks deterministically: queries that
+        // materialize intermediates (g6's cohort gVCF, d9's bench grams)
+        // pin RDD blocks until the ASYNC ContextCleaner gets to them, so
+        // a System.gc() alone still lets tens of GB of block debris leak
+        // into later queries' timings (BENCH_r05: g4 16.9s in-suite vs
+        // 7.1s isolated, identical code). Unpersist is synchronous.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        // then prompt the GC-triggered ContextCleaner for broadcast/
+        // shuffle debris (full GCs are rare on a 24g heap, so late
+        // queries otherwise absorb reclamation as phantom regressions)
         System.gc()
         val t0 = System.nanoTime()
         try {

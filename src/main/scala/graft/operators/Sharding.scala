@@ -50,4 +50,49 @@ object Sharding {
         sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"),
         sum(length(col(textCol)).cast("long")).as("n_chars"),
         bit_xor(contentFp(col(textCol))).as("content_fp"))
+
+  /** Deterministic global training order: each document's contiguous
+    * 0-based position in the md5-ticket shuffle order (ties broken by
+    * id) — the "epoch shuffle" a training job consumes — WITHOUT the
+    * single-reducer trap. The naive `row_number() OVER (ORDER BY tk)`
+    * puts the entire corpus through ONE window partition; at 100 TB that
+    * is one task. Instead:
+    *
+    *   1. range-repartition by (ticket, id) into `numBuckets` — Spark's
+    *      sampled RangePartitioner, the same machinery behind a global
+    *      sort, so bucket b holds a contiguous key range and all of
+    *      bucket b's keys precede bucket b+1's;
+    *   2. rank WITHIN each bucket (window partitioned by the bucket id —
+    *      bounded by ~N/numBuckets rows, never by N);
+    *   3. one numBuckets-row count aggregate to the driver computes each
+    *      bucket's global offset (metadata, not data — same class as a
+    *      parquet footer read), broadcast-joined back.
+    *
+    * position = within-bucket rank + bucket offset. Total order is
+    * (ticket, id), so the result is independent of numBuckets and of
+    * where the sampled range boundaries land.
+    */
+  def trainingOrder(df: DataFrame, idCol: String, numBuckets: Int = 64): DataFrame = {
+    val tk = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(10000L))
+    val parted = df.select(col(idCol), tk.as("tk"))
+      .repartitionByRange(numBuckets, col("tk"), col(idCol))
+      .withColumn("pid", spark_partition_id())
+      // referenced twice (offset counts + rank): evaluate the range
+      // shuffle once
+      .localCheckpoint()
+    val counts = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (p, c) => val o = (p, acc); acc += c; o }.toSeq
+    val spark = df.sparkSession
+    val offDf = spark.createDataFrame(offsets).toDF("pid", "off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy("tk", idCol)
+    parted
+      .withColumn("rn", row_number().over(w).cast("long") - 1L)
+      .join(broadcast(offDf), "pid")
+      .select(col(idCol), (col("rn") + col("off")).as("position"))
+  }
 }

@@ -971,6 +971,15 @@ object Oracles {
         |  bit_xor(('0x' || substring(md5(text), 1, 15))::BIGINT) AS content_fp
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // the closed form IS the single-window query the operator avoids:
+    // total order (md5 ticket, doc_id), 0-based
+    "c7_training_order" ->
+      """SELECT doc_id,
+        |  (row_number() OVER (
+        |     ORDER BY ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000,
+        |              doc_id) - 1)::BIGINT AS position
+        |FROM documents""".stripMargin,
+
     // genotyping per trio sample + pivot + Mendelian phase cascade
     "g5_trio_phase" ->
       """WITH v AS (

@@ -1126,6 +1126,13 @@ object Queries {
   def c6_shard_manifest(spark: SparkSession, dir: String): DataFrame =
     Sharding.shardManifest(t(spark, dir, "documents"), "doc_id", "text", numShards = 16)
 
+  /** Global epoch-shuffle order: contiguous position in the md5-ticket
+    * order via range-partition + within-bucket rank + offset join — no
+    * single-partition window anywhere in the plan.
+    */
+  def c7_training_order(spark: SparkSession, dir: String): DataFrame =
+    Sharding.trainingOrder(t(spark, dir, "documents"), "doc_id", numBuckets = 8)
+
   /** Composed cleaning pipeline: exact dedup -> contamination cut ->
     * quality gate -> language gate, one declarative plan.
     */

@@ -168,6 +168,41 @@ class PlanSpec extends SparkSpec {
       s"cleaning pipeline over-shuffles:\n$plan")
   }
 
+  test("t11 quality gate: single codegen projection, zero shuffles") {
+    val plan = planOf(Queries.t11_quality_filter(spark, sf("0.001")))
+    assert(!plan.contains("Exchange"), s"quality gate must stay narrow:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+    assert(plan.contains("*("), "rules must evaluate inside whole-stage codegen")
+  }
+
+  test("c6 shard manifest: one partial+final agg on the shard key, no window") {
+    val plan = planOf(Queries.c6_shard_manifest(spark, sf("0.001")))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "map-side combine expected")
+    assert("Exchange".r.findAllIn(plan).size === 1, "exactly one shuffle (on shard)")
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+  }
+
+  test("d9 bloom decontaminate: probe filters BEFORE the verify join; anti-join at the end") {
+    val df = Queries.d9_bloom_decontaminate(spark, sf("0.001"))
+    val plan = planOf(df)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the Bloom probe must sit under a Filter on the corpus-gram side so
+    // only survivors reach the verify join's exchange
+    assert(plan.contains("Filter") && plan.contains("UDF"), plan)
+  }
+
+  test("c7 training order: no single-partition exchange; window keyed by bucket id") {
+    val plan = planOf(Queries.c7_training_order(spark, sf("0.001")))
+    // the whole point: global rank WITHOUT Exchange SinglePartition
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global-order query collapsed to one partition:\n$plan")
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(plan).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("pid")),
+      s"rank window must partition on the range-bucket id:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "offset join must broadcast")
+  }
+
   test("filter matrix is pure Column exprs: codegen stages, no UDF eval") {
     val df = Queries.p6b_filter_matrix(spark, sf("0.001"))
     val plan = planOf(df)

@@ -45,6 +45,25 @@ class ShardingSpec extends SparkSpec {
     assert(base === shuffled)
   }
 
+  test("training order is a 0..N-1 permutation matching the ticket total order") {
+    import spark.implicits._
+    val got = Sharding.trainingOrder(docs, "doc_id", numBuckets = 5)
+      .select("doc_id", "position").as[(Long, Long)].collect()
+    assert(got.map(_._2).sorted.toSeq === (0L until 200L))
+    // positions must follow the (ticket, id) total order exactly
+    val tick = docs.select(col("doc_id"),
+      pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(10000L)).as("tk"))
+      .as[(Long, Long)].collect().toMap
+    val expected = got.map(_._1).sortBy(id => (tick(id), id)).zipWithIndex
+      .map { case (id, i) => id -> i.toLong }.toMap
+    assert(got.toMap === expected)
+    // independent of bucket count
+    val other = Sharding.trainingOrder(docs, "doc_id", numBuckets = 2)
+      .select("doc_id", "position").as[(Long, Long)].collect().toMap
+    assert(other === expected)
+  }
+
   test("quality rule mask packs exactly the failing rule bits") {
     import spark.implicits._
     val d = Seq(
