@@ -47,6 +47,7 @@ object Bench {
     "t11_quality_filter",
     "c6_shard_manifest",
     "c7_training_order",
+    "t12_lm_perplexity",
     "e7_quantized_topk",
     "g1_discover_variants",
     "g2_genotype_calls",

@@ -240,4 +240,37 @@ object TextAnalysis {
     rules.zipWithIndex
       .map { case ((_, r), i) => when(r, lit(1L << i)).otherwise(lit(0L)) }
       .reduce(_ + _)
+
+  /** CCNet-style language-model quality score: bits-per-token of each
+    * document under the corpus's own unigram LM (cross-entropy
+    * `avg(-log2 p(w))`, `p(w) = count(w)/total`). Documents full of
+    * common words score low; rare-word/junk documents score high — the
+    * classic perplexity filter, here with the LM estimated from the
+    * corpus in the same pass (a pretrained table plugs in as a
+    * replacement for `counts`).
+    *
+    * Fully declarative, three aggs: token counts (partial+final over the
+    * Zipf-shaped vocab — hot words like "the" collapse map-side), a
+    * 1-row total cross-joined back (broadcast by construction), and the
+    * per-doc score agg keyed by doc_id (unique, unskewable). The
+    * token→count join's build side is the VOCABULARY, not the corpus —
+    * vocabularies grow sublinearly (Heaps' law), so Catalyst/AQE
+    * broadcast it at any realistic corpus size.
+    */
+  def unigramLogPpl(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("w"))
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).cast("double").as("t"))
+    toks.join(counts, "w")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(
+          sum((log(col("t")) - log(col("c").cast("double"))) / log(lit(2.0)))
+            / count(lit(1)),
+          4).as("bits_per_token"))
+  }
 }

@@ -971,6 +971,19 @@ object Oracles {
         |  bit_xor(('0x' || substring(md5(text), 1, 15))::BIGINT) AS content_fp
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // corpus unigram LM cross-entropy; log-sum order differs between
+    // engines by ~1e-13, absorbed by round(4)
+    "t12_lm_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT sum(c)::DOUBLE AS t FROM cnt)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  round(sum((ln(t) - ln(c::DOUBLE)) / ln(2.0)) / count(*), 4)
+        |    AS bits_per_token
+        |FROM tok JOIN cnt USING (w), tot
+        |GROUP BY doc_id""".stripMargin,
+
     // the closed form IS the single-window query the operator avoids:
     // total order (md5 ticket, doc_id), 0-based
     "c7_training_order" ->

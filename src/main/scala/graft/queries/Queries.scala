@@ -1133,6 +1133,12 @@ object Queries {
   def c7_training_order(spark: SparkSession, dir: String): DataFrame =
     Sharding.trainingOrder(t(spark, dir, "documents"), "doc_id", numBuckets = 8)
 
+  /** LM perplexity filter: bits-per-token under the corpus's own
+    * unigram LM (CCNet-style quality signal).
+    */
+  def t12_lm_perplexity(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogPpl(t(spark, dir, "documents"), "doc_id", "text")
+
   /** Composed cleaning pipeline: exact dedup -> contamination cut ->
     * quality gate -> language gate, one declarative plan.
     */

@@ -64,6 +64,21 @@ class ShardingSpec extends SparkSpec {
     assert(other === expected)
   }
 
+  test("unigram LM scores common-word docs lower than rare-word docs") {
+    import spark.implicits._
+    // "the" dominates the corpus; doc 3 is all-rare
+    val d = Seq(
+      (1L, "the the the the the the the the"),
+      (2L, "the the the the cat cat dog dog"),
+      (3L, "zyx wvu tsr qpo nml kji hgf edc")
+    ).toDF("doc_id", "text")
+    val s = TextAnalysis.unigramLogPpl(d, "doc_id", "text")
+      .select("doc_id", "bits_per_token").as[(Long, Double)].collect().toMap
+    assert(s(1L) < s(2L) && s(2L) < s(3L))
+    // closed form for doc 1: p(the)=12/24 -> exactly 1 bit/token
+    assert(math.abs(s(1L) - 1.0) < 1e-9)
+  }
+
   test("quality rule mask packs exactly the failing rule bits") {
     import spark.implicits._
     val d = Seq(
