@@ -332,6 +332,36 @@ object Dedup {
     corpus.join(contaminated.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Fingerprint index for [[incrementalExact]]: one distinct md5 per
+    * text. Stored bucketed on `fp` (`sources/Bucketed.write`) this is
+    * the persistent artifact an incremental pipeline maintains.
+    */
+  def exactFingerprintIndex(df: DataFrame, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("fp")).distinct()
+
+  /** Incremental exact dedup — the production shape: dedupe a NEW batch
+    * within itself (min-id keeper per fingerprint) and against the
+    * EXISTING corpus's fingerprint index, without touching history
+    * text. The asymmetry is the point at 100 TB: the day's crawl is
+    * small, the history is not. With the index stored bucketed on `fp`,
+    * the anti-join reads history pre-partitioned and plans NO exchange
+    * on that side — only the batch's keeper set shuffles to the bucket
+    * layout (spec-asserted in DedupSpec). Survivors' fingerprints
+    * appended to the index keep the next day incremental.
+    */
+  def incrementalExact(
+      newDocs: DataFrame,
+      historyFps: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val batch = newDocs.select(col(idCol), md5(col(textCol)).as("fp"))
+    // within-batch keeper: partial+final agg, hot fingerprints collapse
+    // map-side (same skew posture as contaminatedDocs)
+    val keepers = batch.groupBy("fp").agg(min(col(idCol)).as(idCol))
+    keepers.join(historyFps.select("fp"), Seq("fp"), "left_anti")
+      .select(idCol)
+  }
+
   /** The cut set of contamination-based dedup: every doc that shares a
     * cross-document n-gram and is not that gram's keeper (min doc id).
     *

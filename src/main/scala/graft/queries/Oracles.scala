@@ -971,6 +971,17 @@ object Oracles {
         |  bit_xor(('0x' || substring(md5(text), 1, 15))::BIGINT) AS content_fp
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // incremental dedup: batch keeper (min id per md5) anti-joined
+    // against the history fingerprint set
+    "d10_incremental_dedup" ->
+      """WITH hist AS (
+        |  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 3 = 0),
+        |batch AS (
+        |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 3 <> 0),
+        |keepers AS (SELECT fp, min(doc_id) AS doc_id FROM batch GROUP BY fp)
+        |SELECT doc_id FROM keepers
+        |WHERE fp NOT IN (SELECT fp FROM hist)""".stripMargin,
+
     // corpus unigram LM cross-entropy; log-sum order differs between
     // engines by ~1e-13, absorbed by round(4)
     "t12_lm_perplexity" ->

@@ -1139,6 +1139,18 @@ object Queries {
   def t12_lm_perplexity(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLogPpl(t(spark, dir, "documents"), "doc_id", "text")
 
+  /** Incremental exact dedup: every third document plays the existing
+    * corpus (as a fingerprint index); the rest is the new batch,
+    * deduped within itself and against history.
+    */
+  def d10_incremental_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.incrementalExact(
+      docs.where(col("doc_id") % 3 =!= 0),
+      Dedup.exactFingerprintIndex(docs.where(col("doc_id") % 3 === 0), "text"),
+      "doc_id", "text")
+  }
+
   /** Composed cleaning pipeline: exact dedup -> contamination cut ->
     * quality gate -> language gate, one declarative plan.
     */

@@ -317,6 +317,53 @@ class DedupSpec extends SparkSpec {
     assert(spans(2L) === 0L && spans(3L) === 0L)
   }
 
+  test("incremental dedup: batch keeper wins, history dups drop, fresh docs keep") {
+    import spark.implicits._
+    val history = Seq((100L, "seen before text here")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "seen before text here"),   // dup of history -> drop
+      (2L, "fresh new content one"),   // fresh -> keep
+      (3L, "fresh new content one"),   // within-batch dup of 2 -> drop
+      (4L, "another fresh document")   // fresh -> keep
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(batch,
+      Dedup.exactFingerprintIndex(history, "text"), "doc_id", "text")
+      .as[Long].collect().toSet
+    assert(got === Set(2L, 4L))
+  }
+
+  test("incremental dedup against a BUCKETED index: history side plans no exchange") {
+    import spark.implicits._
+    val history = (0 until 300).map(i => (i.toLong, s"hist doc $i body"))
+      .toDF("doc_id", "text")
+    val batch = (300 until 400).map(i => (i.toLong, s"batch doc $i body"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("fpidx").toString
+    graft.sources.Bucketed.write(
+      Dedup.exactFingerprintIndex(history, "text"),
+      "t_fp_index", s"$dir/fps", bucketCols = Seq("fp"), buckets = 4)
+    // disable broadcast so the test exercises the shuffle layout the
+    // bucketing exists for (at 100 TB the index never broadcasts)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = Dedup.incrementalExact(
+        batch, spark.table("t_fp_index"), "doc_id", "text")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("t_fp_index"), plan)
+      // ONE exchange total: the batch keeper agg's hashpartitioning(fp)
+      // doubles as the join alignment; the bucketed history scan already
+      // satisfies the join partitioning, so it contributes none (a
+      // re-shuffled history would show a second exchange)
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+        s"expected exactly the batch-side shuffle:\n$plan")
+      assert(out.count() === 100)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS t_fp_index")
+    }
+  }
+
   test("simhash LSH pair finder obeys hamming cap") {
     import spark.implicits._
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
