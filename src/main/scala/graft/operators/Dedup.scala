@@ -149,9 +149,18 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n)
-    val ex = sets.select(col("doc_id"), explode(col("shingles")).as("g"))
+    // candidate generation runs on 8-byte xxhash64 gram keys, not gram
+    // strings: every downstream exchange (freq agg, freq join, prefix
+    // self-join) carries a long instead of an n-token string. This is
+    // EXACT, not approximate — a 64-bit collision between two distinct
+    // grams merges their df and can only ADD a candidate pair, and the
+    // final verification recomputes true Jaccard from the string shingle
+    // arrays; prefix-filter completeness only needs a consistent global
+    // total order on keys, which any injective-or-merged mapping gives.
+    val ex = sets.select(col("doc_id"), explode(col("shingles")).as("gs"))
+      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
 
-    // global shingle frequency -> total order (freq asc, shingle asc).
+    // global shingle frequency -> total order (freq asc, key asc).
     // The set size rides the SAME doc_id window shuffle as the rank
     // (count over the unordered frame) — no separate groupBy+join pass;
     // the freq side stays a shuffle join declaratively (AQE broadcasts
