@@ -49,6 +49,7 @@ object Bench {
     "c7_training_order",
     "t12_lm_perplexity",
     "d10_incremental_dedup",
+    "ev10_stream_incremental_dedup",
     "e7_quantized_topk",
     "g1_discover_variants",
     "g2_genotype_calls",

@@ -96,6 +96,7 @@ object SparkEntry {
     "c7_training_order" -> (Queries.c7_training_order _),
     "t12_lm_perplexity" -> (Queries.t12_lm_perplexity _),
     "d10_incremental_dedup" -> (Queries.d10_incremental_dedup _),
+    "ev10_stream_incremental_dedup" -> (Queries.ev10_stream_incremental_dedup _),
     "t9_url_stats" -> (Queries.t9_url_stats _),
     "c3_pack_sequences" -> (Queries.c3_pack_sequences _),
     "m1_multimodal_meta" -> (Queries.m1_multimodal_meta _),

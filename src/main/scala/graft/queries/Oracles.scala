@@ -971,6 +971,15 @@ object Oracles {
         |  bit_xor(('0x' || substring(md5(text), 1, 15))::BIGINT) AS content_fp
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // streaming ingest dedup: surviving fingerprints = batch-distinct
+    // minus the history set (keeper identity is arrival order in the
+    // stream, so the oracle compares the deterministic fp set)
+    "ev10_stream_incremental_dedup" ->
+      """SELECT DISTINCT md5(text) AS fp FROM documents
+        |WHERE doc_id % 3 <> 0
+        |  AND md5(text) NOT IN (
+        |    SELECT md5(text) FROM documents WHERE doc_id % 3 = 0)""".stripMargin,
+
     // incremental dedup: batch keeper (min id per md5) anti-joined
     // against the history fingerprint set
     "d10_incremental_dedup" ->

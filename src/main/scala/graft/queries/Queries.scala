@@ -543,15 +543,19 @@ object Queries {
     * query, and always remove the staging dir — the results live in the
     * memory sink after stop(), so nothing references the dir afterwards.
     */
-  private def withStagedEvents[T](dir: String, prefix: String)(f: String => T): T = {
+  private def withStagedEvents[T](dir: String, prefix: String)(f: String => T): T =
+    withStagedTable(dir, "events.parquet", prefix)(f)
+
+  private def withStagedTable[T](dir: String, table: String, prefix: String)(
+      f: String => T): T = {
     val staged = java.nio.file.Files.createTempDirectory(prefix)
     try {
       java.nio.file.Files.createSymbolicLink(
-        staged.resolve("events.parquet"),
-        java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath)
+        staged.resolve(table),
+        java.nio.file.Paths.get(dir, table).toAbsolutePath)
       f(staged.toString)
     } finally {
-      java.nio.file.Files.deleteIfExists(staged.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(staged.resolve(table))
       java.nio.file.Files.deleteIfExists(staged)
     }
   }
@@ -1138,6 +1142,31 @@ object Queries {
     */
   def t12_lm_perplexity(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLogPpl(t(spark, dir, "documents"), "doc_id", "text")
+
+  /** Streaming ingest dedup: the same split as d10, run through
+    * Structured Streaming — history is the static anti-join side,
+    * within-stream repeats drop via watermark-bounded fingerprint
+    * state. Output is the surviving fingerprint set (the set is
+    * deterministic; WHICH copy of an in-stream dup survives is
+    * arrival order, as in any real ingest).
+    */
+  def ev10_stream_incremental_dedup(spark: SparkSession, dir: String): DataFrame =
+    withStagedTable(dir, "documents.parquet", "ev10_stream") { staged =>
+      val docs = graft.streaming.StreamingOps.readDocuments(spark, staged)
+        .where(col("doc_id") % 3 =!= 0)
+      val hist = Dedup.exactFingerprintIndex(
+        t(spark, dir, "documents").where(col("doc_id") % 3 === 0), "text")
+      val dd = graft.streaming.StreamingOps
+        .incrementalDedupStream(docs, hist, "doc_id", "text")
+      val name = "ev10_" + java.lang.Long.toHexString(System.nanoTime())
+      val q = dd.select("fp").writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      // collapse dropDuplicatesWithinWatermark re-emissions across
+      // micro-batches (same note as ev6)
+      spark.table(name).distinct()
+    }
 
   /** Incremental exact dedup: every third document plays the existing
     * corpus (as a fingerprint index); the rest is the new batch,

@@ -126,6 +126,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming incremental dedup drops history dups and in-stream repeats") {
+    import spark.implicits._
+    val docsDir = java.nio.file.Files.createTempDirectory("docs_stream")
+    Seq(
+      (1L, "already in history", "en", "web", 18L),
+      (2L, "fresh streaming doc", "en", "web", 19L),
+      (3L, "fresh streaming doc", "en", "web", 19L), // in-stream dup of 2
+      (4L, "another new doc", "en", "web", 15L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$docsDir/documents.parquet")
+    val history = Seq((100L, "already in history")).toDF("doc_id", "text")
+    val hist = graft.operators.Dedup.exactFingerprintIndex(history, "text")
+    val out = StreamingOps.runToMemorySink(
+      StreamingOps.incrementalDedupStream(
+        StreamingOps.readDocuments(spark, s"$docsDir/documents.parquet"),
+        hist, "doc_id", "text"),
+      "inc_dedup", OutputMode.Append())
+    val fps = out.select("fp").as[String].collect().toSet
+    val expected = Set("fresh streaming doc", "another new doc")
+      .map(t => java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(fps === expected)
+  }
+
   test("stateful running user totals accumulate across the stream") {
     val streamed = StreamingOps.runToMemorySink(
       StreamingOps.runningUserTotals(StreamingOps.readEvents(spark, dir)).toDF(),
