@@ -51,6 +51,7 @@ object Bench {
     "d10_incremental_dedup",
     "ev10_stream_incremental_dedup",
     "e7_quantized_topk",
+    "e8_hamming_topk",
     "g1_discover_variants",
     "g2_genotype_calls",
     "g4_joint_recall",

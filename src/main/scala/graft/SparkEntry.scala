@@ -80,6 +80,7 @@ object SparkEntry {
     "e5_kmeans_step" -> (Queries.e5_kmeans_step _),
     "e6_ann_recall" -> (Queries.e6_ann_recall _),
     "e7_quantized_topk" -> (Queries.e7_quantized_topk _),
+    "e8_hamming_topk" -> (Queries.e8_hamming_topk _),
     "d5_dup_ngrams" -> (Queries.d5_dup_ngrams _),
     "d6_decontaminate" -> (Queries.d6_decontaminate _),
     "d7_dup_clusters" -> (Queries.d7_dup_clusters _),

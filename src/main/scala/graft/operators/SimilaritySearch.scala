@@ -72,6 +72,47 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Sign-bit (1-bit) sketch: dim sign bits packed into ceil(dim/64)
+    * longs — the 32x-compressed bottom rung of the quantization ladder
+    * (fp32 → int8 [[quantizeInt8]] → 1 bit). Bit i of word w = sign of
+    * component w*64+i. Kernel UDF (single evaluation per vector, same
+    * rationale as the shingle kernel).
+    */
+  private[graft] def packSigns(v: Seq[Double]): Array[Long] = {
+    val words = new Array[Long]((v.length + 63) / 64)
+    var i = 0
+    while (i < v.length) {
+      if (v(i) > 0) words(i / 64) |= (1L << (i % 64))
+      i += 1
+    }
+    words
+  }
+
+  /** Top-k by Hamming distance between sign sketches — integer-exact,
+    * so the ranking (distance asc, id asc) is reproducible by any
+    * engine computing sign-mismatch counts, packed or not. Per-row work
+    * is dim/64 XOR+popcount words vs dim multiply-adds for cosine;
+    * same TakeOrderedAndProject shape as [[topK]] (no global sort). At
+    * serving scale the sketch column is what's stored; the float
+    * vectors are only fetched to rerank the k survivors ([[topK]] over
+    * the candidate set — recall quantified the e6 way).
+    */
+  def hammingTopK(df: DataFrame, idCol: String, embCol: String,
+      query: Array[Double], k: Int): DataFrame = {
+    val qs = packSigns(query)
+    val pack = udf((v: Seq[Double]) => packSigns(v))
+    df.select(col(idCol), pack(col(embCol).cast("array<double>")).as("sig"))
+      // zip_with over dim/64 words (1 for dim<=64): the HOF runs
+      // interpreted but over a near-scalar array — not a hot loop
+      .withColumn("hamming",
+        aggregate(
+          zip_with(col("sig"), lit(qs), (a, b) => bit_count(a.bitwiseXOR(b))),
+          lit(0), (acc, x) => acc + x))
+      .select(col(idCol), col("hamming"))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(k)
+  }
+
   /** Random-hyperplane LSH bucket id (nBits-bit signature) for each row.
     * Deterministic seed; same planes bucket queries at probe time.
     */

@@ -1148,6 +1148,19 @@ object Oracles {
     "e2_ann_topk" -> e2Sql,
     "e6_ann_recall" -> e6Sql,
 
+    // sign-sketch Hamming top-k: the oracle counts sign mismatches
+    // directly (no bit packing needed in SQL — the count is what the
+    // packed XOR+popcount computes); integer-exact, ties by vec_id
+    "e8_hamming_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  len([i FOR i IN range(1, len(e.v) + 1)
+        |       IF (e.v[i] > 0) <> (q.qv[i] > 0)])::INT AS hamming
+        |FROM e, q
+        |ORDER BY hamming, e.vec_id
+        |LIMIT 20""".stripMargin,
+
     // int8-quantized cosine top-k: scale cancels in cosine, so the
     // ranking runs on exact integer dot products — bit-reproducible
     "e7_quantized_topk" ->

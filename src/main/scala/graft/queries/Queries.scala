@@ -1035,6 +1035,17 @@ object Queries {
       query = query, k = 20, nBits = 4)
   }
 
+  /** Top-20 by sign-sketch Hamming distance: the 32x-compressed 1-bit
+    * rung of the quantization ladder; integer-exact ranking.
+    */
+  def e8_hamming_topk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    SimilaritySearch.hammingTopK(emb, "vec_id", "embedding", query, k = 20)
+  }
+
   /** Top-20 by cosine over the int8-quantized corpus: the 4x-compressed
     * serving format; ranking runs on exact integer dot products.
     */

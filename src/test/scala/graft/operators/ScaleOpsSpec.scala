@@ -65,6 +65,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(err < 0.02, s"max cosine error $err")
   }
 
+  test("sign-sketch hamming: packed XOR+popcount == direct mismatch count; self is top-1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 96 // crosses a word boundary: 2 packed longs
+    val corpus = (0 until 300).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val query = corpus.where(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val got = SimilaritySearch.hammingTopK(corpus, "vec_id", "embedding", query, 300)
+      .as[(Long, Int)].collect()
+    // the query's own vector is distance 0 and ranks first
+    assert(got.head === ((7L, 0)))
+    // packed distance == brute-force sign mismatch count, every row
+    val vecs = corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    got.foreach { case (id, h) =>
+      val expect = vecs(id).zip(query).count { case (a, b) => (a > 0) != (b > 0) }
+      assert(h === expect, s"vec $id")
+    }
+    // negated query: distance = #nonzero components
+    val neg = SimilaritySearch.hammingTopK(corpus, "vec_id", "embedding",
+      query.map(-_), 300).as[(Long, Int)].collect().toMap
+    assert(neg(7L) === query.count(_ != 0.0))
+  }
+
   test("stratified sample: keep rates track fractions, membership deterministic") {
     import spark.implicits._
     val docs = (0 until 4000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
