@@ -182,6 +182,14 @@ object Main {
         TrioCaller(called, pos(3), pos(4), pos(5))
           .write.mode("overwrite").parquet(pos(2))
 
+      case "cleanCorpus" =>
+        // the LLM-data side of the engine from the command line:
+        // documents parquet in, cleaned corpus out (exact dedup ->
+        // contamination cut -> quality gate -> language gate)
+        graft.operators.Pipeline
+          .cleanCorpus(spark.read.parquet(args(1)), "doc_id", "text")
+          .write.mode("overwrite").parquet(args(2))
+
       case other => sys.error(s"unknown command '$other'")
     }
     if (existing.isEmpty) spark.stop()

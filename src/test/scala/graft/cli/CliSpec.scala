@@ -103,6 +103,13 @@ class CliSpec extends SparkSpec {
     assert(a.sameElements(b), "calls must not depend on bin granularity")
   }
 
+  test("cleanCorpus runs the composed cleaning pipeline end to end") {
+    run("cleanCorpus", s"${sf("0.001")}/documents.parquet", s"$tmp/cleaned")
+    val c = spark.read.parquet(s"$tmp/cleaned")
+    assert(c.count() > 0)
+    assert(c.columns.contains("doc_id") && c.columns.contains("n_tokens"))
+  }
+
   test("CRAM input fails with an explicit unsupported error") {
     val e = intercept[RuntimeException] { run("discover", "in.cram", s"$tmp/nope") }
     assert(e.getMessage.contains("CRAM"))
