@@ -221,11 +221,14 @@ object TextAnalysis {
       maxTokens: Int = 50000,
       stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")): Seq[(String, Column)] = {
     val toks = split(text, " ")
-    val n = size(toks).cast("long")
+    // null text -> 0 tokens, so it fails r_too_short instead of sailing
+    // through the gate with every rule three-valued away to false
+    val n = coalesce(size(toks).cast("long"), lit(0L))
     // tokens are single-space-joined, so total word chars = len - (n-1)
-    val sumLen = (length(text) - (n - lit(1L))).cast("long")
-    val stopN = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
-    val uniqN = size(array_distinct(toks)).cast("long")
+    val sumLen = (coalesce(length(text), lit(0)) - (n - lit(1L))).cast("long")
+    val stopN = coalesce(
+      size(filter(toks, t => t.isin(stopwords: _*))).cast("long"), lit(0L))
+    val uniqN = coalesce(size(array_distinct(toks)).cast("long"), lit(0L))
     Seq(
       "r_too_short" -> (n < minTokens),
       "r_too_long" -> (n > maxTokens),

@@ -932,11 +932,12 @@ object Oracles {
     "t11_quality_filter" ->
       """WITH s AS (
         |  SELECT doc_id,
-        |    len(string_split(text, ' '))::BIGINT AS n,
-        |    (length(text) - (len(string_split(text, ' ')) - 1))::BIGINT AS sum_len,
-        |    len(list_filter(string_split(text, ' '),
-        |        t -> t IN ('the','a','of','and','to','in')))::BIGINT AS stop_n,
-        |    len(list_distinct(string_split(text, ' ')))::BIGINT AS uniq_n,
+        |    coalesce(len(string_split(text, ' ')), 0)::BIGINT AS n,
+        |    (coalesce(length(text), 0)
+        |      - (coalesce(len(string_split(text, ' ')), 0) - 1))::BIGINT AS sum_len,
+        |    coalesce(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','of','and','to','in'))), 0)::BIGINT AS stop_n,
+        |    coalesce(len(list_distinct(string_split(text, ' '))), 0)::BIGINT AS uniq_n,
         |    len(list_filter(string_split(text, ' '), t -> length(t) > 25)) > 0 AS mega
         |  FROM documents),
         |r AS (

@@ -203,6 +203,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "offset join must broadcast")
   }
 
+  test("e8 hamming top-k: TakeOrderedAndProject, no global sort exchange") {
+    val plan = planOf(Queries.e8_hamming_topk(spark, sf("0.001")))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"top-k must not global-sort:\n$plan")
+  }
+
   test("filter matrix is pure Column exprs: codegen stages, no UDF eval") {
     val df = Queries.p6b_filter_matrix(spark, sf("0.001"))
     val plan = planOf(df)

@@ -101,4 +101,13 @@ class ShardingSpec extends SparkSpec {
     assert(byId(1L) === 0L)
     assert((byId(3L) & 16L) === 16L)
   }
+
+  test("quality gate drops null text via r_too_short, not a null sail-through") {
+    import spark.implicits._
+    val d = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val rules = TextAnalysis.qualityRules(col("text"))
+    val mask = TextAnalysis.qualityFailMask(rules)
+    val m = d.select(mask.as("m")).as[Long].head()
+    assert((m & 1L) === 1L, s"null text must fail r_too_short (mask $m)")
+  }
 }
