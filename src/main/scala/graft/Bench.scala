@@ -47,6 +47,7 @@ object Bench {
     "t11_quality_filter",
     "c6_shard_manifest",
     "c7_training_order",
+    "c9_prepare_shards",
     "t12_lm_perplexity",
     "d10_incremental_dedup",
     "ev10_stream_incremental_dedup",

@@ -95,6 +95,7 @@ object SparkEntry {
     "t11_quality_filter" -> (Queries.t11_quality_filter _),
     "c6_shard_manifest" -> (Queries.c6_shard_manifest _),
     "c7_training_order" -> (Queries.c7_training_order _),
+    "c9_prepare_shards" -> (Queries.c9_prepare_shards _),
     "t12_lm_perplexity" -> (Queries.t12_lm_perplexity _),
     "d10_incremental_dedup" -> (Queries.d10_incremental_dedup _),
     "ev10_stream_incremental_dedup" -> (Queries.ev10_stream_incremental_dedup _),

@@ -62,4 +62,31 @@ object Pipeline {
         col("stop_ratio") <= maxStopRatio && col("pred_lang") === keepLang)
       .select("doc_id", "n_tokens", "pred_lang")
   }
+
+  /** The export end of a training-data pipeline in ONE declarative
+    * plan: composite quality gate ([[TextAnalysis.qualityRules]],
+    * narrow) -> LM perplexity cut ([[TextAnalysis.unigramLogPpl]], LM
+    * estimated over the full corpus — the stand-in for a pretrained
+    * model table) -> deterministic shard manifest
+    * ([[Sharding.shardManifest]]). Shuffle budget: the three LM/manifest
+    * aggregations plus the survivors' doc_id join; the quality gate
+    * contributes none. Output is the artifact a training job validates
+    * against: per-shard doc/token/char totals + content checksum over
+    * exactly the documents that survived both gates.
+    */
+  def prepareShards(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxBitsPerToken: Double = 4.95,
+      numShards: Int = 16): DataFrame = {
+    val mask = TextAnalysis.qualityFailMask(TextAnalysis.qualityRules(col(textCol)))
+    val quality = df.where(mask === 0L)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val lowPpl = TextAnalysis.unigramLogPpl(df, idCol, textCol)
+      .where(col("bits_per_token") <= maxBitsPerToken)
+      .select(col("doc_id"))
+    Sharding.shardManifest(
+      quality.join(lowPpl, "doc_id"), "doc_id", "text", numShards)
+  }
 }

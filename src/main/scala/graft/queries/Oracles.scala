@@ -962,6 +962,45 @@ object Oracles {
         |       OR r_repetitive OR r_mega_word) AS keep
         |FROM r""".stripMargin,
 
+    // composed export: quality keep AND bits_per_token <= 4.95, then
+    // the c6 manifest over the survivors (fragments shared with
+    // t11/t12/c6's closed forms)
+    "c9_prepare_shards" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    coalesce(len(string_split(text, ' ')), 0)::BIGINT AS n,
+        |    (coalesce(length(text), 0)
+        |      - (coalesce(len(string_split(text, ' ')), 0) - 1))::BIGINT AS sum_len,
+        |    coalesce(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','of','and','to','in'))), 0)::BIGINT AS stop_n,
+        |    coalesce(len(list_distinct(string_split(text, ' '))), 0)::BIGINT AS uniq_n,
+        |    coalesce(len(list_filter(string_split(text, ' '),
+        |        t -> length(t) > 25)) > 0, FALSE) AS mega
+        |  FROM documents),
+        |keep AS (
+        |  SELECT doc_id, text FROM s
+        |  WHERE NOT (n < 50 OR n > 50000
+        |    OR (sum_len * 10 < n * 25 OR sum_len > n * 10)
+        |    OR stop_n * 100 < n * 2 OR uniq_n * 100 < n * 30 OR mega)),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT sum(c)::DOUBLE AS t FROM cnt),
+        |ppl AS (
+        |  SELECT doc_id,
+        |    round(sum((ln(t) - ln(c::DOUBLE)) / ln(2.0)) / count(*), 4) AS bpt
+        |  FROM tok JOIN cnt USING (w), tot GROUP BY doc_id),
+        |surv AS (
+        |  SELECT k.doc_id, k.text FROM keep k
+        |  JOIN ppl USING (doc_id) WHERE ppl.bpt <= 4.95)
+        |SELECT
+        |  ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS shard,
+        |  count(*)::BIGINT AS n_docs,
+        |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+        |  sum(length(text))::BIGINT AS n_chars,
+        |  bit_xor(('0x' || substring(md5(text), 1, 15))::BIGINT) AS content_fp
+        |FROM surv GROUP BY 1""".stripMargin,
+
     // deterministic md5-ticket sharding + order-independent xor manifest
     "c6_shard_manifest" ->
       """SELECT

@@ -1141,6 +1141,12 @@ object Queries {
   def c6_shard_manifest(spark: SparkSession, dir: String): DataFrame =
     Sharding.shardManifest(t(spark, dir, "documents"), "doc_id", "text", numShards = 16)
 
+  /** Composed export pipeline: quality gate -> LM perplexity cut ->
+    * shard manifest, one declarative plan.
+    */
+  def c9_prepare_shards(spark: SparkSession, dir: String): DataFrame =
+    Pipeline.prepareShards(t(spark, dir, "documents"), "doc_id", "text")
+
   /** Global epoch-shuffle order: contiguous position in the md5-ticket
     * order via range-partition + within-bucket rank + offset join — no
     * single-partition window anywhere in the plan.

@@ -102,6 +102,22 @@ class ShardingSpec extends SparkSpec {
     assert((byId(3L) & 16L) === 16L)
   }
 
+  test("prepareShards: quality-fail and high-perplexity docs never reach the manifest") {
+    import spark.implicits._
+    val common = (1 to 60).map(i => s"w${i % 25}") ++ Seq("the", "a", "of", "and")
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, (common ++ Seq(s"tail$i")).mkString(" "))   // healthy docs
+    } ++ Seq(
+      (100L, "a b"),                                          // fails r_too_short
+      (101L, (1 to 64).map(i => s"rareword$i${"x" * 3}").mkString(" ") +
+        " the a of and " + (1 to 10).map(i => s"alsorare$i").mkString(" "))) // all-rare -> high bits/token
+    val df = corpus.toDF("doc_id", "text")
+    val m = Pipeline.prepareShards(df, "doc_id", "text",
+      maxBitsPerToken = 6.0, numShards = 4)
+    val total = m.agg(sum("n_docs")).as[Long].head()
+    assert(total === 40, s"expected only the 40 healthy docs, got $total")
+  }
+
   test("quality gate drops null text via r_too_short, not a null sail-through") {
     import spark.implicits._
     val d = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
