@@ -48,6 +48,9 @@ object Bench {
     "c6_shard_manifest",
     "c7_training_order",
     "c9_prepare_shards",
+    "c10_chunk_documents",
+    "t13_token_estimate",
+    "j7_salted_join",
     "t12_lm_perplexity",
     "d10_incremental_dedup",
     "ev10_stream_incremental_dedup",

@@ -96,6 +96,9 @@ object SparkEntry {
     "c6_shard_manifest" -> (Queries.c6_shard_manifest _),
     "c7_training_order" -> (Queries.c7_training_order _),
     "c9_prepare_shards" -> (Queries.c9_prepare_shards _),
+    "c10_chunk_documents" -> (Queries.c10_chunk_documents _),
+    "t13_token_estimate" -> (Queries.t13_token_estimate _),
+    "j7_salted_join" -> (Queries.j7_salted_join _),
     "t12_lm_perplexity" -> (Queries.t12_lm_perplexity _),
     "d10_incremental_dedup" -> (Queries.d10_incremental_dedup _),
     "ev10_stream_incremental_dedup" -> (Queries.ev10_stream_incremental_dedup _),

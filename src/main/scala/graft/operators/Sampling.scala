@@ -138,4 +138,31 @@ object Sampling {
       .withColumn("bin", floor((col("cum") - col("n_tokens")) / budgetTokens))
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("bin"))
   }
+
+  /** Sliding-window document chunking: split each document into
+    * `window`-token chunks every `stride` tokens (overlapping when
+    * stride < window, the standard context-window prep for training).
+    * Chunk starts run 0, stride, 2·stride… while < n_tokens; the final
+    * chunk may be short. Kernel UDF builds the chunk list once per
+    * document (the explode-input re-evaluation pathology documented at
+    * Dedup.shingleSets applies identically here); the whole op is
+    * narrow — no shuffle, embarrassingly scan-parallel.
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1)
+    val mk = udf((toks: Seq[String]) =>
+      if (toks == null) Seq.empty[String]
+      else (0 until toks.length by stride)
+        .map(s => toks.slice(s, s + window).mkString(" ")))
+    df.select(col(idCol).as("doc_id"), mk(split(col(textCol), " ")).as("chunks"))
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_text")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(split(col("chunk_text"), " ")).cast("long").as("n_tokens"),
+        col("chunk_text"))
+  }
 }

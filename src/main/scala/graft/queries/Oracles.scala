@@ -1001,6 +1001,32 @@ object Oracles {
         |  bit_xor(('0x' || substring(md5(text), 1, 15))::BIGINT) AS content_fp
         |FROM surv GROUP BY 1""".stripMargin,
 
+    // sliding-window chunking: starts 0,20,40,... while < n_tokens;
+    // DuckDB slices are 1-based inclusive
+    "c10_chunk_documents" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |st AS (SELECT doc_id, t, unnest(range(0, len(t), 20)) AS s FROM tok)
+        |SELECT doc_id, (s / 20)::BIGINT AS chunk_idx,
+        |  len(t[s + 1 : s + 40])::BIGINT AS n_tokens,
+        |  array_to_string(t[s + 1 : s + 40], ' ') AS chunk_text
+        |FROM st""".stripMargin,
+
+    "t13_token_estimate" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT AS n_pieces,
+        |  ((length(regexp_replace(text, '\s', '', 'g')) + 3) // 4)::BIGINT
+        |    AS est_bpe_tokens
+        |FROM documents""".stripMargin,
+
+    // salted join == plain join: the salt is an internal spreading
+    // device, so the closed form is the unsalted aggregation
+    "j7_salted_join" ->
+      """SELECT c.c_mktsegment,
+        |  count(*) AS n, round(sum(e.value), 2) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1""".stripMargin,
+
     // deterministic md5-ticket sharding + order-independent xor manifest
     "c6_shard_manifest" ->
       """SELECT

@@ -1147,6 +1147,37 @@ object Queries {
   def c9_prepare_shards(spark: SparkSession, dir: String): DataFrame =
     Pipeline.prepareShards(t(spark, dir, "documents"), "doc_id", "text")
 
+  /** Sliding-window chunking: 40-token context windows every 20 tokens. */
+  def c10_chunk_documents(spark: SparkSession, dir: String): DataFrame =
+    Sampling.chunkDocuments(t(spark, dir, "documents"), "doc_id", "text",
+      window = 40, stride = 20)
+
+  /** BPE-ish token estimate: whitespace tokens, regex word/punct pieces,
+    * and the chars/4 estimate — the three counts a budget planner uses.
+    */
+  def t13_token_estimate(spark: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(txt).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(txt, lit("\\w+|[^\\w\\s]"), lit(0))).cast("long")
+        .as("n_pieces"),
+      ((length(regexp_replace(txt, "\\s", "")) + 3) / 4).cast("long")
+        .as("est_bpe_tokens"))
+  }
+
+  /** Salted equi-join: the static skew fallback, aggregated per key so
+    * the result is the plain join's closed form.
+    */
+  def j7_salted_join(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(col("user_id"), col("value"))
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    SkewJoin.saltedEquiJoin(ev, cust, "user_id", "c_custkey", factor = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+  }
+
   /** Global epoch-shuffle order: contiguous position in the md5-ticket
     * order via range-partition + within-bucket rank + offset join — no
     * single-partition window anywhere in the plan.

@@ -118,6 +118,26 @@ class ShardingSpec extends SparkSpec {
     assert(total === 40, s"expected only the 40 healthy docs, got $total")
   }
 
+  test("chunking: stride overlap, short tail, null text, full coverage") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "solo"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Sampling.chunkDocuments(d, "doc_id", "text", window = 4, stride = 3)
+      .select("doc_id", "chunk_idx", "n_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // doc 1: starts 0,3,6,9 -> windows of 4,4,4,1
+    assert(got(1L).map(_._3).toSeq === Seq(4L, 4L, 4L, 1L))
+    assert(got(1L).head._4 === "t1 t2 t3 t4")
+    assert(got(1L)(1)._4 === "t4 t5 t6 t7") // stride-3 overlap of 1 token
+    assert(got(1L).last._4 === "t10")
+    assert(got(2L).map(_._4).toSeq === Seq("solo"))
+    assert(!got.contains(3L)) // null text -> no chunks
+  }
+
   test("quality gate drops null text via r_too_short, not a null sail-through") {
     import spark.implicits._
     val d = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
