@@ -210,6 +210,29 @@ class PlanSpec extends SparkSpec {
       s"top-k must not global-sort:\n$plan")
   }
 
+  test("c10 chunking: narrow plan, zero shuffles") {
+    val plan = planOf(Queries.c10_chunk_documents(spark, sf("0.001")))
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+    assert(plan.contains("Generate"), plan) // the posexplode
+  }
+
+  test("t12 perplexity: vocab agg partial+final, no window, score agg on doc_id") {
+    val plan = planOf(Queries.t12_lm_perplexity(spark, sf("0.001")))
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"vocab + score aggs must both be partial+final:\n$plan")
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"),
+      "the 1-row total must broadcast, not cartesian") // BroadcastNestedLoop on 1 row is fine
+  }
+
+  test("c9 export pipeline: no content-key window, no nested-loop joins on data") {
+    val plan = planOf(Queries.c9_prepare_shards(spark, sf("0.001")))
+    assert(!plan.contains("Window"), s"export pipeline must not window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "LM + manifest aggs must be partial+final")
+  }
+
   test("filter matrix is pure Column exprs: codegen stages, no UDF eval") {
     val df = Queries.p6b_filter_matrix(spark, sf("0.001"))
     val plan = planOf(df)
