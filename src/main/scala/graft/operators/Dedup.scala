@@ -328,7 +328,11 @@ object Dedup {
       // referenced twice (sketch build + verify join); tiny relative to
       // the corpus, and re-deriving it would re-shingle the benchmark
       .localCheckpoint()
-    val nGrams = math.max(bench.count(), 1L)
+    val nGrams = bench.count()
+    // empty eval set: nothing to decontaminate — and Spark's
+    // stat.bloomFilter NPEs on an empty frame (null sketch buffer), so
+    // the guard is correctness, not just a fast path
+    if (nGrams == 0L) return corpus
     val bf = bench.stat.bloomFilter("g", nGrams, fpp)
     val bcast = corpus.sparkSession.sparkContext.broadcast(bf)
     val might = udf((g: String) => g != null && bcast.value.mightContainString(g))
