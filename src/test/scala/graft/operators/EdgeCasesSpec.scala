@@ -65,6 +65,22 @@ class EdgeCasesSpec extends SparkSpec {
     assert(got === Seq("t1 t2", "t6 t7"))
   }
 
+  test("connectedComponents: empty edge set converges to an empty labeling") {
+    import spark.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(pairs, "doc_a", "doc_b").count() === 0)
+  }
+
+  test("asOf: empty right side yields null payloads, not dropped rows") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("event_id", "k", "ts")
+    val right = Seq.empty[(Long, Long, Double)].toDF("rk", "rts", "payload")
+    val out = AsOfJoin.asOf(left, right, "k", "rk", "ts", "rts", Seq("payload"))
+    val rows = out.collect()
+    assert(rows.length === 1)
+    assert(rows.head.isNullAt(out.columns.indexOf("payload")))
+  }
+
   test("hammingTopK: k larger than the corpus returns every row once") {
     import spark.implicits._
     val corpus = (0 until 5).map(i => (i.toLong, Seq.fill(8)(i.toDouble - 2)))
