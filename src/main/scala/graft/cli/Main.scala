@@ -190,6 +190,19 @@ object Main {
           .cleanCorpus(spark.read.parquet(args(1)), "doc_id", "text")
           .write.mode("overwrite").parquet(args(2))
 
+      case "dedup" =>
+        // exact duplicate groups (fingerprint, multiplicity, keeper id);
+        // -near switches to MinHash-LSH near-dup pairs on the xx64
+        // production hash family
+        val docs = spark.read.parquet(args(1))
+        val out =
+          if (args.contains("-near"))
+            graft.operators.Dedup.minHashLshPairs(
+              docs, "doc_id", "text", n = 3, k = 64, bands = 32,
+              minAgree = 0.5, hashFamily = "xx64")
+          else graft.operators.Dedup.exactGroups(docs, "doc_id", "text")
+        out.write.mode("overwrite").parquet(args(2))
+
       case other => sys.error(s"unknown command '$other'")
     }
     if (existing.isEmpty) spark.stop()

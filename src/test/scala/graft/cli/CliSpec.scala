@@ -110,6 +110,15 @@ class CliSpec extends SparkSpec {
     assert(c.columns.contains("doc_id") && c.columns.contains("n_tokens"))
   }
 
+  test("dedup writes exact groups; -near writes LSH pairs") {
+    run("dedup", s"${sf("0.001")}/documents.parquet", s"$tmp/dedup")
+    val g = spark.read.parquet(s"$tmp/dedup")
+    assert(g.count() > 0 && g.columns.contains("keep_id"))
+    run("dedup", s"${sf("0.001")}/documents.parquet", s"$tmp/neardup", "-near")
+    val p = spark.read.parquet(s"$tmp/neardup")
+    assert(p.columns.contains("doc_a") && p.columns.contains("doc_b"))
+  }
+
   test("CRAM input fails with an explicit unsupported error") {
     val e = intercept[RuntimeException] { run("discover", "in.cram", s"$tmp/nope") }
     assert(e.getMessage.contains("CRAM"))
