@@ -105,7 +105,8 @@ object SparkEntry {
     "t9_url_stats" -> (Queries.t9_url_stats _),
     "c3_pack_sequences" -> (Queries.c3_pack_sequences _),
     "m1_multimodal_meta" -> (Queries.m1_multimodal_meta _),
-    "m2_frame_sample" -> (Queries.m2_frame_sample _)
+    "m2_frame_sample" -> (Queries.m2_frame_sample _),
+    "m3_image_decode" -> (Queries.m3_image_decode _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

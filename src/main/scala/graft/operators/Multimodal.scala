@@ -1,15 +1,20 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media carried as opaque `binary` columns
-  * with typed metadata alongside. The Spark-side shape — schema, batch
-  * iteration, per-frame explosion, partition sizing — is real; the media
-  * decode itself is a STUB (this container ships no image/audio codecs):
-  * `extractMeta` derives deterministic fake dimensions from payload
-  * length where a real deployment would decode headers inside the same
-  * kernel.
+  * with typed metadata alongside. Image decode is REAL (pure-JDK
+  * `javax.imageio` — PNG/JPEG/BMP/GIF readers ship with every JDK):
+  * `decodeBatch` parses payload bytes into pixel rasters with per-row
+  * failure isolation. `extractMeta` remains the cheap header-free path
+  * (length-derived metadata) for formats with no in-JDK codec
+  * (audio/video); its plumbing — schema, per-frame explosion — is the
+  * production shape either way.
   */
 object Multimodal {
 
@@ -19,8 +24,9 @@ object Multimodal {
   def attachBinary(df: DataFrame, srcCol: String, binCol: String = "payload"): DataFrame =
     df.withColumn(binCol, col(srcCol).cast("binary"))
 
-  /** STUB decode: metadata from payload bytes. A real codec would parse
-    * the container header here — same signature, same narrow plan.
+  /** Length-derived metadata for payloads with no in-JDK codec
+    * (audio/video containers) — same signature and narrow plan as a
+    * header parse; for images use `decodeBatch`, which decodes for real.
     */
   def extractMeta(df: DataFrame, binCol: String = "payload"): DataFrame = {
     val n = length(col(binCol))
@@ -38,29 +44,107 @@ object Multimodal {
     df.withColumn("frame_idx",
         explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(everyNth))))
 
-  case class DecodedFeature(doc_id: Long, n_bytes: Int, checksum: Long, feature: Array[Float])
+  case class DecodedImage(doc_id: Long, width: Int, height: Int,
+                          channels: Int, px_sum: Long, px_max: Int)
 
-  /** Batched decode kernel: the Scala analog of a pandas-UDF
-    * `mapInPandas` — one invocation per PARTITION, iterating records, so
-    * per-batch setup (codec init, model load) is amortized exactly as a
-    * real media decoder needs. The decode itself is a STUB (deterministic
-    * checksum + fake 8-dim feature from the payload bytes); the
-    * iterator-in/iterator-out shape, schema, and partition amortization
-    * are the real plumbing.
+  /** Deterministic synthetic PNG: a small RGB raster whose every sample
+    * is a closed-form function of (id, x, y, channel), encoded through
+    * the real `javax.imageio` PNG writer. Pixel statistics of the
+    * decoded image are therefore computable in plain SQL — which is what
+    * lets a DuckDB oracle verify that `decodeBatch` truly decodes.
     */
-  def decodeBatch(df: DataFrame, idCol: String, binCol: String = "payload"): Dataset[DecodedFeature] = {
+  def synthPng(id: Long): Array[Byte] = {
+    val w = 8 + java.lang.Math.floorMod(id, 9L).toInt
+    val h = 8 + java.lang.Math.floorMod(id, 7L).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          raster.setSample(x, y, c,
+            java.lang.Math.floorMod(id * 31 + x * 7 + y * 13 + c * 101, 256L).toInt)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach a synthetic PNG payload per row (fixture plumbing for the
+    * decode path; a real pipeline reads payload bytes from storage).
+    */
+  def attachSynthPng(df: DataFrame, idCol: String, binCol: String = "payload"): DataFrame = {
+    val mk = udf((id: Long) => synthPng(id))
+    df.withColumn(binCol, mk(col(idCol).cast("long")))
+  }
+
+  /** Batched image decode: one `mapPartitions` invocation per PARTITION
+    * (the Scala analog of a pandas-UDF `mapInPandas`), so per-batch
+    * setup is amortized. The decode is REAL: `javax.imageio` parses the
+    * payload (PNG/JPEG/BMP/GIF — pure JDK, no external codec) and the
+    * kernel emits integer pixel statistics over the decoded raster.
+    * Per-row failure isolation mirrors `Realigner`: undecodable bytes
+    * drop the row and bump the `multimodal.decode.badPayloads`
+    * accumulator instead of failing the job — at corpus scale some
+    * payloads are always corrupt.
+    *
+    * `px_sum`/`px_max` aggregate over ALL samples, so they are invariant
+    * to the band order the platform decoder picks (BGR vs RGB).
+    */
+  def decodeBatch(df: DataFrame, idCol: String, binCol: String = "payload"): Dataset[DecodedImage] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol), col(binCol)).as[(Long, Array[Byte])]
+    val badAcc = spark.sparkContext.longAccumulator("multimodal.decode.badPayloads")
+    lastBadPayloads = Some(badAcc)
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
       .mapPartitions { batch =>
-        // per-partition setup would init the codec here, once
-        batch.map { case (id, bytes) =>
-          var sum = 0L
-          var i = 0
-          while (i < bytes.length) { sum = sum * 31 + (bytes(i) & 0xff); i += 1 }
-          val feat = Array.tabulate(8)(j => ((sum >>> (j * 8)) & 0xff).toFloat / 255f)
-          DecodedFeature(id, bytes.length, sum, feat)
+        // per-partition: ImageIO plugin lookup is amortized by the JDK's
+        // static registry; per-row work is pure decode
+        batch.flatMap { case (id, bytes) =>
+          try {
+            val img = if (bytes == null) null else ImageIO.read(new ByteArrayInputStream(bytes))
+            if (img == null) { badAcc.add(1); None }
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              val ch = img.getRaster.getNumBands
+              val raster = img.getRaster
+              var sum = 0L
+              var max = 0
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  var c = 0
+                  while (c < ch) {
+                    val v = raster.getSample(x, y, c)
+                    sum += v
+                    if (v > max) max = v
+                    c += 1
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+              Some(DecodedImage(id, w, h, ch, sum, max))
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => badAcc.add(1); None
+          }
         }
       }
   }
+
+  /** Accumulator from the most recent decodeBatch plan (test hook /
+    * post-run observability): rows whose payload failed to decode.
+    */
+  @volatile private[graft] var lastBadPayloads:
+      Option[org.apache.spark.util.LongAccumulator] = None
 }

@@ -1151,6 +1151,27 @@ object Oracles {
         |  strlen(text) % 16 AS n_frames
         |FROM documents""".stripMargin,
 
+    // real image decode: Spark synthesizes a PNG whose every sample is
+    // (doc_id*31 + x*7 + y*13 + c*101) % 256 over an (8+id%9)x(8+id%7)x3
+    // raster, decodes it with javax.imageio, and reports pixel stats of
+    // the DECODED raster; the oracle recomputes those stats in closed
+    // form — equality proves the encode->decode round trip is faithful
+    "m3_image_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents
+        |), px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |    (d.doc_id * 31 + x.range * 7 + y.range * 13 + c.range * 101) % 256 AS v
+        |  FROM dims d
+        |  CROSS JOIN range(0, 16) x
+        |  CROSS JOIN range(0, 14) y
+        |  CROSS JOIN range(0, 3) c
+        |  WHERE x.range < d.w AND y.range < d.h
+        |)
+        |SELECT doc_id, w AS width, h AS height, 3 AS channels,
+        |  sum(v)::BIGINT AS px_sum, max(v)::BIGINT AS px_max
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
+
     "ev3_stream_window" ->
       """SELECT floor(epoch_ms(ts) / 300000.0)::BIGINT AS bucket, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value

@@ -1285,6 +1285,19 @@ object Queries {
         col("frame_idx").cast("long").as("frame_idx"),
         md5(expr("substring(text, frame_idx * frame_size + 1, frame_size)")).as("frame_fp"))
 
+  /** Real image decode end-to-end (M3): synthesize a deterministic PNG
+    * per document (every sample a closed-form function of id/x/y/channel),
+    * push it through the `javax.imageio` decode kernel, emit integer
+    * pixel statistics of the DECODED raster. The oracle recomputes the
+    * same statistics in closed form — green means the PNG encode→decode
+    * round trip is bit-faithful, i.e. the decode is real, not length math.
+    */
+  def m3_image_decode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeBatch(
+      Multimodal.attachSynthPng(t(spark, dir, "documents").select("doc_id"), "doc_id"),
+      "doc_id")
+      .toDF()
+
   // ---- sessionization (EV2) --------------------------------------------
 
   /** Gap-based sessionization (30 min) over the events stream table —

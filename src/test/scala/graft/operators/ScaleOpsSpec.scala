@@ -331,20 +331,42 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!out.exists(_._2 < 2), "only cross-doc grams reported")
   }
 
-  test("batched multimodal decode: deterministic, partition-amortized") {
+  test("image decode: javax.imageio round trip matches closed-form pixel stats") {
     import spark.implicits._
-    val docs = Seq((1L, "hello media bytes"), (2L, "other payload")).toDF("doc_id", "text")
+    val ids = Seq(0L, 1L, 5L, 17L, 62L)
+    val docs = ids.map(id => Tuple1(id)).toDF("doc_id")
     val decoded = Multimodal.decodeBatch(
-      Multimodal.attachBinary(docs, "text"), "doc_id").collect()
+      Multimodal.attachSynthPng(docs, "doc_id"), "doc_id").collect()
       .map(d => d.doc_id -> d).toMap
-    assert(decoded(1L).n_bytes === 17)
-    assert(decoded(1L).feature.length === 8)
-    assert(decoded(1L).feature.forall(f => f >= 0f && f <= 1f))
-    // deterministic across runs
-    val again = Multimodal.decodeBatch(
-      Multimodal.attachBinary(docs, "text"), "doc_id").collect()
-      .map(d => d.doc_id -> d.checksum).toMap
-    assert(again(1L) === decoded(1L).checksum)
+    assert(decoded.size === ids.size)
+    ids.foreach { id =>
+      val w = 8 + (id % 9).toInt
+      val h = 8 + (id % 7).toInt
+      var sum = 0L
+      var max = 0
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val v = java.lang.Math.floorMod(id * 31 + x * 7 + y * 13 + c * 101, 256L).toInt
+        sum += v
+        if (v > max) max = v
+      }
+      val d = decoded(id)
+      assert(d.width === w, s"width of $id")
+      assert(d.height === h, s"height of $id")
+      assert(d.channels === 3)
+      assert(d.px_sum === sum, s"px_sum of $id: decode is real, not length math")
+      assert(d.px_max === max, s"px_max of $id")
+    }
+  }
+
+  test("image decode: corrupt payload drops the row and bumps the accumulator") {
+    import spark.implicits._
+    val good = Multimodal.attachSynthPng(Seq(Tuple1(3L)).toDF("doc_id"), "doc_id")
+    val bad = Seq((99L, Array[Byte](1, 2, 3, 4)), (98L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeBatch(good.unionByName(bad), "doc_id").collect()
+    assert(out.map(_.doc_id).toSet === Set(3L), "only the decodable row survives")
+    assert(Multimodal.lastBadPayloads.exists(_.value === 2L),
+      "both corrupt payloads counted, job did not fail")
   }
 
   test("temperature mix: alpha<1 upweights rare sources; budget holds; deterministic") {
