@@ -535,18 +535,23 @@ object Dedup {
       bCol: String,
       maxIters: Int = 30,
       requireConvergence: Boolean = true): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    def pinnedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
     val edges = pairs.select(a.as("src"), b.as("dst"))
       .union(pairs.select(b.as("src"), a.as("dst")))
       .distinct()
       .localCheckpoint() // scanned every iteration: materialize once
+    // lazy checkpoint: materialized by iteration 1's job, no extra job here
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("cluster_id"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    var prevIterIds = Set.empty[Int]
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
+      val before = pinnedIds
       val neighborMin = edges
         .join(labels.select(col("node").as("dst"), col("cluster_id").as("dl")), "dst")
         .groupBy(col("src").as("node"))
@@ -563,8 +568,19 @@ object Dedup {
         .select(col("node"),
           least(col("cluster_id"), coalesce(col("lbl_lbl"), col("cluster_id"))).as("cluster_id"),
           col("prev"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
+      // ONE job: the count materializes the lazy checkpoint as a side
+      // effect (RDD.localCheckpoint semantics) and computes `changed`
       changed = jumped.where(col("cluster_id") =!= col("prev")).count()
+      // the previous iteration's checkpoint blocks are unreachable by any
+      // future plan once `jumped` is materialized — release them NOW
+      // instead of waiting on the async ContextCleaner: at corpus scale
+      // every iteration's labels are O(corpus) rows, and in-query pinning
+      // would stack live copies of them. (Snapshot-diff assumes no
+      // concurrent query creates persistent RDDs mid-loop — the same
+      // single-query-at-a-time posture the bench harness takes.)
+      prevIterIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevIterIds = pinnedIds -- before
       labels = jumped.drop("prev")
       it += 1
     }
