@@ -56,9 +56,12 @@ object Bench {
     "ev10_stream_incremental_dedup",
     "e7_quantized_topk",
     "e8_hamming_topk",
+    "m3_image_decode",
     "g1_discover_variants",
     "g2_genotype_calls",
+    "g3_realign",
     "g4_joint_recall",
+    "g5_trio_phase",
     "g6_gvcf_squareoff")
 
   /** Fixed CPU-bound reference probe: 400M xxhash64 over a local range,
@@ -126,6 +129,13 @@ object Bench {
       case None => headline
     }
 
+    // RDDs persisted BEFORE the suite belong to the caller (getOrCreate
+    // can attach to an existing session): unpersisting a caller's
+    // localCheckpointed dataset would truncate its lineage — the data
+    // becomes unrecoverable, not recomputable — so the per-query cleanup
+    // below only releases ids created during the bench run
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet.toSet
+
     // a failed query records -1.0 (numeric, so the driver's parse still
     // reads the map) and is excluded from the total; a fast failure must
     // not masquerade as a fast success
@@ -137,8 +147,9 @@ object Bench {
         // a System.gc() alone still lets tens of GB of block debris leak
         // into later queries' timings (BENCH_r05: g4 16.9s in-suite vs
         // 7.1s isolated, identical code). Unpersist is synchronous.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) =>
+            if (!preexisting.contains(id)) rdd.unpersist(blocking = true) }
         // then prompt the GC-triggered ContextCleaner for broadcast/
         // shuffle debris (full GCs are rare on a 24g heap, so late
         // queries otherwise absorb reclamation as phantom regressions)

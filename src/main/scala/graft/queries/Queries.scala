@@ -777,10 +777,17 @@ object Queries {
     * the INPUT ref string, never on the kernel's output — the kernel's
     * behavior on every retained read is fully checked by the hash.
     */
-  def g3_realign(spark: SparkSession, dir: String): DataFrame = {
+  def g3_realign(spark: SparkSession, dir: String): DataFrame =
+    graft.genomics.Realigner.realign(sloppyReadsForProfile(spark, dir), k = 6)
+      .select("readName", "contigName", "start", "cigar", "mdTag")
+
+  /** The g3 synthetic sloppy-read set, exposed for stage-level profiling
+    * (G3Profile) — construction cost vs realignment-kernel cost.
+    */
+  private[graft] def sloppyReadsForProfile(spark: SparkSession, dir: String): Dataset[Read] = {
     val spark2 = spark
     import spark2.implicits._
-    val sloppy = t(spark, dir, "lineitem")
+    t(spark, dir, "lineitem")
       .select(
         concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("readName"),
         concat(lit("chr"), col("l_returnflag")).as("contigName"),
@@ -788,11 +795,26 @@ object Queries {
         // 30bp pseudorandom reference from md5 hex -> ACGT alphabet
         translate(substring(md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))), 1, 30),
           "0123456789abcdef", "ACGTACGTACGTACGT").as("ref"))
-      .where(
-        expr("substring(ref, 13, 1) != substring(ref, 15, 1)") &&
-          expr("substring(ref, 28, 1) != substring(ref, 30, 1)") &&
-          expr("size(array_distinct(transform(sequence(1, 25), i -> substring(ref, i, 6)))) = 25"))
+      // CPU-bound synthesis below; sf-scale lineitem is a single parquet
+      // split, so spread it across cores (at cluster scale the scan
+      // already has many splits and this is a cheap rebalance)
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(String, String, Long, String)]
+      // same predicate the oracle mirrors (substring(ref,13,1) !=
+      // substring(ref,15,1), 28 != 30, all 25 6-mers distinct) — computed
+      // in the JVM stage: the SQL higher-order-function form
+      // (transform + array_distinct) does not participate in codegen and
+      // re-evaluates the inlined md5 projection per lambda call, which
+      // made this filter 20x the cost of the realignment kernel it feeds
+      .filter { case (_, _, _, ref) =>
+        ref.charAt(12) != ref.charAt(14) && ref.charAt(27) != ref.charAt(29) && {
+          val seen = new scala.collection.mutable.HashSet[String]
+          var i = 0
+          var ok = true
+          while (ok && i < 25) { ok = seen.add(ref.substring(i, i + 6)); i += 1 }
+          ok
+        }
+      }
       .map { case (name, contig, start, ref) =>
         // true story: delete ref[12:14] from the read; sloppy alignment:
         // 28M against ref[0:28] with whatever mismatches that implies
@@ -807,8 +829,6 @@ object Queries {
           60, readMapped = true, readNegativeStrand = false,
           duplicateRead = false, primaryAlignment = true, sampleId = "s1")
       }
-    graft.genomics.Realigner.realign(sloppy, k = 6)
-      .select("readName", "contigName", "start", "cigar", "mdTag")
   }
 
   /** Joint calling over a 3-sample cohort (samples derived from
