@@ -1,0 +1,127 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Multi-micro-batch evidence (VERDICT r6 #4): the single-file fixtures
+  * process in effectively one micro-batch, so these suites split the
+  * fixture across >= 3 time-ordered files and run with
+  * maxFilesPerTrigger=1, asserting BOTH the oracle result AND that the
+  * run genuinely spanned >= 3 data micro-batches — i.e. watermark and
+  * operator state crossed batch boundaries.
+  */
+class MultiBatchStreamingSpec extends SparkSpec {
+
+  /** Split `df` into `parts` files in one directory, ordered by
+    * `sortCol` across files (file i's max <= file i+1's min), with
+    * strictly increasing modification times so the file source replays
+    * them oldest-first — a deterministic multi-batch arrival order.
+    */
+  private def stageSplitParquet(df: DataFrame, parts: Int, sortCol: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("stream_multi")
+    val rows = df.orderBy(col(sortCol)).collect()
+    val per = math.max(1, math.ceil(rows.length.toDouble / parts).toInt)
+    rows.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+      val part = spark.createDataFrame(
+        java.util.Arrays.asList(chunk: _*), df.schema)
+      val tmp = java.nio.file.Files.createTempDirectory(s"part$i").resolve("out")
+      part.coalesce(1).write.parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+      val dest = dir.resolve(f"f$i%02d.parquet")
+      java.nio.file.Files.move(f.toPath, dest)
+      assert(dest.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    dir.toString
+  }
+
+  private def dataBatches(
+      progress: Array[org.apache.spark.sql.streaming.StreamingQueryProgress]): Int =
+    progress.count(_.numInputRows > 0)
+
+  test("sessionization state survives across >= 3 micro-batches") {
+    val events = spark.read.parquet(s"${sf("0.001")}/events.parquet")
+    val dir = stageSplitParquet(events, parts = 3, sortCol = "ts")
+
+    val (streamed, progress) = StreamingOps.runToMemorySinkWithProgress(
+      StreamingOps.sessionizeStream(
+        StreamingOps.readEvents(spark, s"$dir/*.parquet", maxFilesPerTrigger = Some(1))).toDF(),
+      "sessions_multi", OutputMode.Append())
+    assert(dataBatches(progress) >= 3,
+      s"fixture must span >= 3 data micro-batches, got ${dataBatches(progress)}")
+
+    // same closed-form oracle as the single-batch spec
+    val gap = 1800000000000L
+    val ev = events.select("user_id", "ts").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxTs = ev.map(_._2).max
+    val all = ev.groupBy(_._1).flatMap { case (uid, es) =>
+      val ts = es.map(_._2).sorted
+      val sess = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var start = ts.head; var end = ts.head; var n = 1L
+      ts.tail.foreach { t =>
+        if (t - end > gap) { sess += ((uid, start, end, n)); start = t; end = t; n = 1 }
+        else { end = t; n += 1 }
+      }
+      sess += ((uid, start, end, n))
+      sess
+    }.toSet
+    val s = streamed.select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(s.subsetOf(all), "streamed sessions must be real batch sessions — " +
+      "a session split across micro-batches would produce a non-batch session")
+    assert(s.nonEmpty)
+    val mustEmit = all.filter { case (_, _, end, _) =>
+      end / 1000000L + gap / 1000000L < maxTs / 1000000L
+    }
+    assert(mustEmit.subsetOf(s), "watermark-passed sessions must emit across batches")
+  }
+
+  test("streaming dedup state survives across >= 3 micro-batches") {
+    val events = spark.read.parquet(s"${sf("0.001")}/events.parquet")
+    val dir = stageSplitParquet(events, parts = 3, sortCol = "ts")
+    // watermark beyond the fixture's whole time span: no state expiry, so
+    // cross-batch duplicates MUST dedup against state from earlier batches
+    val (streamed, progress) = StreamingOps.runToMemorySinkWithProgress(
+      StreamingOps.streamingDedup(
+        StreamingOps.readEvents(spark, s"$dir/*.parquet", maxFilesPerTrigger = Some(1)),
+        Seq("user_id", "event_type"), watermarkDelay = "365 days"),
+      "dedup_multi", OutputMode.Append())
+    assert(dataBatches(progress) >= 3,
+      s"fixture must span >= 3 data micro-batches, got ${dataBatches(progress)}")
+    val batchDistinct = events.select("user_id", "event_type").distinct().count()
+    assert(streamed.count() === batchDistinct,
+      "cross-batch repeats must drop against state carried from earlier batches")
+    val dup = streamed.groupBy("user_id", "event_type").count().where(col("count") > 1)
+    assert(dup.count() === 0)
+  }
+
+  test("incremental dedup: in-stream dup arriving in a LATER batch still drops") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "already in history", "en", "web", 18L),
+      (2L, "fresh streaming doc", "en", "web", 19L),
+      (3L, "fresh streaming doc", "en", "web", 19L), // dup of 2, later batch
+      (4L, "another new doc", "en", "web", 15L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // doc_id order == file order: doc 3 (the dup) arrives one micro-batch
+    // AFTER doc 2, so surviving this test requires dedup state to cross
+    // the batch boundary
+    val dir = stageSplitParquet(docs, parts = 4, sortCol = "doc_id")
+    val history = Seq((100L, "already in history")).toDF("doc_id", "text")
+    val hist = graft.operators.Dedup.exactFingerprintIndex(history, "text")
+    val (out, progress) = StreamingOps.runToMemorySinkWithProgress(
+      StreamingOps.incrementalDedupStream(
+        StreamingOps.readDocuments(spark, s"$dir/*.parquet", maxFilesPerTrigger = Some(1)),
+        hist, "doc_id", "text"),
+      "inc_dedup_multi", OutputMode.Append())
+    assert(dataBatches(progress) >= 3,
+      s"fixture must span >= 3 data micro-batches, got ${dataBatches(progress)}")
+    val fps = out.select("fp").as[String].collect().toSet
+    val expected = Set("fresh streaming doc", "another new doc")
+      .map(t => java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(fps === expected)
+  }
+}
