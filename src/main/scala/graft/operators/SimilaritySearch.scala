@@ -130,16 +130,39 @@ object SimilaritySearch {
     df.select(col(idCol), col(embCol), bucket.as("bucket"))
   }
 
-  /** Approximate top-k: probe only rows in the query's LSH bucket. */
-  def annTopK(df: DataFrame, idCol: String, embCol: String, dim: Int, query: Array[Double], k: Int,
-      nBits: Int = 8, seed: Long = 42): DataFrame = {
+  /** Multi-probe bucket sequence: the query's own bucket first, then
+    * buckets reached by flipping the lowest-|margin| hyperplane bits —
+    * standard multi-probe LSH: a plane the query sits closest to is the
+    * likeliest to have put a true neighbor on its other side. Probe
+    * order is deterministic: (total |margin| of flipped bits, mask).
+    * nProbes=1 degenerates to the exact-bucket probe.
+    */
+  def probeBuckets(query: Array[Double], dim: Int, nBits: Int, seed: Long,
+      nProbes: Int): Seq[Int] = {
+    require(nBits <= 16, s"multi-probe enumerates 2^nBits flip masks; nBits=$nBits > 16")
     val planes = hyperplanes(dim, nBits, seed)
-    val qBucket = planes.zipWithIndex.map { case (p, i) =>
-      val dot = p.zip(query).map { case (a, b) => a * b }.sum
-      if (dot >= 0) 1 << i else 0
-    }.sum
+    val margins = planes.map(p => p.zip(query).map { case (a, b) => a * b }.sum)
+    val qBucket = margins.zipWithIndex.map { case (d, i) => if (d >= 0) 1 << i else 0 }.sum
+    (0 until (1 << nBits))
+      .sortBy { mask =>
+        val cost = (0 until nBits)
+          .collect { case i if (mask & (1 << i)) != 0 => math.abs(margins(i)) }.sum
+        (cost, mask)
+      }
+      .take(math.min(nProbes, 1 << nBits))
+      .map(_ ^ qBucket)
+  }
+
+  /** Approximate top-k: probe only rows in the query's LSH bucket —
+    * plus, with nProbes > 1, the lowest-margin neighboring buckets
+    * ([[probeBuckets]]): recall rises with nProbes while the scan stays
+    * pruned to nProbes/2^nBits of the corpus.
+    */
+  def annTopK(df: DataFrame, idCol: String, embCol: String, dim: Int, query: Array[Double], k: Int,
+      nBits: Int = 8, seed: Long = 42, nProbes: Int = 1): DataFrame = {
+    val buckets = probeBuckets(query, dim, nBits, seed, nProbes)
     lshBuckets(df, idCol, embCol, dim, nBits, seed)
-      .where(col("bucket") === qBucket)
+      .where(col("bucket").isin(buckets: _*))
       .select(col(idCol), cosine(col(embCol), query).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
@@ -163,10 +186,10 @@ object SimilaritySearch {
     */
   def annTopKBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, embCol: String, dim: Int, query: Array[Double], k: Int,
-      nBits: Int = 8, seed: Long = 42): DataFrame = {
-    val qBucket = queryBucket(query, dim, nBits, seed)
+      nBits: Int = 8, seed: Long = 42, nProbes: Int = 1): DataFrame = {
+    val buckets = probeBuckets(query, dim, nBits, seed, nProbes)
     spark.read.parquet(path)
-      .where(col("bucket") === qBucket)
+      .where(col("bucket").isin(buckets: _*))
       .select(col(idCol), cosine(col(embCol), query).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)

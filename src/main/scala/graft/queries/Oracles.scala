@@ -1379,13 +1379,31 @@ object Oracles {
        |ORDER BY cos_sim DESC, b.vec_id
        |LIMIT 20""".stripMargin
 
-  /** Recall@20 of the e2 LSH probe against the exact top-20. */
-  private def e6Sql: String =
+  /** Recall@20 of the multi-probe LSH probe (nProbes=4) against the
+    * exact top-20. The probe set mirrors SimilaritySearch.probeBuckets:
+    * all 2^4 flip masks ranked by the total |margin| of flipped planes
+    * (ties by mask), top 4, XOR'd onto the query bucket.
+    */
+  private def e6Sql: String = {
+    val planes = graft.operators.SimilaritySearch.hyperplanes(64, 4, 42)
+    val planeLits = planes.map(_.map(_.toString).mkString("[", ", ", "]"))
+    val margins = planeLits.zipWithIndex
+      .map { case (l, i) => s"list_dot_product(v, $l) AS m$i" }.mkString(",\n  ")
+    val flipCost = (0 until 4)
+      .map(i => s"(CASE WHEN (mask.range & ${1 << i}) > 0 THEN abs(q.m$i) ELSE 0 END)")
+      .mkString(" + ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |b AS (SELECT vec_id, v,
        |  $lshBucketExpr AS bucket
        |  FROM e),
-       |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+       |q AS (SELECT v AS qv, bucket AS qb,
+       |  $margins
+       |  FROM b WHERE vec_id = 0),
+       |p AS (
+       |  SELECT xor(mask.range, q.qb) AS pb
+       |  FROM range(0, 16) mask, q
+       |  ORDER BY ($flipCost), mask.range
+       |  LIMIT 4),
        |exact AS (
        |  SELECT e.vec_id FROM e, q
        |  ORDER BY list_dot_product(e.v, q.qv)
@@ -1393,11 +1411,12 @@ object Oracles {
        |    e.vec_id
        |  LIMIT 20),
        |ann AS (
-       |  SELECT b.vec_id FROM b, q WHERE b.bucket = q.qb
+       |  SELECT b.vec_id FROM b, q WHERE b.bucket IN (SELECT pb FROM p)
        |  ORDER BY list_dot_product(b.v, q.qv)
        |      / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
        |    b.vec_id
        |  LIMIT 20)
        |SELECT round(count(*) / 20.0, 4) AS recall
        |FROM exact JOIN ann USING (vec_id)""".stripMargin
+  }
 }

@@ -1262,7 +1262,7 @@ object Queries {
       .head().getSeq[Double](0).toArray
     val exact = SimilaritySearch.topK(emb, "vec_id", "embedding", query, k = 20)
     val ann = SimilaritySearch.annTopK(emb, "vec_id", "embedding",
-      dim = query.length, query = query, k = 20, nBits = 4)
+      dim = query.length, query = query, k = 20, nBits = 4, nProbes = 4)
     SimilaritySearch.recallAt(exact, ann, "vec_id", k = 20)
   }
 

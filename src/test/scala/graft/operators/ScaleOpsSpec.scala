@@ -265,6 +265,25 @@ class ScaleOpsSpec extends SparkSpec {
       s"expected partition pruning on bucket=$qb in:\n$plan")
   }
 
+  test("ANN recall gate: multi-probe recall@20 holds the documented floor") {
+    val emb = spark.read.parquet(s"${sf("0.01")}/embeddings.parquet")
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val exact = SimilaritySearch.topK(emb, "vec_id", "embedding", query, k = 20)
+    def recall(nProbes: Int): Double =
+      SimilaritySearch.recallAt(exact,
+        SimilaritySearch.annTopK(emb, "vec_id", "embedding",
+          query.length, query, k = 20, nBits = 4, nProbes = nProbes),
+        "vec_id", k = 20).head().getDouble(0)
+    val single = recall(1)
+    val multi = recall(4)
+    // measured at sf0.01: single-bucket 0.15, 4-probe 0.40 (COVERAGE.md);
+    // the floor fails the build if an index or probe change degrades it
+    assert(multi >= 0.35, s"multi-probe recall@20 $multi below the 0.35 floor")
+    assert(multi > single,
+      s"multi-probe recall ($multi) must beat the single-bucket probe ($single)")
+  }
+
   test("IVF top-k: probing all cells equals exact top-k; fewer cells is a subset of the corpus ranking") {
     import spark.implicits._
     val dim = 8
