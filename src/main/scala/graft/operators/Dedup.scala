@@ -151,12 +151,15 @@ object Dedup {
     val sets = shingleSets(df, idCol, textCol, n)
     // candidate generation runs on 8-byte xxhash64 gram keys, not gram
     // strings: every downstream exchange (freq agg, freq join, prefix
-    // self-join) carries a long instead of an n-token string. This is
-    // EXACT, not approximate — a 64-bit collision between two distinct
-    // grams merges their df and can only ADD a candidate pair, and the
-    // final verification recomputes true Jaccard from the string shingle
-    // arrays; prefix-filter completeness only needs a consistent global
-    // total order on keys, which any injective-or-merged mapping gives.
+    // self-join) carries a long instead of an n-token string. Exact up
+    // to a WITHIN-document 64-bit gram collision (~2^-64 per gram pair):
+    // cross-document collisions merge df and can only ADD candidates
+    // (verification recomputes true Jaccard from the string arrays), but
+    // two distinct grams of the SAME document colliding would make n_sh
+    // (string count) exceed the doc's distinct-key count, letting the
+    // row-based prefix cover one fewer distinct key than the AllPairs
+    // bound assumes. Astronomically unlikely; dedupe keys per doc and
+    // compute n_sh on distinct keys if 2^-64 ever matters.
     val ex = sets.select(col("doc_id"), explode(col("shingles")).as("gs"))
       .select(col("doc_id"), xxhash64(col("gs")).as("g"))
 
@@ -322,19 +325,44 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 13,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01): DataFrame =
+    bloomDecontaminateWithRelease(corpus, benchmark, idCol, textCol, n, fpp)._1
+
+  /** As [[bloomDecontaminate]], plus a release hook: the call pins the
+    * benchmark gram blocks (localCheckpoint) and the Bloom-sketch
+    * broadcast until GC-driven cleanup, so a long-lived CLI/pipeline
+    * session making repeated calls should invoke `release()` after
+    * CONSUMING the result (it truncates the result's lineage inputs —
+    * consuming after release would recompute or fail). The bench
+    * harness's between-query unpersist covers the same leak for
+    * bench runs; this is the programmatic-caller path.
+    */
+  def bloomDecontaminateWithRelease(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13,
+      fpp: Double = 0.01): (DataFrame, () => Unit) = {
+    val sc = corpus.sparkSession.sparkContext
+    val pinnedBefore = sc.getPersistentRDDs.keySet.toSet
     val bench = shingleSets(benchmark, idCol, textCol, n)
       .select(explode(col("shingles")).as("g")).distinct()
       // referenced twice (sketch build + verify join); tiny relative to
       // the corpus, and re-deriving it would re-shingle the benchmark
       .localCheckpoint()
+    val benchIds = sc.getPersistentRDDs.keySet.toSet -- pinnedBefore
     val nGrams = bench.count()
     // empty eval set: nothing to decontaminate — and Spark's
     // stat.bloomFilter NPEs on an empty frame (null sketch buffer), so
     // the guard is correctness, not just a fast path
-    if (nGrams == 0L) return corpus
+    if (nGrams == 0L) {
+      val releaseEmpty = () => benchIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      return (corpus, releaseEmpty)
+    }
     val bf = bench.stat.bloomFilter("g", nGrams, fpp)
-    val bcast = corpus.sparkSession.sparkContext.broadcast(bf)
+    val bcast = sc.broadcast(bf)
     val might = udf((g: String) => g != null && bcast.value.mightContainString(g))
     val candidates = shingleSets(corpus, idCol, textCol, n)
       .select(col("doc_id"), explode(col("shingles")).as("g"))
@@ -342,7 +370,14 @@ object Dedup {
     // exact verify kills Bloom false positives; Catalyst/AQE pick the
     // join strategy from the benchmark side's ACTUAL size
     val contaminated = candidates.join(bench, "g").select("doc_id").distinct()
-    corpus.join(contaminated.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+    val result = corpus.join(
+      contaminated.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+    val release = () => {
+      benchIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      bcast.destroy()
+    }
+    (result, release)
   }
 
   /** Fingerprint index for [[incrementalExact]]: one distinct md5 per

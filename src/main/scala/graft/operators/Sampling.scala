@@ -99,17 +99,36 @@ object Sampling {
   def capPerKey(df: DataFrame, idCol: String, keyCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val agg = new BoundedTopKAgg(k)
-    val kept = df
-      .select(col(keyCol).cast("string").as("__key"),
-        ticket(col(idCol)).as("__tk"), col(idCol).cast("long").as("__id"))
-      .as[(String, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3))
-      .agg(agg.toColumn.name("top"))
-      .flatMap { case (_, top) => top.map(_._2) }
-      .toDF("__kept_id")
-    df.join(kept, col(idCol).cast("long") === col("__kept_id"), "left_semi")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val agg = new BoundedTopKAgg(k)
+        val kept = df
+          .select(col(keyCol).cast("string").as("__key"),
+            ticket(col(idCol)).as("__tk"), col(idCol).cast("long").as("__id"))
+          .as[(String, Long, Long)]
+          .groupByKey(_._1)
+          .mapValues(t => (t._2, t._3))
+          .agg(agg.toColumn.name("top"))
+          .flatMap { case (_, top) => top.map(_._2) }
+          .toDF("__kept_id")
+        df.join(kept, col(idCol).cast("long") === col("__kept_id"), "left_semi")
+      case _ =>
+        // string ids (UUIDs — common in crawl corpora): same bounded
+        // top-K, (ticket, id-string) ordering as the deterministic
+        // tie-break. Was a silent long-cast collapse before r7.
+        val agg = new BoundedTopKStringAgg(k)
+        val kept = df
+          .select(col(keyCol).cast("string").as("__key"),
+            ticket(col(idCol)).as("__tk"), col(idCol).cast("string").as("__id"))
+          .as[(String, Long, String)]
+          .groupByKey(_._1)
+          .mapValues(t => (t._2, t._3))
+          .agg(agg.toColumn.name("top"))
+          .flatMap { case (_, top) => top.map(_._2) }
+          .toDF("__kept_id")
+        df.join(kept, col(idCol).cast("string") === col("__kept_id"), "left_semi")
+    }
   }
 
   /** Pack documents into fixed token-budget bins, sharded for
@@ -148,21 +167,50 @@ object Sampling {
     * Dedup.shingleSets applies identically here); the whole op is
     * narrow — no shuffle, embarrassingly scan-parallel.
     */
+  /** MEMORY: the chunk list materializes per ROW before the explode, so
+    * a document costs O(n_tokens × window / stride) heap at once —
+    * overlap (stride < window) multiplies the text by window/stride. At
+    * sane strides that's a small constant; a stride-1 config over a
+    * mega-document is a per-row OOM. Rows whose estimated expansion
+    * crosses `warnChunkTokens` bump the `chunkDocuments.megaDocs`
+    * accumulator ([[lastMegaDocs]]) and log once per task — the same
+    * observability pattern HardLimiter uses for hot partitions.
+    */
   def chunkDocuments(
       df: DataFrame,
       idCol: String,
       textCol: String,
       window: Int,
-      stride: Int): DataFrame = {
+      stride: Int,
+      warnChunkTokens: Long = 32L << 20): DataFrame = {
     require(window >= 1 && stride >= 1)
+    val megaAcc = df.sparkSession.sparkContext.longAccumulator("chunkDocuments.megaDocs")
+    lastMegaDocs = Some(megaAcc)
     val mk = udf((toks: Seq[String]) =>
       if (toks == null) Seq.empty[String]
-      else (0 until toks.length by stride)
-        .map(s => toks.slice(s, s + window).mkString(" ")))
+      else {
+        val est = (toks.length.toLong / stride + 1) * math.min(window.toLong, toks.length.toLong)
+        if (est > warnChunkTokens) {
+          megaAcc.add(1)
+          org.slf4j.LoggerFactory.getLogger("graft.operators.Sampling").warn(
+            s"chunkDocuments: ~$est chunk tokens materialize for ONE document " +
+              s"(n_tokens=${toks.length}, window=$window, stride=$stride); " +
+              "raise the stride or pre-split mega-documents")
+        }
+        (0 until toks.length by stride)
+          .map(s => toks.slice(s, s + window).mkString(" "))
+      })
     df.select(col(idCol).as("doc_id"), mk(split(col(textCol), " ")).as("chunks"))
       .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_text")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         size(split(col("chunk_text"), " ")).cast("long").as("n_tokens"),
         col("chunk_text"))
   }
+
+  /** Accumulator from the most recent chunkDocuments plan (test hook /
+    * post-run observability): documents whose chunk expansion crossed
+    * the warn threshold.
+    */
+  @volatile private[graft] var lastMegaDocs:
+      Option[org.apache.spark.util.LongAccumulator] = None
 }

@@ -79,6 +79,9 @@ object SimilaritySearch {
     * rationale as the shingle kernel).
     */
   private[graft] def packSigns(v: Seq[Double]): Array[Long] = {
+    // null embedding -> empty sketch: degenerate rows flow through (and
+    // rank last on Hamming) like the other kernel UDFs' null guards
+    if (v == null) return new Array[Long](0)
     val words = new Array[Long]((v.length + 63) / 64)
     var i = 0
     while (i < v.length) {
@@ -101,7 +104,10 @@ object SimilaritySearch {
       query: Array[Double], k: Int): DataFrame = {
     val qs = packSigns(query)
     val pack = udf((v: Seq[Double]) => packSigns(v))
-    df.select(col(idCol), pack(col(embCol).cast("array<double>")).as("sig"))
+    // null embeddings drop: an absent vector has no Hamming rank (and a
+    // null distance would sort FIRST under Spark's asc nulls-first)
+    df.where(col(embCol).isNotNull)
+      .select(col(idCol), pack(col(embCol).cast("array<double>")).as("sig"))
       // zip_with over dim/64 words (1 for dim<=64): the HOF runs
       // interpreted but over a near-scalar array — not a hot loop
       .withColumn("hamming",

@@ -63,3 +63,35 @@ class BoundedTopKAgg(k: Int)
     (b.take(lo) :+ a) ++ b.drop(lo)
   }
 }
+
+/** [[BoundedTopKAgg]] for string document ids (UUIDs — common in crawl
+  * corpora): same bounded buffer and skew math, ordering (rank, id)
+  * with the string id as the deterministic tie-break. A separate class
+  * rather than a generic one so the numeric path's ordering (and the
+  * results it has already shipped) stays bit-identical.
+  */
+class BoundedTopKStringAgg(k: Int)
+    extends Aggregator[(Long, String), Seq[(Long, String)], Seq[(Long, String)]] {
+  private val ord = Ordering.Tuple2[Long, String]
+  override def zero: Seq[(Long, String)] = Vector.empty
+  override def reduce(b: Seq[(Long, String)], a: (Long, String)): Seq[(Long, String)] =
+    if (b.size < k) insert(b, a)
+    else if (ord.lt(a, b.last)) insert(b.init, a)
+    else b
+  override def merge(a: Seq[(Long, String)], b: Seq[(Long, String)]): Seq[(Long, String)] =
+    (a ++ b).sorted(ord).take(k)
+  override def finish(r: Seq[(Long, String)]): Seq[(Long, String)] = r
+  override def bufferEncoder: Encoder[Seq[(Long, String)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(Long, String)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+
+  private def insert(b: Seq[(Long, String)], a: (Long, String)): Seq[(Long, String)] = {
+    var lo = 0; var hi = b.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ord.lt(b(mid), a)) lo = mid + 1 else hi = mid
+    }
+    (b.take(lo) :+ a) ++ b.drop(lo)
+  }
+}

@@ -1150,7 +1150,9 @@ object Queries {
     val mask = TextAnalysis.qualityFailMask(rules)
     t(spark, dir, "documents").select(
       Seq(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens")) ++
+        // null text -> 0, matching the oracle's coalesce and the
+        // qualityRules-internal token count (ANSI size(null) is NULL)
+        coalesce(size(split(col("text"), " ")).cast("long"), lit(0L)).as("n_tokens")) ++
         rules.map { case (nm, c) => c.as(nm) } ++
         Seq(mask.as("fail_mask"), (mask === 0L).as("keep")): _*)
   }
@@ -1179,7 +1181,7 @@ object Queries {
     val txt = col("text")
     t(spark, dir, "documents").select(
       col("doc_id"),
-      TextAnalysis.tokenCount(txt).cast("long").as("n_ws_tokens"),
+      coalesce(TextAnalysis.tokenCount(txt).cast("long"), lit(0L)).as("n_ws_tokens"),
       size(regexp_extract_all(txt, lit("\\w+|[^\\w\\s]"), lit(0))).cast("long")
         .as("n_pieces"),
       ((length(regexp_replace(txt, "\\s", "")) + 3) / 4).cast("long")

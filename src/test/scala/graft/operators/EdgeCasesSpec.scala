@@ -90,4 +90,31 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.count() === 5)
     assert(out.select("vec_id").distinct().count() === 5)
   }
+
+  test("hammingTopK: null embedding rows drop instead of NPE or ranking first") {
+    import spark.implicits._
+    val corpus = (0 until 3).map(i => (i.toLong, Seq.fill(8)(i.toDouble - 1)))
+      .toDF("vec_id", "embedding")
+      .unionByName(Seq((99L, null.asInstanceOf[Seq[Double]])).toDF("vec_id", "embedding"))
+    val out = SimilaritySearch.hammingTopK(corpus, "vec_id", "embedding",
+      Array.fill(8)(1.0), k = 10)
+    val ids = out.select("vec_id").as[Long].collect().toSet
+    assert(ids === Set(0L, 1L, 2L), "the null-embedding row is excluded")
+  }
+
+  test("bloomDecontaminateWithRelease: release frees the pinned gram blocks") {
+    import spark.implicits._
+    val corpus = docs(Seq((1L, "a b c d e"), (2L, "x y z w v")))
+    val bench = docs(Seq((9L, "a b c d e")))
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val (out, release) = Dedup.bloomDecontaminateWithRelease(
+      corpus, bench, "doc_id", "text", n = 3, fpp = 0.1)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L), "contaminated doc dropped")
+    assert((spark.sparkContext.getPersistentRDDs.keySet.toSet -- before).nonEmpty,
+      "the call pins the benchmark gram blocks")
+    release()
+    assert((spark.sparkContext.getPersistentRDDs.keySet.toSet -- before).isEmpty,
+      "release() unpins everything the call created")
+  }
 }

@@ -447,6 +447,45 @@ class ScaleOpsSpec extends SparkSpec {
     assert(again === kept)
   }
 
+  test("per-key cap: string (UUID) ids survive — no silent long-cast collapse") {
+    import spark.implicits._
+    val uuid = java.util.UUID.nameUUIDFromBytes(_: Array[Byte])
+    val docs = ((0 until 40).map(i => (uuid(Array(i.toByte)).toString, "hot.com")) ++
+      (100 until 102).map(i => (uuid(Array(i.toByte)).toString, "tiny.org")))
+      .toDF("doc_id", "domain")
+    val kept = Sampling.capPerKey(docs, "doc_id", "domain", k = 3)
+      .select("doc_id", "domain").as[(String, String)].collect().toSet
+    val byDomain = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byDomain("hot.com") === 3, "hot key capped at K")
+    assert(byDomain("tiny.org") === 2, "groups under the cap keep everything")
+    assert(kept.map(_._1).subsetOf(
+      docs.select("doc_id").as[String].collect().toSet), "kept ids are real ids")
+    // window-rank reference semantics on (ticket, id-string)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy(col("tk"), col("doc_id"))
+    val ref = docs
+      .withColumn("tk", pmod(conv(substring(md5(col("doc_id")), 1, 15),
+        16, 10).cast("long"), lit(10000L)))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+      .select("doc_id", "domain").as[(String, String)].collect().toSet
+    assert(kept === ref)
+  }
+
+  test("chunkDocuments: mega-document expansion bumps the accumulator, output stays correct") {
+    import spark.implicits._
+    // 20k tokens, window 64, stride 1 -> ~1.28M chunk tokens > the 1M
+    // test threshold; a normal doc stays under it
+    val mega = (0 until 20000).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, mega), (2L, "a small document")).toDF("doc_id", "text")
+    val out = Sampling.chunkDocuments(docs, "doc_id", "text",
+      window = 64, stride = 1, warnChunkTokens = 1L << 20)
+    val counts = out.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(counts(1L) === 20000L, "stride-1 emits one chunk per token")
+    assert(counts(2L) === 3L)
+    assert(Sampling.lastMegaDocs.exists(_.value === 1L),
+      "exactly the mega doc crossed the warn threshold")
+  }
+
   test("URL host/domain extraction handles ports, userinfo, subdomains") {
     import spark.implicits._
     val urls = Seq(
