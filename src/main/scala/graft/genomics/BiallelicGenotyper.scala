@@ -261,9 +261,13 @@ object BiallelicGenotyper {
       if (scoreAllSites) snvObs.unionByName(indelObs).unionByName(nonRefObs)
       else snvObs.unionByName(indelObs)
 
-    // -- broadcast score-table join (S9 + J3); clamp quals to the domain;
-    // per-site copy number from the broadcast CNV map (or flat ploidy)
-    val scores = ScoreTable.buildForCopyNumbers(spark, cnValues, maxP, maxQual, maxMapQ)
+    // -- score attachment (S9 + J3); clamp quals to the domain; per-site
+    // copy number from the broadcast CNV map (or flat ploidy).
+    // Two equivalent flavors, selected by graft.inlineK7 (system
+    // property / SPARK_GRAFT_INLINE_K7 env): the broadcast dimension
+    // table (default) or the inline codegen'd K7 expressions — same
+    // values bit-identically (ScoreTable.inlineScoreColumns); PROFILE_r07
+    // records the measured comparison on g6's cost center.
     val cnCol = copyNumbers
       .map(m => m.copyNumberAt(col("contigName"), col("start")))
       .getOrElse(lit(ploidy))
@@ -271,13 +275,21 @@ object BiallelicGenotyper {
     // ε = 1 and poison a whole genotype state with log 0 = -Inf); the
     // NoQual sentinel (deletion observations, mapQ-only model) passes
     // through; mapq to [1, maxMapQ] for the same -Inf reason.
-    val keyed = obs
+    val clamped = obs
       .withColumn("copyNumber", cnCol)
       .withColumn("qual",
         when(col("qual") < 0, lit(graft.kernels.Likelihood.NoQual))
           .otherwise(greatest(least(col("qual"), lit(maxQual)), lit(1))))
       .withColumn("mapq", greatest(least(col("mapq"), lit(maxMapQ)), lit(1)))
-      .join(broadcast(scores), Seq("copyNumber", "qual", "mapq"))
+    val inlineK7 = sys.props.get("graft.inlineK7")
+      .orElse(sys.env.get("SPARK_GRAFT_INLINE_K7")).exists(_.toBoolean)
+    val keyed =
+      if (inlineK7)
+        clamped.select(clamped.columns.map(col) ++ ScoreTable.inlineScoreColumns(maxP): _*)
+      else {
+        val scores = ScoreTable.buildForCopyNumbers(spark, cnValues, maxP, maxQual, maxMapQ)
+        clamped.join(broadcast(scores), Seq("copyNumber", "qual", "mapq"))
+      }
 
     // -- per-row per-state contribution (weighted by the compressed
     // multiplicity), then the wide hash agg (A3). Nulled (nonref)
