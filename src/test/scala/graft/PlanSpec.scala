@@ -216,6 +216,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Generate"), plan) // the posexplode
   }
 
+  test("m3 image decode: narrow plan, zero shuffles — scan-parallel decode") {
+    val plan = planOf(Queries.m3_image_decode(spark, sf("0.001")))
+    assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
+    assert(plan.contains("MapPartitions") || plan.contains("SerializeFromObject"),
+      s"expected the mapPartitions decode kernel in:\n$plan")
+  }
+
   test("t12 perplexity: vocab agg partial+final, no window, score agg on doc_id") {
     val plan = planOf(Queries.t12_lm_perplexity(spark, sf("0.001")))
     assert("HashAggregate".r.findAllIn(plan).size >= 4,
