@@ -53,6 +53,7 @@ object Bench {
     "j7_salted_join",
     "t12_lm_perplexity",
     "d10_incremental_dedup",
+    "d11_incremental_minhash",
     "ev10_stream_incremental_dedup",
     "e7_quantized_topk",
     "e8_hamming_topk",
@@ -110,7 +111,8 @@ object Bench {
     val overrides: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
       Map(
         "d3_minhash_lsh_pairs" -> (queries.Queries.d3_minhash_lsh_pairs_prod _),
-        "d7_dup_clusters" -> (queries.Queries.d7_dup_clusters_prod _))
+        "d7_dup_clusters" -> (queries.Queries.d7_dup_clusters_prod _),
+        "d11_incremental_minhash" -> (queries.Queries.d11_incremental_minhash_prod _))
 
     // contention probe before the suite (after warmup, so it measures the
     // box, not class loading); repeated after, so contention arriving

@@ -101,6 +101,7 @@ object SparkEntry {
     "j7_salted_join" -> (Queries.j7_salted_join _),
     "t12_lm_perplexity" -> (Queries.t12_lm_perplexity _),
     "d10_incremental_dedup" -> (Queries.d10_incremental_dedup _),
+    "d11_incremental_minhash" -> (Queries.d11_incremental_minhash _),
     "ev10_stream_incremental_dedup" -> (Queries.ev10_stream_incremental_dedup _),
     "t9_url_stats" -> (Queries.t9_url_stats _),
     "c3_pack_sequences" -> (Queries.c3_pack_sequences _),

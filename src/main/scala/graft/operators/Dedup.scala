@@ -499,21 +499,48 @@ object Dedup {
       k: Int = 32,
       bands: Int = 8,
       minAgree: Double = 0.5,
-      hashFamily: String = "xx64"): DataFrame = {
+      hashFamily: String = "xx64"): DataFrame =
+    pairsFromSignatures(
+      minHashSignatures(df, idCol, textCol, n, k, hashFamily),
+      k, bands, minAgree, hashFamily)
+
+  /** Band keys via the same 60-bit hash family; the band id is embedded
+    * in the hashed string, so bh equality implies band equality. One-pass
+    * kernel UDF: a Generate whose input is an inline Column expression
+    * re-evaluates it per OUTPUT row (bands× the hashing) — the repo's
+    * documented explode pathology.
+    */
+  private def bandKeysUdf(k: Int, bands: Int, hashFamily: String) = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
-    val sigs = minHashSignatures(df, idCol, textCol, n, k, hashFamily)
-    // Band keys via the same 60-bit hash family; the band id is embedded
-    // in the hashed string, so bh equality implies band equality. One-pass
-    // kernel UDF: a Generate whose input is an inline Column expression
-    // re-evaluates it per OUTPUT row (bands× the hashing) — the repo's
-    // documented explode pathology.
     val bandHash = hashFn(hashFamily)
-    val bandKeys = udf((sig: Seq[Long]) =>
+    udf((sig: Seq[Long]) =>
       (0 until bands).map { bnd =>
         val slice = sig.slice(bnd * rows, bnd * rows + rows)
         (bnd, bandHash((bnd +: slice).mkString("_")))
       })
+  }
+
+  /** The banded (bh, doc_id) index over a signature table — the second
+    * persistent artifact of an incremental near-dup pipeline (bucketed
+    * on `bh` via `sources/Bucketed.write`, a new batch's band probe
+    * plans no exchange on the history side).
+    */
+  def minHashBandIndex(sigs: DataFrame, k: Int = 32, bands: Int = 8,
+      hashFamily: String = "xx64"): DataFrame =
+    sigs.select(col("doc_id"), explode(bandKeysUdf(k, bands, hashFamily)(col("sig"))).as("b"))
+      .select(col("b._2").as("bh"), col("doc_id"))
+
+  /** LSH pair generation from a signature table (the [[minHashLshPairs]]
+    * core, reusable against precomputed/persistent signatures).
+    */
+  def pairsFromSignatures(
+      sigs: DataFrame,
+      k: Int,
+      bands: Int,
+      minAgree: Double,
+      hashFamily: String): DataFrame = {
+    val bandKeys = bandKeysUdf(k, bands, hashFamily)
     // the banded index carries ONLY the doc id — at corpus scale the
     // candidate set dwarfs the doc set, so the pair-dedup exchange must
     // shuffle bare id pairs (~16 bytes), not k-long signatures (~1 KB);
@@ -535,6 +562,58 @@ object Dedup {
         size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b)).cast("double") / k)
       .where(col("agree") >= minAgree)
       .select(col("doc_a"), col("doc_b"), round(col("agree"), 4).as("sig_agreement"))
+  }
+
+  /** Incremental NEAR-dup dedup — the minhash twin of [[incrementalExact]],
+    * completing the dedup lifecycle for near-duplicates: a new batch is
+    * checked against the EXISTING corpus via its two persistent index
+    * artifacts — `historySigs` (doc_id, sig; bucketed on doc_id) and
+    * `historyBands` (bh, doc_id; bucketed on bh, [[minHashBandIndex]]) —
+    * without touching history text or re-shingling anything old. The
+    * asymmetry is the point at 100 TB: signatures are k longs per doc
+    * (~KB vs the doc's text), bands are 8-byte keys, and with both
+    * indexes bucketed the history sides plan NO exchange — only the
+    * small batch shuffles to the index layouts.
+    *
+    * A batch doc drops if (a) a shared band bucket with a history doc
+    * verifies at signature agreement >= minAgree, or (b) a verified
+    * within-batch pair links it to a smaller batch doc id. (b) is the
+    * deliberate PAIRWISE rule — near-dup is not transitive, so the
+    * in-batch keeper is "no verified neighbor with a smaller id", the
+    * same contract [[minHashLshPairs]] consumers apply; feed the pair
+    * graph to [[connectedComponents]] when cluster-level resolution is
+    * wanted instead. Returns the surviving batch ids.
+    */
+  def incrementalMinHash(
+      newDocs: DataFrame,
+      historySigs: DataFrame,
+      historyBands: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 32,
+      bands: Int = 8,
+      minAgree: Double = 0.5,
+      hashFamily: String = "xx64"): DataFrame = {
+    val bSigs = minHashSignatures(newDocs, idCol, textCol, n, k, hashFamily)
+    val bBands = minHashBandIndex(bSigs, k, bands, hashFamily)
+    // history probe: shared band bucket -> candidate (batch, history)
+    // pair; exact signature agreement kills LSH false positives
+    val histCand = bBands
+      .join(historyBands.select(col("bh"), col("doc_id").as("h_id")), "bh")
+      .select(col("doc_id"), col("h_id")).distinct()
+    val histHits = histCand
+      .join(bSigs, "doc_id")
+      .join(historySigs.select(col("doc_id").as("h_id"), col("sig").as("hs")), "h_id")
+      .withColumn("agree",
+        size(filter(zip_with(col("sig"), col("hs"), (x, y) => x === y), b => b)).cast("double") / k)
+      .where(col("agree") >= minAgree)
+      .select("doc_id").distinct()
+    // within-batch: verified pairs drop the larger id
+    val inBatchDrops = pairsFromSignatures(bSigs, k, bands, minAgree, hashFamily)
+      .select(col("doc_b").as("doc_id")).distinct()
+    newDocs.select(col(idCol).as("doc_id"))
+      .join(histHits.unionByName(inBatchDrops), Seq("doc_id"), "left_anti")
   }
 
   /** Duplicate-cluster resolution: turn a near-dup PAIR list (the output

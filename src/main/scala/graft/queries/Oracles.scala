@@ -1057,6 +1057,8 @@ object Oracles {
         |SELECT doc_id FROM keepers
         |WHERE fp NOT IN (SELECT fp FROM hist)""".stripMargin,
 
+    "d11_incremental_minhash" -> d11Sql,
+
     // corpus unigram LM cross-entropy; log-sum order differs between
     // engines by ~1e-13, absorbed by round(4)
     "t12_lm_perplexity" ->
@@ -1303,6 +1305,22 @@ object Oracles {
        |SELECT doc_a, doc_b, round(agree, 4) AS sig_agreement
        |FROM ag WHERE agree >= 0.5""".stripMargin
   }
+
+  /** Oracle for d11: the d3 signature/band/agreement machinery over the
+    * FULL corpus, then the incremental rules — a batch doc (id % 3 != 0)
+    * survives unless a verified pair links it to a history doc (either
+    * orientation) or to a SMALLER batch doc (pairs have doc_a < doc_b,
+    * so that is doc_b = d). Band keys are per-document, so the
+    * full-corpus pair set restricted to (batch x history) u (batch x
+    * batch) is exactly what the Spark side's two probes generate.
+    */
+  private def d11Sql: String =
+    s"""SELECT d.doc_id FROM (${d3Sql.replace("\n", "\n  ")}) ag
+       |RIGHT JOIN (SELECT doc_id FROM documents WHERE doc_id % 3 != 0) d
+       |  ON (ag.doc_a = d.doc_id AND ag.doc_b % 3 = 0)
+       |  OR ag.doc_b = d.doc_id
+       |GROUP BY d.doc_id
+       |HAVING count(ag.doc_a) = 0""".stripMargin
 
   /** Oracle for d7: the d3 pair graph (nested as a subquery — DuckDB
     * allows WITH inside a derived table) closed transitively with a

@@ -1250,6 +1250,33 @@ object Queries {
       "doc_id", "text")
   }
 
+  /** Incremental NEAR-dup dedup (minhash twin of d10): the batch
+    * (doc_id % 3 != 0) dedupes against the history corpus's persistent
+    * signature + band indexes and within itself; md5 family so the
+    * oracle reproduces signatures, buckets, and agreement exactly.
+    * d3's (n=3, k=64, bands=32, minAgree=0.5) parameters.
+    */
+  def d11_incremental_minhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    incMinHashImpl(docs, hashFamily = "md5")
+  }
+
+  /** Production flavor of d11 (xx64 index family) — what Bench times. */
+  def d11_incremental_minhash_prod(spark: SparkSession, dir: String): DataFrame =
+    incMinHashImpl(t(spark, dir, "documents"), hashFamily = "xx64")
+
+  private def incMinHashImpl(docs: DataFrame, hashFamily: String): DataFrame = {
+    val history = docs.where(col("doc_id") % 3 === 0)
+    val hSigs = Dedup.minHashSignatures(history, "doc_id", "text",
+      n = 3, k = 64, hashFamily = hashFamily)
+    Dedup.incrementalMinHash(
+      docs.where(col("doc_id") % 3 =!= 0),
+      hSigs,
+      Dedup.minHashBandIndex(hSigs, k = 64, bands = 32, hashFamily = hashFamily),
+      "doc_id", "text", n = 3, k = 64, bands = 32, minAgree = 0.5,
+      hashFamily = hashFamily)
+  }
+
   /** Composed cleaning pipeline: exact dedup -> contamination cut ->
     * quality gate -> language gate, one declarative plan.
     */

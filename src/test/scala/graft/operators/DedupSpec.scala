@@ -364,6 +364,71 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental minhash: history near-dups and in-batch near-dups drop, fresh keep") {
+    import spark.implicits._
+    val history = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "totally different history content goes right here")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // = history 100 -> drop
+      (2L, "fresh unique content nobody has ever written"),  // keep
+      (4L, "fresh unique content nobody has ever written"),  // in-batch dup of 2 -> drop
+      (5L, "another genuinely novel document body")          // keep
+    ).toDF("doc_id", "text")
+    val hSigs = Dedup.minHashSignatures(history, "doc_id", "text", n = 3, k = 8)
+    val got = Dedup.incrementalMinHash(
+      batch, hSigs, Dedup.minHashBandIndex(hSigs, k = 8, bands = 4),
+      "doc_id", "text", n = 3, k = 8, bands = 4)
+      .as[Long].collect().toSet
+    assert(got === Set(2L, 5L))
+  }
+
+  test("incremental minhash against BUCKETED indexes: history sides plan no exchange") {
+    import spark.implicits._
+    val history = (0 until 300).map(i => (i.toLong, s"hist doc $i body words"))
+      .toDF("doc_id", "text")
+    val batch = (300 until 400).map(i => (i.toLong, s"batch doc $i body words"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    val hSigs = Dedup.minHashSignatures(history, "doc_id", "text", n = 3, k = 8)
+    graft.sources.Bucketed.write(hSigs, "t_mh_sigs", s"$dir/sigs",
+      bucketCols = Seq("doc_id"), buckets = 4)
+    graft.sources.Bucketed.write(Dedup.minHashBandIndex(hSigs, k = 8, bands = 4),
+      "t_mh_bands", s"$dir/bands", bucketCols = Seq("bh"), buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the band probe: batch bands shuffle to the bucket layout; the
+      // bucketed history scan satisfies the join partitioning itself
+      val bSigs = Dedup.minHashSignatures(batch, "doc_id", "text", n = 3, k = 8)
+      val probe = Dedup.minHashBandIndex(bSigs, k = 8, bands = 4)
+        .join(spark.table("t_mh_bands").withColumnRenamed("doc_id", "h_id"), "bh")
+      val probePlan = probe.queryExecution.executedPlan.toString
+      assert(probePlan.contains("t_mh_bands"), probePlan)
+      assert("Exchange hashpartitioning".r.findAllIn(probePlan).size === 1,
+        s"expected only the batch-side band shuffle:\n$probePlan")
+      // the signature verify join: same property on doc_id
+      val sigJoin = probe.select(col("doc_id"), col("h_id")).distinct()
+        .join(spark.table("t_mh_sigs")
+          .withColumnRenamed("doc_id", "h_id").withColumnRenamed("sig", "hs"), "h_id")
+      val sigPlan = sigJoin.queryExecution.executedPlan.toString
+      assert(sigPlan.contains("t_mh_sigs"), sigPlan)
+      // exchanges: band probe (1) + distinct (1) + re-align to h_id (1);
+      // the bucketed t_mh_sigs side must not add one
+      val nEx = "Exchange hashpartitioning".r.findAllIn(sigPlan).size
+      assert(nEx <= 3, s"bucketed sig index must not re-shuffle ($nEx exchanges):\n$sigPlan")
+      // end-to-end result is right regardless of layout
+      val out = Dedup.incrementalMinHash(batch,
+        spark.table("t_mh_sigs"), spark.table("t_mh_bands"),
+        "doc_id", "text", n = 3, k = 8, bands = 4)
+      assert(out.count() === 100, "no cross-set near-dups planted")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS t_mh_sigs")
+      spark.sql("DROP TABLE IF EXISTS t_mh_bands")
+    }
+  }
+
   test("simhash LSH pair finder obeys hamming cap") {
     import spark.implicits._
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
