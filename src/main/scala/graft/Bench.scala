@@ -57,6 +57,7 @@ object Bench {
     "ev10_stream_incremental_dedup",
     "e7_quantized_topk",
     "e8_hamming_topk",
+    "e9_batch_ann",
     "m3_image_decode",
     "g1_discover_variants",
     "g2_genotype_calls",

@@ -107,7 +107,8 @@ object SparkEntry {
     "c3_pack_sequences" -> (Queries.c3_pack_sequences _),
     "m1_multimodal_meta" -> (Queries.m1_multimodal_meta _),
     "m2_frame_sample" -> (Queries.m2_frame_sample _),
-    "m3_image_decode" -> (Queries.m3_image_decode _)
+    "m3_image_decode" -> (Queries.m3_image_decode _),
+    "e9_batch_ann" -> (Queries.e9_batch_ann _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

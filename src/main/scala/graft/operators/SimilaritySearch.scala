@@ -174,6 +174,41 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Batched multi-query ANN — the serving shape: top-k for a whole SET
+    * of queries in ONE plan over ONE corpus scan. The query batch (a
+    * handful of driver-side vectors, a query parameter like any other)
+    * explodes to its multi-probe bucket lists and broadcast-joins the
+    * bucketed corpus on the bucket key; per-candidate cosine runs in the
+    * fused codegen'd kernel; per-query ranking is a bounded typed top-K
+    * aggregation — K rows per partition per query, partial+final, so a
+    * query whose probe buckets are hot never windows all its candidates
+    * onto one reducer and there is no global sort anywhere. Ties rank
+    * (cos desc, id asc), reproducible cross-engine.
+    */
+  def batchAnnTopK(df: DataFrame, idCol: String, embCol: String, dim: Int,
+      queries: Seq[(Long, Array[Double])], k: Int,
+      nBits: Int = 8, seed: Long = 42, nProbes: Int = 1): DataFrame = {
+    require(queries.nonEmpty, "need at least one query vector")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probes = queries.flatMap { case (qid, qv) =>
+      probeBuckets(qv, dim, nBits, seed, nProbes).map(b => (qid, b, qv.toSeq))
+    }.toDF("qid", "bucket", "qv")
+    val cand = lshBuckets(df, idCol, embCol, dim, nBits, seed)
+      .join(broadcast(probes), "bucket")
+      .select(col("qid"), col(idCol).cast("long").as("cand_id"),
+        graft.functions.NativeExpressions.cosine_sim(
+          col(embCol).cast("array<double>"), col("qv").cast("array<double>")).as("cos"))
+    val agg = new BoundedTopKByScoreAgg(k)
+    cand.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._3, t._2))
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (qid, top) => top.map { case (s, id) => (qid, id, s) } }
+      .toDF("qid", "vec_id", "cos_sim")
+      .withColumn("cos_sim", round(col("cos_sim"), 4))
+  }
+
   /** The 100 TB storage path: write the corpus LSH-bucketed, parquet
     * partitioned by bucket, so a probe's scan is partition-PRUNED to
     * the query's bucket directory (PartitionFilters in the scan, not a

@@ -64,6 +64,38 @@ class BoundedTopKAgg(k: Int)
   }
 }
 
+/** Bounded per-group top-K by SCORE (highest score first, id as the
+  * deterministic tie-break) — the ranking flavor of [[BoundedTopKAgg]]
+  * for ANN serving: per-query candidate ranking ships at most K rows
+  * per partition per query instead of windowing all candidates of a
+  * query onto one reducer.
+  */
+class BoundedTopKByScoreAgg(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  private val ord: Ordering[(Double, Long)] = Ordering.by { case (s, id) => (-s, id) }
+  override def zero: Seq[(Double, Long)] = Vector.empty
+  override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+    if (b.size < k) insert(b, a)
+    else if (ord.lt(a, b.last)) insert(b.init, a)
+    else b
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    (a ++ b).sorted(ord).take(k)
+  override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+
+  private def insert(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] = {
+    var lo = 0; var hi = b.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ord.lt(b(mid), a)) lo = mid + 1 else hi = mid
+    }
+    (b.take(lo) :+ a) ++ b.drop(lo)
+  }
+}
+
 /** [[BoundedTopKAgg]] for string document ids (UUIDs — common in crawl
   * corpora): same bounded buffer and skew math, ordering (rank, id)
   * with the string id as the deterministic tie-break. A separate class

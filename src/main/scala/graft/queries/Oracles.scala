@@ -1236,6 +1236,7 @@ object Oracles {
     "d7_dup_clusters" -> d7Sql,
     "e2_ann_topk" -> e2Sql,
     "e6_ann_recall" -> e6Sql,
+    "e9_batch_ann" -> e9Sql,
 
     // sign-sketch Hamming top-k: the oracle counts sign mismatches
     // directly (no bit packing needed in SQL — the count is what the
@@ -1396,6 +1397,45 @@ object Oracles {
        |FROM b, q WHERE b.bucket = q.qb
        |ORDER BY cos_sim DESC, b.vec_id
        |LIMIT 20""".stripMargin
+
+  /** Batched multi-query ANN: three query vectors (vec_id 0,1,2), each
+    * expanding to its 4 multi-probe buckets (ranked flip masks, as e6),
+    * candidates bucket-joined, top-10 per query by (cos desc, vec_id).
+    * Fully dynamic SQL — per-query margins and probe sets computed in
+    * windows, no per-query duplication.
+    */
+  private def e9Sql: String = {
+    val planes = graft.operators.SimilaritySearch.hyperplanes(64, 4, 42)
+    val planeLits = planes.map(_.map(_.toString).mkString("[", ", ", "]"))
+    val margins = planeLits.zipWithIndex
+      .map { case (l, i) => s"list_dot_product(v, $l) AS m$i" }.mkString(",\n  ")
+    val flipCost = (0 until 4)
+      .map(i => s"(CASE WHEN (mask.range & ${1 << i}) > 0 THEN abs(q.m$i) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |  $lshBucketExpr AS bucket
+       |  FROM e),
+       |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb,
+       |  $margins
+       |  FROM b WHERE vec_id IN (0, 1, 2)),
+       |pm AS (
+       |  SELECT q.qid, q.qv, xor(mask.range, q.qb) AS pb,
+       |    row_number() OVER (PARTITION BY q.qid ORDER BY ($flipCost), mask.range) AS prk
+       |  FROM q, range(0, 16) mask),
+       |p AS (SELECT qid, qv, pb FROM pm WHERE prk <= 4),
+       |cand AS (
+       |  SELECT p.qid, b.vec_id,
+       |    list_dot_product(b.v, p.qv)
+       |      / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(p.qv, p.qv))) AS cos
+       |  FROM b JOIN p ON b.bucket = p.pb),
+       |ranked AS (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+       |  FROM cand)
+       |SELECT qid, vec_id, round(cos, 4) AS cos_sim
+       |FROM ranked WHERE rk <= 10""".stripMargin
+  }
 
   /** Recall@20 of the multi-probe LSH probe (nProbes=4) against the
     * exact top-20. The probe set mirrors SimilaritySearch.probeBuckets:

@@ -1295,6 +1295,22 @@ object Queries {
     SimilaritySearch.recallAt(exact, ann, "vec_id", k = 20)
   }
 
+  /** Batched multi-query ANN (E9): top-10 for three query vectors in one
+    * plan — one corpus scan serves the whole query batch; per-query
+    * ranking via the bounded typed top-K agg (no per-query window, no
+    * global sort). 4-bit LSH with 4-probe, as e6 measures.
+    */
+  def e9_batch_ann(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    SimilaritySearch.batchAnnTopK(emb, "vec_id", "embedding",
+      dim = 64, queries = queries, k = 10, nBits = 4, nProbes = 4)
+  }
+
   /** One distributed Lloyd step refining the e4 IVF centroids. */
   def e5_kmeans_step(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")

@@ -284,6 +284,30 @@ class ScaleOpsSpec extends SparkSpec {
       s"multi-probe recall ($multi) must beat the single-bucket probe ($single)")
   }
 
+  test("batched ANN: one plan equals per-query annTopK; no window, no global sort") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"${sf("0.01")}/embeddings.parquet")
+    val queries = emb.where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+    val batched = SimilaritySearch.batchAnnTopK(emb, "vec_id", "embedding",
+      dim = 64, queries = queries, k = 10, nBits = 4, nProbes = 4)
+    val got = batched.as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    queries.foreach { case (qid, qv) =>
+      val single = SimilaritySearch.annTopK(emb, "vec_id", "embedding",
+        dim = 64, query = qv, k = 10, nBits = 4, nProbes = 4)
+        .withColumn("cos_sim", round(col("cos_sim"), 4))
+        .as[(Long, Double)].collect().toSet
+      assert(got(qid) === single, s"query $qid: batched != per-query")
+    }
+    // serving-plan shape: bounded typed agg, not a per-query window or sort
+    val plan = batched.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no per-query window:\n$plan")
+    assert(!plan.toLowerCase.contains("sort order"), plan)
+    assert(plan.contains("BroadcastHashJoin"), s"probe list must broadcast:\n$plan")
+  }
+
   test("IVF top-k: probing all cells equals exact top-k; fewer cells is a subset of the corpus ranking") {
     import spark.implicits._
     val dim = 8
