@@ -54,6 +54,7 @@ object Bench {
     "t12_lm_perplexity",
     "d10_incremental_dedup",
     "d11_incremental_minhash",
+    "d12_cluster_keepers",
     "ev10_stream_incremental_dedup",
     "e7_quantized_topk",
     "e8_hamming_topk",
@@ -113,7 +114,8 @@ object Bench {
       Map(
         "d3_minhash_lsh_pairs" -> (queries.Queries.d3_minhash_lsh_pairs_prod _),
         "d7_dup_clusters" -> (queries.Queries.d7_dup_clusters_prod _),
-        "d11_incremental_minhash" -> (queries.Queries.d11_incremental_minhash_prod _))
+        "d11_incremental_minhash" -> (queries.Queries.d11_incremental_minhash_prod _),
+        "d12_cluster_keepers" -> (queries.Queries.d12_cluster_keepers_prod _))
 
     // contention probe before the suite (after warmup, so it measures the
     // box, not class loading); repeated after, so contention arriving

@@ -102,6 +102,7 @@ object SparkEntry {
     "t12_lm_perplexity" -> (Queries.t12_lm_perplexity _),
     "d10_incremental_dedup" -> (Queries.d10_incremental_dedup _),
     "d11_incremental_minhash" -> (Queries.d11_incremental_minhash _),
+    "d12_cluster_keepers" -> (Queries.d12_cluster_keepers _),
     "ev10_stream_incremental_dedup" -> (Queries.ev10_stream_incremental_dedup _),
     "t9_url_stats" -> (Queries.t9_url_stats _),
     "c3_pack_sequences" -> (Queries.c3_pack_sequences _),

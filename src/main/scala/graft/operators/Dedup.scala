@@ -803,4 +803,42 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Quality-aware duplicate-cluster keeper election — the step AFTER
+    * [[connectedComponents]]: each document joins its cluster id
+    * (documents in no pair are their own singleton cluster) and every
+    * cluster elects ONE keeper — its longest member by whitespace token
+    * count, ties to the lowest doc id ("keep the most complete copy",
+    * the standard crawl-dedup policy, vs the min-id keeper that ignores
+    * content).
+    *
+    * SKEW: two scalar hash aggregations (max length per cluster, then
+    * min id among the longest) plus an equi-join back — every stage is
+    * partial+final with map-side combine, so a mega-cluster
+    * (boilerplate duplicated across millions of pages) collapses before
+    * the shuffle. Deliberately NOT `max(struct(nt, -id))` in one pass:
+    * struct aggregation buffers aren't hash-aggregable and plan as
+    * Sort+SortAggregate, and not a window over cluster_id, which would
+    * land the whole hot cluster on one reducer.
+    * Returns (cluster_id, n_members, keeper_id, keeper_tokens).
+    */
+  def clusterKeepers(
+      docs: DataFrame,
+      clusters: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val members = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        coalesce(size(split(col(textCol), " ")).cast("long"), lit(0L)).as("nt"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val g = members.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"), max(col("nt")).as("kt"))
+    g.join(members.select(col("cluster_id"), col("nt").as("kt"), col("doc_id")),
+        Seq("cluster_id", "kt"))
+      .groupBy("cluster_id", "n_members", "kt")
+      .agg(min(col("doc_id")).as("keeper_id"))
+      .select(col("cluster_id"), col("n_members"),
+        col("keeper_id"), col("kt").as("keeper_tokens"))
+  }
 }

@@ -1058,6 +1058,7 @@ object Oracles {
         |WHERE fp NOT IN (SELECT fp FROM hist)""".stripMargin,
 
     "d11_incremental_minhash" -> d11Sql,
+    "d12_cluster_keepers" -> d12Sql,
 
     // corpus unigram LM cross-entropy; log-sum order differs between
     // engines by ~1e-13, absorbed by round(4)
@@ -1322,6 +1323,23 @@ object Oracles {
        |  OR ag.doc_b = d.doc_id
        |GROUP BY d.doc_id
        |HAVING count(ag.doc_a) = 0""".stripMargin
+
+  /** Oracle for d12: d7's clusters (left-joined so unpaired docs are
+    * singleton clusters of themselves), then per cluster the member
+    * count and the keeper = (max token count, min doc id among those).
+    */
+  private def d12Sql: String =
+    s"""WITH cl AS (${d7Sql.replace("\n", "\n  ")}),
+       |mem AS (
+       |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+       |    len(string_split(d.text, ' ')) AS nt
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+       |g AS (SELECT cluster_id, count(*) AS n_members, max(nt) AS kt
+       |      FROM mem GROUP BY cluster_id)
+       |SELECT g.cluster_id, g.n_members::BIGINT AS n_members,
+       |  min(m.doc_id)::BIGINT AS keeper_id, g.kt::BIGINT AS keeper_tokens
+       |FROM g JOIN mem m ON m.cluster_id = g.cluster_id AND m.nt = g.kt
+       |GROUP BY g.cluster_id, g.n_members, g.kt""".stripMargin
 
   /** Oracle for d7: the d3 pair graph (nested as a subquery — DuckDB
     * allows WITH inside a derived table) closed transitively with a

@@ -1046,6 +1046,19 @@ object Queries {
     Dedup.connectedComponents(
       d3_minhash_lsh_pairs_prod(spark, dir), "doc_a", "doc_b")
 
+  /** Cluster keeper election (d7's clusters + content-aware policy):
+    * every cluster keeps its longest member, ties to the lowest id;
+    * unpaired docs are singleton clusters.
+    */
+  def d12_cluster_keepers(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clusterKeepers(
+      t(spark, dir, "documents"), d7_dup_clusters(spark, dir), "doc_id", "text")
+
+  /** Production flavor of d12 (xx64 pair graph) — what Bench times. */
+  def d12_cluster_keepers_prod(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clusterKeepers(
+      t(spark, dir, "documents"), d7_dup_clusters_prod(spark, dir), "doc_id", "text")
+
   def e2_ann_topk(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val query = emb.where(col("vec_id") === 0)

@@ -429,6 +429,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cluster keepers: longest member wins, ties to min id, singletons self-keep") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "short doc"),                       // cluster {1,2,3}
+      (2L, "a much longer duplicate document"),// longest -> keeper
+      (3L, "short doc again"),
+      (7L, "tie a b"), (8L, "tie c d"),        // cluster {7,8}: equal length -> min id 7
+      (9L, "unpaired singleton text")          // no pair -> own cluster
+    ).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.clusterKeepers(docs, clusters, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) === ((3L, 2L, 5L)), "longest member (doc 2, 5 tokens) wins")
+    assert(got(7L) === ((2L, 7L, 3L)), "length tie breaks to the lowest id")
+    assert(got(9L) === ((1L, 9L, 3L)), "unpaired doc is its own singleton cluster")
+    // skew posture: partial+final agg, never a window over cluster_id
+    val plan = Dedup.clusterKeepers(docs, clusters, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"partial+final expected:\n$plan")
+  }
+
   test("simhash LSH pair finder obeys hamming cap") {
     import spark.implicits._
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
