@@ -193,15 +193,29 @@ object Main {
       case "dedup" =>
         // exact duplicate groups (fingerprint, multiplicity, keeper id);
         // -near switches to MinHash-LSH near-dup pairs on the xx64
-        // production hash family
+        // production hash family; -clusters runs the full resolution
+        // (pairs -> connected components -> per-cluster keeper election)
         val docs = spark.read.parquet(args(1))
+        lazy val nearPairs = graft.operators.Dedup.minHashLshPairs(
+          docs, "doc_id", "text", n = 3, k = 64, bands = 32,
+          minAgree = 0.5, hashFamily = "xx64")
         val out =
-          if (args.contains("-near"))
-            graft.operators.Dedup.minHashLshPairs(
-              docs, "doc_id", "text", n = 3, k = 64, bands = 32,
-              minAgree = 0.5, hashFamily = "xx64")
+          if (args.contains("-clusters"))
+            graft.operators.Dedup.clusterKeepers(docs,
+              graft.operators.Dedup.connectedComponents(nearPairs, "doc_a", "doc_b"),
+              "doc_id", "text")
+          else if (args.contains("-near")) nearPairs
           else graft.operators.Dedup.exactGroups(docs, "doc_id", "text")
         out.write.mode("overwrite").parquet(args(2))
+
+      case "decodeImages" =>
+        // image payloads (id + binary column) -> decoded pixel stats via
+        // javax.imageio; corrupt payloads drop (counted on the
+        // multimodal.decode.badPayloads accumulator) instead of failing
+        graft.operators.Multimodal
+          .decodeBatch(spark.read.parquet(args(1)), "doc_id", "payload")
+          .toDF()
+          .write.mode("overwrite").parquet(args(2))
 
       case other => sys.error(s"unknown command '$other'")
     }

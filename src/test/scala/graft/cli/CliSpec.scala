@@ -119,6 +119,22 @@ class CliSpec extends SparkSpec {
     assert(p.columns.contains("doc_a") && p.columns.contains("doc_b"))
   }
 
+  test("dedup -clusters writes keeper elections; decodeImages decodes payloads") {
+    run("dedup", s"${sf("0.001")}/documents.parquet", s"$tmp/clusters", "-clusters")
+    val k = spark.read.parquet(s"$tmp/clusters")
+    assert(k.count() > 0)
+    assert(k.columns.toSet === Set("cluster_id", "n_members", "keeper_id", "keeper_tokens"))
+
+    import spark.implicits._
+    graft.operators.Multimodal.attachSynthPng(
+      Seq(1L, 2L).toDF("doc_id"), "doc_id")
+      .write.mode("overwrite").parquet(s"$tmp/payloads")
+    run("decodeImages", s"$tmp/payloads", s"$tmp/decoded")
+    val d = spark.read.parquet(s"$tmp/decoded")
+    assert(d.count() === 2)
+    assert(d.columns.contains("px_sum"))
+  }
+
   test("CRAM input fails with an explicit unsupported error") {
     val e = intercept[RuntimeException] { run("discover", "in.cram", s"$tmp/nope") }
     assert(e.getMessage.contains("CRAM"))
