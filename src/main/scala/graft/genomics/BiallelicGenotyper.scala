@@ -285,7 +285,13 @@ object BiallelicGenotyper {
       .orElse(sys.env.get("SPARK_GRAFT_INLINE_K7")).exists(_.toBoolean)
     val keyed =
       if (inlineK7)
-        clamped.select(clamped.columns.map(col) ++ ScoreTable.inlineScoreColumns(maxP): _*)
+        // null-key parity with the table flavor: the inner join drops
+        // rows whose (copyNumber, qual, mapq) is null; the expression
+        // path must too, or the two flavors would aggregate different
+        // observation sets on degenerate rows
+        clamped
+          .where(col("copyNumber").isNotNull && col("qual").isNotNull && col("mapq").isNotNull)
+          .select(clamped.columns.map(col) ++ ScoreTable.inlineScoreColumns(maxP): _*)
       else {
         val scores = ScoreTable.buildForCopyNumbers(spark, cnValues, maxP, maxQual, maxMapQ)
         clamped.join(broadcast(scores), Seq("copyNumber", "qual", "mapq"))

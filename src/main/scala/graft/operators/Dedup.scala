@@ -595,7 +595,13 @@ object Dedup {
       bands: Int = 8,
       minAgree: Double = 0.5,
       hashFamily: String = "xx64"): DataFrame = {
+    // the batch signature kernel (k hash passes per shingle) feeds five
+    // plan subtrees (band probe, history verify, and the in-batch pair
+    // generator's three); materialize it once — the batch is the small
+    // side by design. Callers in long-lived sessions release it like any
+    // localCheckpoint (the bloomDecontaminateWithRelease pattern).
     val bSigs = minHashSignatures(newDocs, idCol, textCol, n, k, hashFamily)
+      .localCheckpoint()
     val bBands = minHashBandIndex(bSigs, k, bands, hashFamily)
     // history probe: shared band bucket -> candidate (batch, history)
     // pair; exact signature agreement kills LSH false positives
@@ -651,17 +657,30 @@ object Dedup {
       requireConvergence: Boolean = true): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     def pinnedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    Seq(aCol, bCol).foreach { c =>
+      pairs.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"connectedComponents: $c is $other; labels propagate as longs — map " +
+            "string ids to dense longs first (e.g. join a zipWithIndex dictionary)")
+      }
+    }
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
     val edges = pairs.select(a.as("src"), b.as("dst"))
       .union(pairs.select(b.as("src"), a.as("dst")))
       .distinct()
       .localCheckpoint() // scanned every iteration: materialize once
-    // lazy checkpoint: materialized by iteration 1's job, no extra job here
+    // lazy checkpoint: materialized by iteration 1's job, no extra job
+    // here; its ids are captured (localCheckpoint persists immediately,
+    // before materialization) so iteration 2 can release them — without
+    // the snapshot they'd sit in `before` and stay pinned all loop
+    val preLabels = pinnedIds
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("cluster_id"))
       .localCheckpoint(eager = false)
-    var prevIterIds = Set.empty[Int]
+    var prevIterIds = pinnedIds -- preLabels
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -827,6 +846,17 @@ object Dedup {
       clusters: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
+    // cluster ids come from connectedComponents, which labels in longs:
+    // a string (UUID) id would null-cast and collapse every document
+    // into one null cluster — fail loudly instead (same id contract,
+    // same remedy: map string ids to dense longs first)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"clusterKeepers: $idCol is $other; cluster labels are longs — map " +
+          "string ids to dense longs first (e.g. join a zipWithIndex dictionary)")
+    }
     val members = docs
       .select(col(idCol).cast("long").as("doc_id"),
         coalesce(size(split(col(textCol), " ")).cast("long"), lit(0L)).as("nt"))

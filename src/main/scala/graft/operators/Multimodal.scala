@@ -144,6 +144,10 @@ object Multimodal {
 
   /** Accumulator from the most recent decodeBatch plan (test hook /
     * post-run observability): rows whose payload failed to decode.
+    * Caveats shared with every accumulator-in-transformation: task
+    * retries/speculation can over-count, and concurrent decodeBatch
+    * calls overwrite the hook — treat as diagnostics, not an exact
+    * metric (same contract as HardLimiter/Sampling hooks).
     */
   @volatile private[graft] var lastBadPayloads:
       Option[org.apache.spark.util.LongAccumulator] = None

@@ -186,16 +186,20 @@ object Sampling {
     require(window >= 1 && stride >= 1)
     val megaAcc = df.sparkSession.sparkContext.longAccumulator("chunkDocuments.megaDocs")
     lastMegaDocs = Some(megaAcc)
+    // deserialized per task closure -> at most one WARN per task; the
+    // accumulator still counts every offending document
+    val warned = new java.util.concurrent.atomic.AtomicBoolean(false)
     val mk = udf((toks: Seq[String]) =>
       if (toks == null) Seq.empty[String]
       else {
         val est = (toks.length.toLong / stride + 1) * math.min(window.toLong, toks.length.toLong)
         if (est > warnChunkTokens) {
           megaAcc.add(1)
-          org.slf4j.LoggerFactory.getLogger("graft.operators.Sampling").warn(
-            s"chunkDocuments: ~$est chunk tokens materialize for ONE document " +
-              s"(n_tokens=${toks.length}, window=$window, stride=$stride); " +
-              "raise the stride or pre-split mega-documents")
+          if (warned.compareAndSet(false, true))
+            org.slf4j.LoggerFactory.getLogger("graft.operators.Sampling").warn(
+              s"chunkDocuments: ~$est chunk tokens materialize for ONE document " +
+                s"(n_tokens=${toks.length}, window=$window, stride=$stride); " +
+                "raise the stride or pre-split mega-documents")
         }
         (0 until toks.length by stride)
           .map(s => toks.slice(s, s + window).mkString(" "))

@@ -145,6 +145,9 @@ object SimilaritySearch {
     */
   def probeBuckets(query: Array[Double], dim: Int, nBits: Int, seed: Long,
       nProbes: Int): Seq[Int] = {
+    // single-probe short-circuit: no mask enumeration, and no nBits cap
+    // (the pre-multi-probe behavior for any nBits)
+    if (nProbes <= 1) return Seq(queryBucket(query, dim, nBits, seed))
     require(nBits <= 16, s"multi-probe enumerates 2^nBits flip masks; nBits=$nBits > 16")
     val planes = hyperplanes(dim, nBits, seed)
     val margins = planes.map(p => p.zip(query).map { case (a, b) => a * b }.sum)

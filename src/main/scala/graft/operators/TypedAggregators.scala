@@ -72,7 +72,16 @@ class BoundedTopKAgg(k: Int)
   */
 class BoundedTopKByScoreAgg(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
-  private val ord: Ordering[(Double, Long)] = Ordering.by { case (s, id) => (-s, id) }
+  // descending score via Double.compare so NaN ranks FIRST — matching
+  // Spark's orderBy(desc) and DuckDB's ORDER BY DESC (both treat NaN as
+  // the largest double); an Ordering.by(-s) would rank NaN last and make
+  // the batched path disagree with per-query annTopK on zero-norm rows
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    def compare(x: (Double, Long), y: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(y._1, x._1)
+      if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+    }
+  }
   override def zero: Seq[(Double, Long)] = Vector.empty
   override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
     if (b.size < k) insert(b, a)

@@ -1332,7 +1332,7 @@ object Oracles {
     s"""WITH cl AS (${d7Sql.replace("\n", "\n  ")}),
        |mem AS (
        |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
-       |    len(string_split(d.text, ' ')) AS nt
+       |    coalesce(len(string_split(d.text, ' ')), 0) AS nt
        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
        |g AS (SELECT cluster_id, count(*) AS n_members, max(nt) AS kt
        |      FROM mem GROUP BY cluster_id)
