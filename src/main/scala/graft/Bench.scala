@@ -59,6 +59,8 @@ object Bench {
     "e7_quantized_topk",
     "e8_hamming_topk",
     "e9_batch_ann",
+    "d13_semantic_prune",
+    "d14_contamination_score",
     "m3_image_decode",
     "g1_discover_variants",
     "g2_genotype_calls",

@@ -103,6 +103,8 @@ object SparkEntry {
     "d10_incremental_dedup" -> (Queries.d10_incremental_dedup _),
     "d11_incremental_minhash" -> (Queries.d11_incremental_minhash _),
     "d12_cluster_keepers" -> (Queries.d12_cluster_keepers _),
+    "d13_semantic_prune" -> (Queries.d13_semantic_prune _),
+    "d14_contamination_score" -> (Queries.d14_contamination_score _),
     "ev10_stream_incremental_dedup" -> (Queries.ev10_stream_incremental_dedup _),
     "t9_url_stats" -> (Queries.t9_url_stats _),
     "c3_pack_sequences" -> (Queries.c3_pack_sequences _),

@@ -761,6 +761,93 @@ object Dedup {
         round(col("cos_raw"), 4).as("cos_sim"))
   }
 
+  /** SemDeDup-style semantic pruning (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster every vector to its nearest centroid,
+    * then within each cell drop every vector that has an ε-similar
+    * neighbor ranked closer to the kept end. Rank = LOWER
+    * cosine-to-centroid wins (the paper keeps the examples least
+    * similar to their cluster centroid — the most informative member of
+    * each duplicate neighborhood), ties to the lower id. The rule is
+    * dominance-based, not connected-components: a vector is pruned iff
+    * ANY ε-neighbor outranks it (whether or not that neighbor is itself
+    * pruned), which keeps the decision per-pair and expressible as ONE
+    * self-join — no iterative CC pass ([[connectedComponents]] / d7 is
+    * the formulation when full transitive clusters are wanted).
+    *
+    * Output: (id, cell, c2c rounded to 4, kept 1/0) for every input row.
+    *
+    * Scale: both join sides shuffle on `cell` — the SemDeDup layout. K
+    * grows with the corpus (the paper uses K ≈ N/10⁴), so per-cell
+    * membership — and the O(m²) in-cell compare that is the entire
+    * point of clustering first — stays bounded; at 100 TB the assigned
+    * table persists partitionBy("cell") and each cell's compare runs
+    * co-located. Null embeddings flow through as (cell -1, NaN, kept 1):
+    * NaN never satisfies the ε-predicate, so they neither prune nor get
+    * pruned.
+    */
+  def semanticPrune(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      centroids: Seq[(Long, Array[Double])],
+      threshold: Double): DataFrame = {
+    val assigned = SimilaritySearch
+      .ivfCellsWithCos(df, idCol, embCol, centroids)
+      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"),
+        col("cell"), col("c2c_raw"))
+    val a = assigned.alias("a")
+    val b = assigned.alias("b")
+    // b outranks a: lower cosine-to-centroid, ties to the lower id
+    // (the same-id pair falls out: equal c2c and b.id < a.id is false)
+    val outranks = col("b.c2c_raw") < col("a.c2c_raw") ||
+      (col("b.c2c_raw") === col("a.c2c_raw") && col("b.id") < col("a.id"))
+    val pruned = a.join(b,
+        col("a.cell") === col("b.cell") && outranks &&
+          graft.functions.NativeExpressions.cosine_sim(col("a.v"), col("b.v")) >= threshold,
+        "left_semi")
+      .select(col("id"))
+      .withColumn("__pruned", lit(1L))
+    assigned.join(pruned, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        round(col("c2c_raw"), 4).as("c2c"),
+        when(col("__pruned").isNotNull, lit(0L)).otherwise(lit(1L)).as("kept"))
+  }
+
+  /** Per-document contamination score against a benchmark (held-out
+    * eval) set: distinct n-gram count, how many of them appear anywhere
+    * in the benchmark, and the hit fraction in basis points (integer
+    * math — exact and engine-neutral; the true value is never more than
+    * 1 bp above the floor). [[decontaminate]]/[[bloomDecontaminate]]
+    * answer "is it contaminated at all"; this ranks HOW contaminated —
+    * the triage report run before deciding a drop threshold, since a
+    * doc sharing one idiom 13-gram and a doc embedding a whole eval
+    * answer are different problems.
+    *
+    * Scale: same shape as [[decontaminate]] — the benchmark gram set is
+    * eval-set-sized and broadcasts; the corpus side is one explode +
+    * broadcast left-probe + per-doc partial+final agg keyed on doc_id.
+    * No corpus-keyed gram shuffle.
+    */
+  def contaminationScore(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13): DataFrame = {
+    val bench = shingleSets(benchmark, idCol, textCol, n)
+      .select(explode(col("shingles")).as("g")).distinct()
+      .withColumn("__hit", lit(1L))
+    shingleSets(corpus, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+      .join(broadcast(bench), Seq("g"), "left")
+      .groupBy("doc_id")
+      // shingles are per-doc distinct, so count == distinct-gram count
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        expr("(n_hit * 10000) div n_grams").as("frac_bp"))
+  }
+
   /** 60-bit SimHash per document from token hashes: bit j of the simhash
     * is the sign of the sum over distinct tokens of (+1/-1 for bit j of
     * the 60-bit token hash). Near-dups then differ in few bits (Hamming).

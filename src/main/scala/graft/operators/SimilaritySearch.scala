@@ -260,30 +260,61 @@ object SimilaritySearch {
     val cids = centroids.map(_._1).toArray
     val cvecs = centroids.map(_._2).toArray
     val cNorms = cvecs.map(c => math.sqrt(c.map(x => x * x).sum))
-    val assign = udf((v: Seq[Double]) => {
-      val arr = v.toArray
-      var bestCos = Double.NegativeInfinity
-      var bestCid = Long.MaxValue
-      var j = 0
-      while (j < cvecs.length) {
-        val c = cvecs(j)
-        // clamp to the common prefix (like CosineToQuery/CosineSim): a
-        // ragged vector degrades instead of crashing, and dot/norm see
-        // the same elements
-        val n = math.min(arr.length, c.length)
-        var dot = 0.0
-        var vn = 0.0
-        var k = 0
-        while (k < n) { val x = arr(k); dot += x * c(k); vn += x * x; k += 1 }
-        val cos = dot / (math.sqrt(vn) * cNorms(j))
-        if (cos > bestCos || (cos == bestCos && cids(j) < bestCid)) {
-          bestCos = cos; bestCid = cids(j)
-        }
-        j += 1
-      }
-      bestCid
-    })
+    val assign = udf((v: Seq[Double]) => bestCell(v.toArray, cids, cvecs, cNorms)._1)
     df.withColumn("cell", assign(col(embCol).cast("array<double>")))
+  }
+
+  /** As [[ivfCells]], but the kernel also emits the winning cosine
+    * (`c2c_raw` — each vector's similarity to its own cell centroid),
+    * the ranking key SemDeDup-style pruning orders on. A null embedding
+    * degrades to (cell -1, NaN) instead of crashing, matching the
+    * null-tolerance of the other embedding kernels.
+    */
+  def ivfCellsWithCos(df: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[(Long, Array[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val cids = centroids.map(_._1).toArray
+    val cvecs = centroids.map(_._2).toArray
+    val cNorms = cvecs.map(c => math.sqrt(c.map(x => x * x).sum))
+    val assign = udf((v: Seq[Double]) =>
+      if (v == null) (-1L, Double.NaN)
+      else bestCell(v.toArray, cids, cvecs, cNorms))
+    // the struct rides as one column; codegen subexpression elimination
+    // keeps the two field extracts to a single kernel evaluation
+    df.withColumn("__a", assign(col(embCol).cast("array<double>")))
+      .withColumn("cell", col("__a._1"))
+      .withColumn("c2c_raw", col("__a._2"))
+      .drop("__a")
+  }
+
+  /** Nearest-centroid scan: (winning centroid id, winning cosine); max
+    * cosine, ties to the lowest centroid id. Float math is ordered
+    * exactly like [[cosine]] (sequential index-order dot/norm folds) so
+    * results are bit-identical to it and to the DuckDB oracle's
+    * list_dot_product.
+    */
+  private def bestCell(arr: Array[Double], cids: Array[Long],
+      cvecs: Array[Array[Double]], cNorms: Array[Double]): (Long, Double) = {
+    var bestCos = Double.NegativeInfinity
+    var bestCid = Long.MaxValue
+    var j = 0
+    while (j < cvecs.length) {
+      val c = cvecs(j)
+      // clamp to the common prefix (like CosineToQuery/CosineSim): a
+      // ragged vector degrades instead of crashing, and dot/norm see
+      // the same elements
+      val n = math.min(arr.length, c.length)
+      var dot = 0.0
+      var vn = 0.0
+      var k = 0
+      while (k < n) { val x = arr(k); dot += x * c(k); vn += x * x; k += 1 }
+      val cos = dot / (math.sqrt(vn) * cNorms(j))
+      if (cos > bestCos || (cos == bestCos && cids(j) < bestCid)) {
+        bestCos = cos; bestCid = cids(j)
+      }
+      j += 1
+    }
+    (bestCid, bestCos)
   }
 
   /** IVF approximate top-k: probe only the `nProbe` cells whose centroids

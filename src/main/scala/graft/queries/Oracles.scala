@@ -1060,6 +1060,49 @@ object Oracles {
     "d11_incremental_minhash" -> d11Sql,
     "d12_cluster_keepers" -> d12Sql,
 
+    // SemDeDup dominance prune: cell = nearest of centroids 1..8 (max
+    // cosine, ties to lowest cid — identical float fold order both
+    // engines), pruned iff an ε-neighbor in the same cell has lower
+    // cosine-to-centroid (ties to lower id)
+    "d13_semantic_prune" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+        |s AS (SELECT e.vec_id,
+        |  c.cid,
+        |  list_dot_product(e.v, c.cv)
+        |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |    list_dot_product(e.v, c.cv)
+        |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |    c.cid) AS rn
+        |  FROM e CROSS JOIN c),
+        |cell AS (SELECT vec_id, cid AS cell, cos AS c2c FROM s WHERE rn = 1),
+        |pr AS (SELECT DISTINCT a.vec_id
+        |  FROM cell a JOIN cell b ON a.cell = b.cell
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id
+        |  WHERE (b.c2c < a.c2c OR (b.c2c = a.c2c AND b.vec_id < a.vec_id))
+        |    AND list_dot_product(ea.v, eb.v)
+        |      / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+        |      >= 0.35)
+        |SELECT cell.vec_id, cell.cell, round(c2c, 4) AS c2c,
+        |  (CASE WHEN cell.vec_id IN (SELECT vec_id FROM pr) THEN 0 ELSE 1 END)::BIGINT AS kept
+        |FROM cell""".stripMargin,
+
+    // per-doc benchmark-gram hit fraction, basis points by integer floor
+    "d14_contamination_score" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_distinct([array_to_string(t[i:i+12], ' ') FOR i IN range(1, len(t) - 11)])) AS g
+        |  FROM tok WHERE len(t) >= 13),
+        |bg AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0)
+        |SELECT s.doc_id, count(*)::BIGINT AS n_grams,
+        |  count(bg.g)::BIGINT AS n_hit,
+        |  ((count(bg.g) * 10000) // count(*))::BIGINT AS frac_bp
+        |FROM sh s LEFT JOIN bg ON s.g = bg.g
+        |WHERE s.doc_id % 10 <> 0
+        |GROUP BY s.doc_id""".stripMargin,
+
     // corpus unigram LM cross-entropy; log-sum order differs between
     // engines by ~1e-13, absorbed by round(4)
     "t12_lm_perplexity" ->

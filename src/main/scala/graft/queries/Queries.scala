@@ -1059,6 +1059,33 @@ object Queries {
     Dedup.clusterKeepers(
       t(spark, dir, "documents"), d7_dup_clusters_prod(spark, dir), "doc_id", "text")
 
+  /** SemDeDup semantic pruning over the embedding corpus: cells from
+    * corpus vectors 1..8 as centroids (deterministic, so the DuckDB
+    * oracle reproduces the assignment exactly, same convention as
+    * e4/e5), ε = 0.35 within-cell cosine — the e3 near-dup threshold.
+    */
+  def d13_semantic_prune(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val cent = emb.where(col("vec_id").between(1, 8))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    Dedup.semanticPrune(emb, "vec_id", "embedding", cent, threshold = 0.35)
+  }
+
+  /** Contamination triage: rank corpus docs by the fraction of their
+    * 13-grams hitting the benchmark set (same corpus/eval split as
+    * d6/d9, which only answer membership).
+    */
+  def d14_contamination_score(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.contaminationScore(
+      docs.where(col("doc_id") % 10 =!= 0),
+      docs.where(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 13)
+  }
+
   def e2_ann_topk(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val query = emb.where(col("vec_id") === 0)

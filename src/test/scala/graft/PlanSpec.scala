@@ -109,6 +109,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "probe must not shuffle")
   }
 
+  test("d13 semantic prune: in-cell compare is a keyed join, never a cartesian") {
+    val plan = planOf(Queries.d13_semantic_prune(spark, sf("0.001")))
+    // the ε-compare must shuffle/probe on the cell equi-key (the SemDeDup
+    // layout); a cartesian or nested-loop plan would be the O(n²) compare
+    // clustering exists to avoid
+    assert(!plan.contains("Cartesian"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the benchmark gate: d14's bench set broadcasts (eval-sized side)
+    val d14 = planOf(Queries.d14_contamination_score(spark, sf("0.001")))
+    assert(d14.contains("BroadcastHashJoin"), d14)
+    assert("HashAggregate".r.findAllIn(d14).size >= 2, "map-side combine on doc_id")
+  }
+
   test("d5 contamination report: single partial+final agg, no joins") {
     val plan = planOf(Queries.d5_dup_ngrams(spark, sf("0.001")))
     assert("HashAggregate".r.findAllIn(plan).size >= 2, "map-side combine expected")

@@ -460,4 +460,105 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 3))
     assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
   }
+
+  // same fold order as the ivfCells / cosine_sim kernels (sequential
+  // index-order dot and norm accumulation) so the reference is
+  // bit-identical, not merely close
+  private def refCos(a: Seq[Double], b: Seq[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("semanticPrune == naive dominance reference on a clustered corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val anchors = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian()))
+    // points = anchor + small noise so ε-neighborhoods exist, plus exact
+    // duplicates (the guaranteed-prunable rows)
+    val base = (0 until 80).map { i =>
+      val a = anchors(i % 4)
+      (i.toLong, a.map(x => x + rnd.nextGaussian() * 0.15).toSeq)
+    }
+    val dups = base.take(8).map { case (id, v) => (id + 1000L, v) }
+    val all = base ++ dups
+    val cent = anchors.zipWithIndex.map { case (a, i) => ((i + 1).toLong, a) }.toSeq
+    val tau = 0.9
+    val got = Dedup.semanticPrune(
+        all.toDF("vec_id", "embedding"), "vec_id", "embedding", cent, tau)
+      .select("vec_id", "cell", "kept").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // naive reference: nearest centroid (max cos, tie lower cid), pruned
+    // iff any same-cell ε-neighbor has (lower c2c) or (equal c2c, lower id)
+    val cellOf = all.map { case (id, v) =>
+      id -> cent.map { case (cid, c) => (cid, refCos(v, c.toSeq)) }
+        .reduceLeft((x, y) => if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x)
+    }.toMap
+    all.foreach { case (id, v) =>
+      val (cell, c2c) = cellOf(id)
+      val prunedRef = all.exists { case (oid, ov) =>
+        oid != id && cellOf(oid)._1 == cell && {
+          val oc2c = cellOf(oid)._2
+          (oc2c < c2c || (oc2c == c2c && oid < id)) && refCos(v, ov) >= tau
+        }
+      }
+      assert(got(id)._1 === cell, s"cell mismatch for $id")
+      assert(got(id)._2 === (if (prunedRef) 0L else 1L), s"kept mismatch for $id")
+    }
+    // every exact duplicate (higher id, identical vector) must be pruned
+    dups.foreach { case (id, _) => assert(got(id)._2 === 0L, s"dup $id survived") }
+    assert(got.values.count(_._2 == 1L) >= 4, "at least one keeper per cell")
+  }
+
+  test("semanticPrune dominance is per-pair: a pruned node still prunes its neighbors") {
+    import spark.implicits._
+    // single centroid at angle 0; a at 60 deg (lowest c2c -> kept),
+    // b at 45, c at 30. tau = 0.9 sits between cos(15 deg) and cos(30 deg):
+    // edges a-b and b-c only. b pruned by a; c pruned by b EVEN THOUGH b
+    // itself is pruned — the dominance (not CC-representative) semantics.
+    def at(deg: Double) = { val r = math.toRadians(deg); Seq(math.cos(r), math.sin(r)) }
+    val df = Seq((1L, at(60)), (2L, at(45)), (3L, at(30))).toDF("vec_id", "embedding")
+    val res = Dedup.semanticPrune(df, "vec_id", "embedding",
+        Seq((1L, Array(1.0, 0.0))), threshold = 0.9)
+      .select("vec_id", "kept").as[(Long, Long)].collect().toMap
+    assert(res === Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("semanticPrune: null embedding degrades to (cell -1, kept)") {
+    import spark.implicits._
+    val df = Seq((1L, Option(Seq(1.0, 0.0))), (2L, None: Option[Seq[Double]]))
+      .toDF("vec_id", "embedding")
+    val res = Dedup.semanticPrune(df, "vec_id", "embedding",
+        Seq((1L, Array(1.0, 0.0))), threshold = 0.5)
+      .select("vec_id", "cell", "kept").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(res(2L) === ((-1L, 1L)))
+    assert(res(1L) === ((1L, 1L)))
+  }
+
+  test("contaminationScore: exact integer fractions, consistent with decontaminate") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d"),       // grams {abc,bcd}; abc hits -> 1/2 = 5000 bp
+      (2L, "x y z w v"),     // 3 grams, no hits -> 0 bp
+      (3L, "a b c"),         // 1 gram, hit -> 10000 bp
+      (4L, "q r")            // < n tokens: no gram row at all
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c x q r")).toDF("doc_id", "text")
+    val got = Dedup.contaminationScore(corpus, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      1L -> ((2L, 1L, 5000L)),
+      2L -> ((3L, 0L, 0L)),
+      3L -> ((1L, 1L, 10000L))))
+    // membership agreement: n_hit > 0 == "dropped by decontaminate"
+    val keptByD6 = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    got.foreach { case (id, (_, nHit, _)) =>
+      assert(keptByD6.contains(id) === (nHit == 0L), s"doc $id")
+    }
+  }
 }
