@@ -98,6 +98,8 @@ object SparkEntry {
     "c9_prepare_shards" -> (Queries.c9_prepare_shards _),
     "c10_chunk_documents" -> (Queries.c10_chunk_documents _),
     "t13_token_estimate" -> (Queries.t13_token_estimate _),
+    "c11_split_assign" -> (Queries.c11_split_assign _),
+    "t14_bpe_pairs" -> (Queries.t14_bpe_pairs _),
     "j7_salted_join" -> (Queries.j7_salted_join _),
     "t12_lm_perplexity" -> (Queries.t12_lm_perplexity _),
     "d10_incremental_dedup" -> (Queries.d10_incremental_dedup _),

@@ -38,6 +38,34 @@ object Sharding {
   def assignShards(df: DataFrame, idCol: String, numShards: Int): DataFrame =
     df.withColumn("shard", shardId(col(idCol), numShards))
 
+  /** Deterministic train/val/test split: the id's md5 ticket lands in
+    * [0, 100) and each named split owns a contiguous percent range
+    * (weights must sum to 100). A pure narrow projection — no shuffle,
+    * no state, no sampling RNG: the same document lands in the same
+    * split on every run, at any partitioning, and under incremental
+    * ingest (new docs never move old ones) — the property train/eval
+    * separation has to keep, since a doc that migrates across a re-run
+    * IS leakage (the kind d6/d14 then have to catch downstream).
+    * Hash-bucket splits are stratified in expectation per stratum; the
+    * exact-count variant would need a per-stratum rank (a window over a
+    * hot key this engine avoids) for a ±0.1% ratio gain nobody needs at
+    * corpus scale.
+    */
+  def splitAssign(df: DataFrame, idCol: String, splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      s"split weights must sum to 100 percent, got $splits")
+    require(splits.forall(_._2 > 0), s"zero-weight split: $splits")
+    val bucket = shardId(col(idCol), 100)
+    val bounds = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    val assign = splits.init.zip(bounds.init)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), hi)) =>
+        val cond = bucket < hi
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+      }
+      .fold(lit(splits.last._1))(_.otherwise(splits.last._1))
+    df.withColumn("split", assign)
+  }
+
   /** Per-shard manifest: document count, token/char totals, and the
     * order-independent xor-of-fingerprints checksum. One hash-agg pass;
     * no window, no sort, no driver collection.

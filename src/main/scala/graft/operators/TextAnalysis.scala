@@ -276,4 +276,32 @@ object TextAnalysis {
             / count(lit(1)),
           4).as("bits_per_token"))
   }
+
+  /** First-iteration BPE statistics: corpus-wide counts of adjacent
+    * character pairs within words, weighted by word frequency — the
+    * argmax is the first merge a BPE vocabulary build would apply
+    * (Sennrich et al. 2016; iterate by re-tokenizing with the merged
+    * symbol and calling this again).
+    *
+    * Scale: two partial+final aggs. Word counts shuffle the VOCABULARY
+    * (sublinear in corpus, Heaps' law); pair explosion then runs over
+    * the distinct vocab — not the corpus — so its cost tracks |vocab| ×
+    * avg word length, and corpus size enters only through the first
+    * agg's map-side-combined counts. The pair kernel is a UDF on
+    * purpose: an inline transform/sequence expression under the explode
+    * re-evaluates per output row (the documented shingle pathology).
+    */
+  def bpePairCounts(df: org.apache.spark.sql.DataFrame, textCol: String, topK: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val words = df.select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val pairs = udf((w: String) =>
+      if (w == null) Seq.empty[String]
+      else (0 until w.length - 1).map(i => w.substring(i, i + 2)))
+    words.select(explode(pairs(col("w"))).as("pair"), col("wc"))
+      .groupBy("pair").agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
 }

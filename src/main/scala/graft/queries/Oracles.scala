@@ -1019,6 +1019,31 @@ object Oracles {
         |    AS est_bpe_tokens
         |FROM documents""".stripMargin,
 
+    // deterministic train/val/test split: md5 percent ticket, contiguous
+    // ranges 0-89 / 90-94 / 95-99
+    "c11_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90
+        |         THEN 'train'
+        |       WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 95
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    // first BPE merge statistics: word-frequency-weighted adjacent char
+    // pairs over the distinct vocabulary, top 30 (total order: n desc, pair)
+    "t14_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT w, count(*)::BIGINT AS wc FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY 1),
+        |pairs AS (
+        |  SELECT substring(w, i, 2) AS pair, wc
+        |  FROM (SELECT w, wc, unnest(generate_series(1, length(w) - 1)) AS i
+        |        FROM words))
+        |SELECT pair, sum(wc)::BIGINT AS n FROM pairs GROUP BY 1
+        |ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+
     // salted join == plain join: the salt is an internal spreading
     // device, so the closed form is the unsalted aggregation
     "j7_salted_join" ->

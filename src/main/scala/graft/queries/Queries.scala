@@ -1228,6 +1228,22 @@ object Queries {
         .as("est_bpe_tokens"))
   }
 
+  /** Deterministic 90/5/5 train/val/test split: md5-ticket percent
+    * buckets, pure narrow projection — same doc lands in the same split
+    * on every run and under incremental ingest.
+    */
+  def c11_split_assign(spark: SparkSession, dir: String): DataFrame =
+    Sharding.splitAssign(t(spark, dir, "documents"), "doc_id",
+      Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .select(col("doc_id"), col("split"))
+
+  /** First BPE merge statistics: corpus-wide adjacent-char-pair counts
+    * weighted by word frequency, top 30 — the argmax is the first merge
+    * a BPE vocabulary build applies.
+    */
+  def t14_bpe_pairs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpePairCounts(t(spark, dir, "documents"), "text", topK = 30)
+
   /** Salted equi-join: the static skew fallback, aggregated per key so
     * the result is the plain join's closed form.
     */

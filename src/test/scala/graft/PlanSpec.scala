@@ -188,6 +188,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*("), "rules must evaluate inside whole-stage codegen")
   }
 
+  test("c11 split assign: pure narrow projection, zero shuffles") {
+    val plan = planOf(Queries.c11_split_assign(spark, sf("0.001")))
+    assert(!plan.contains("Exchange"), s"split must stay narrow:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+    assert(plan.contains("*("), "ticket CASE must stay in whole-stage codegen")
+  }
+
+  test("t14 bpe pairs: both aggs partial+final; pair explode runs on vocab, not corpus") {
+    val plan = planOf(Queries.t14_bpe_pairs(spark, sf("0.001")))
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, "two partial+final aggs")
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+    // the explode (Generate) must sit above the word-count agg — i.e. its
+    // child plan already contains an aggregate — so pair blowup is on the
+    // distinct vocabulary, sublinear in corpus size
+    val gen = plan.indexOf("Generate explode")
+    val aggs = "HashAggregate".r.findAllIn(plan).matchData.map(_.start).toList
+    assert(gen >= 0 && aggs.count(_ > gen) >= 2,
+      s"pair explode must consume the vocab agg, not raw text:\n$plan")
+  }
+
   test("c6 shard manifest: one partial+final agg on the shard key, no window") {
     val plan = planOf(Queries.c6_shard_manifest(spark, sf("0.001")))
     assert("HashAggregate".r.findAllIn(plan).size >= 2, "map-side combine expected")

@@ -138,6 +138,49 @@ class ShardingSpec extends SparkSpec {
     assert(!got.contains(3L)) // null text -> no chunks
   }
 
+  test("split assignment: total, deterministic, ratio-shaped, ingest-stable") {
+    import spark.implicits._
+    val splits = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    val a = Sharding.splitAssign(docs, "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a.size === 200)
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // md5 ticket is uniform: 200 docs should land ~180/10/10
+    val byName = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byName("train") > 150)
+    assert(byName.getOrElse("val", 0) + byName.getOrElse("test", 0) < 50)
+    // incremental ingest never moves an old doc: the first-100 corpus
+    // assigns each doc exactly as the full corpus does
+    val early = Sharding.splitAssign(
+      docs.where(col("doc_id") < 100), "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(early === a.view.filterKeys(_ < 100).toMap)
+    // malformed weights are rejected, not silently renormalized
+    intercept[IllegalArgumentException] {
+      Sharding.splitAssign(docs, "doc_id", Seq("train" -> 80, "val" -> 5))
+    }
+    intercept[IllegalArgumentException] {
+      Sharding.splitAssign(docs, "doc_id", Seq("train" -> 100, "val" -> 0))
+    }
+  }
+
+  test("bpe pair counts: closed-form corpus, tie order, null text") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "abc ab x"),       // abc -> ab, bc ; ab -> ab ; x too short
+      (2L, "ab cd"),          // ab, cd
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCounts(d, "text", topK = 10)
+      .as[(String, Long)].collect().toSeq
+    // word counts: abc=1, ab=2, cd=1 -> pairs ab=1+2=3, bc=1, cd=1
+    assert(got === Seq(("ab", 3L), ("bc", 1L), ("cd", 1L)))
+    // topK truncates in (n desc, pair asc) order
+    val top1 = TextAnalysis.bpePairCounts(d, "text", topK = 1)
+      .as[(String, Long)].collect().toSeq
+    assert(top1 === Seq(("ab", 3L)))
+  }
+
   test("quality gate drops null text via r_too_short, not a null sail-through") {
     import spark.implicits._
     val d = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
