@@ -49,7 +49,9 @@ object Bench {
     "c7_training_order",
     "c9_prepare_shards",
     "c10_chunk_documents",
+    "c11_split_assign",
     "t13_token_estimate",
+    "t14_bpe_pairs",
     "j7_salted_join",
     "t12_lm_perplexity",
     "d10_incremental_dedup",

@@ -99,6 +99,7 @@ object SparkEntry {
     "c10_chunk_documents" -> (Queries.c10_chunk_documents _),
     "t13_token_estimate" -> (Queries.t13_token_estimate _),
     "c11_split_assign" -> (Queries.c11_split_assign _),
+    "c12_epoch_upsample" -> (Queries.c12_epoch_upsample _),
     "t14_bpe_pairs" -> (Queries.t14_bpe_pairs _),
     "j7_salted_join" -> (Queries.j7_salted_join _),
     "t12_lm_perplexity" -> (Queries.t12_lm_perplexity _),

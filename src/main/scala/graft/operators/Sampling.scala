@@ -96,6 +96,51 @@ object Sampling {
     * exploded and semi-joined back; Catalyst/AQE broadcast it when
     * small.
     */
+  /** Fractional-epoch upsampling — the mixture-weights rule multi-source
+    * pretraining uses (e.g. 2.3 epochs of wiki, 0.5 of web): each row is
+    * replicated floor(e) times plus one more iff its ticket falls under
+    * the fractional part, so a class with e = 2.3 contributes each doc 2
+    * or 3 times and EXACTLY the expected 2.3x in aggregate expectation;
+    * e < 1 degrades to deterministic downsampling. Epochs are given in
+    * integer CENTI-epochs (230 = 2.30) so the fraction compare is pure
+    * integer math, exact in any engine.
+    *
+    * The ticket is salted (md5 of "id:epoch") so the extra-copy choice is
+    * independent of [[stratifiedSample]]/split membership — an unsalted
+    * ticket would hand the extra epoch systematically to the same docs a
+    * 90% split keeps. A `copy_idx` column (1..n) distinguishes replicas
+    * so downstream shuffles/packing don't collapse them.
+    *
+    * Scale: pure narrow plan — a CASE over the class column, one salted
+    * md5, explode of a <=ceil(max e)-element sequence. No shuffle, no
+    * state; replication factor is bounded by the weights, never by data.
+    */
+  def epochUpsample(
+      df: DataFrame,
+      idCol: String,
+      classCol: String,
+      centiEpochs: Map[String, Int],
+      defaultCentiEpochs: Int = 100): DataFrame = {
+    require((centiEpochs.values ++ Seq(defaultCentiEpochs)).forall(_ >= 0),
+      s"negative epochs: $centiEpochs / $defaultCentiEpochs")
+    val ec = centiEpochs.foldLeft(lit(defaultCentiEpochs)) { case (els, (cls, e)) =>
+      when(col(classCol) === cls, lit(e)).otherwise(els)
+    }
+    val saltedTicket = pmod(
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(":epoch"))), 1, 15),
+        16, 10).cast("long"),
+      lit(100L))
+    // NB Spark's `/` is double division; floor() recovers the integer
+    // quotient exactly (centi-epoch magnitudes are far below 2^53)
+    val n = floor(ec.cast("long") / lit(100L)).cast("long") +
+      when(saltedTicket < pmod(ec.cast("long"), lit(100L)), lit(1L)).otherwise(lit(0L))
+    // sequence(1, 0) would DESCEND in Spark, so zero-copy rows must take
+    // the empty-array branch (explode then emits nothing for them)
+    df.withColumn("copy_idx",
+      explode(when(n >= 1L, sequence(lit(1L), n))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   def capPerKey(df: DataFrame, idCol: String, keyCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

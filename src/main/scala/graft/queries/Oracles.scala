@@ -1030,6 +1030,21 @@ object Oracles {
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
 
+    // fractional-epoch upsampling: floor(centi/100) copies + 1 iff the
+    // SALTED ticket (md5 of "id:epoch") lands under the fractional part
+    "c12_epoch_upsample" ->
+      """WITH e AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 230 WHEN 'zh' THEN 50 ELSE 100 END AS ec,
+        |    ('0x' || substring(md5(doc_id::VARCHAR || ':epoch'), 1, 15))::BIGINT
+        |      % 100 AS tk
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, lang,
+        |    ec // 100 + CASE WHEN tk < ec % 100 THEN 1 ELSE 0 END AS n FROM e)
+        |SELECT doc_id, lang, unnest(generate_series(1, n))::BIGINT AS copy_idx
+        |FROM n WHERE n >= 1""".stripMargin,
+
     // first BPE merge statistics: word-frequency-weighted adjacent char
     // pairs over the distinct vocabulary, top 30 (total order: n desc, pair)
     "t14_bpe_pairs" ->

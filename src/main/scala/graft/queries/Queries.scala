@@ -1237,6 +1237,15 @@ object Queries {
       Seq("train" -> 90, "val" -> 5, "test" -> 5))
       .select(col("doc_id"), col("split"))
 
+  /** Fractional-epoch upsampling by language: en 2.30 epochs, zh 0.50,
+    * rest 1.00 — each doc replicated floor(e) + (salted ticket < frac)
+    * times, copy_idx distinguishing replicas. Pure narrow plan.
+    */
+  def c12_epoch_upsample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.epochUpsample(
+      t(spark, dir, "documents").select("doc_id", "lang"),
+      "doc_id", "lang", Map("en" -> 230, "zh" -> 50), defaultCentiEpochs = 100)
+
   /** First BPE merge statistics: corpus-wide adjacent-char-pair counts
     * weighted by word frequency, top 30 — the argmax is the first merge
     * a BPE vocabulary build applies.

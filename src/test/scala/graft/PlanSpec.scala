@@ -195,6 +195,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*("), "ticket CASE must stay in whole-stage codegen")
   }
 
+  test("c12 epoch upsample: narrow explode, zero shuffles") {
+    val plan = planOf(Queries.c12_epoch_upsample(spark, sf("0.001")))
+    assert(!plan.contains("Exchange"), s"upsample must stay narrow:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+    assert(plan.contains("Generate explode"), plan)
+  }
+
   test("t14 bpe pairs: both aggs partial+final; pair explode runs on vocab, not corpus") {
     val plan = planOf(Queries.t14_bpe_pairs(spark, sf("0.001")))
     assert("HashAggregate".r.findAllIn(plan).size >= 4, "two partial+final aggs")

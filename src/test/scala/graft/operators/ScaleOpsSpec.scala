@@ -110,6 +110,44 @@ class ScaleOpsSpec extends SparkSpec {
     assert(none.count() === 0)
   }
 
+  test("epoch upsample: replication tracks centi-epochs; copies contiguous; deterministic") {
+    import spark.implicits._
+    val docs = (0 until 3000).map(i =>
+      (i.toLong, Seq("en", "zh", "fr")(i % 3))).toDF("doc_id", "lang")
+    def run() = Sampling.epochUpsample(docs, "doc_id", "lang",
+      Map("en" -> 230, "zh" -> 50), defaultCentiEpochs = 100)
+      .select("doc_id", "copy_idx").as[(Long, Long)].collect().toSeq
+    val out = run()
+    assert(run() === out, "replication must be deterministic")
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // copies are contiguous 1..n
+    byDoc.foreach { case (_, idxs) => assert(idxs === (1L to idxs.size)) }
+    // en docs get 2 or 3 copies averaging ~2.3; zh 0 or 1 averaging ~0.5;
+    // fr exactly 1
+    val en = (0 until 3000 by 3).map(i => byDoc.getOrElse(i.toLong, Nil).size)
+    val zh = (1 until 3000 by 3).map(i => byDoc.getOrElse(i.toLong, Nil).size)
+    val fr = (2 until 3000 by 3).map(i => byDoc.getOrElse(i.toLong, Nil).size)
+    assert(en.forall(n => n == 2 || n == 3))
+    assert(zh.forall(n => n == 0 || n == 1))
+    assert(fr.forall(_ == 1))
+    assert(math.abs(en.sum / 1000.0 - 2.3) < 0.1, s"en epochs ${en.sum / 1000.0}")
+    assert(math.abs(zh.sum / 1000.0 - 0.5) < 0.1, s"zh epochs ${zh.sum / 1000.0}")
+    // the extra-copy ticket is SALTED: it must not equal the split/sample
+    // ticket's percent bucket (decorrelation is the point of the salt)
+    val plain = docs.select(col("doc_id"),
+      pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(100L)).as("tk"))
+      .as[(Long, Long)].collect().toMap
+    val enExtra = (0 until 3000 by 3).map(i => byDoc(i.toLong).size == 3)
+    val plainUnder30 = (0 until 3000 by 3).map(i => plain(i.toLong) < 30)
+    assert(enExtra.zip(plainUnder30).count { case (a, b) => a != b } > 100,
+      "salted ticket must decorrelate from the unsalted percent bucket")
+    // negative epochs rejected
+    intercept[IllegalArgumentException] {
+      Sampling.epochUpsample(docs, "doc_id", "lang", Map("en" -> -1))
+    }
+  }
+
   test("sequence packing: per-shard bins follow the start-offset rule") {
     import spark.implicits._
     val docs = (0 until 500).map(i => (i.toLong, Seq.fill(10 + i % 90)("w").mkString(" ")))
