@@ -64,6 +64,7 @@ object Bench {
     "d13_semantic_prune",
     "d14_contamination_score",
     "m3_image_decode",
+    "m4_image_dhash",
     "g1_discover_variants",
     "g2_genotype_calls",
     "g3_realign",

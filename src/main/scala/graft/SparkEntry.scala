@@ -114,6 +114,7 @@ object SparkEntry {
     "m1_multimodal_meta" -> (Queries.m1_multimodal_meta _),
     "m2_frame_sample" -> (Queries.m2_frame_sample _),
     "m3_image_decode" -> (Queries.m3_image_decode _),
+    "m4_image_dhash" -> (Queries.m4_image_dhash _),
     "e9_batch_ann" -> (Queries.e9_batch_ann _)
   )
 

@@ -142,6 +142,82 @@ object Multimodal {
       }
   }
 
+  case class ImageHash(doc_id: Long, dhash_hi: Long, dhash_lo: Long)
+
+  /** Perceptual difference-hash (dHash) over the DECODED raster — the
+    * standard image near-dup fingerprint: sample the grayscale image on a
+    * 9x8 nearest-neighbor grid and set bit (j*8+i) iff the sample right
+    * of (i,j) is strictly brighter. Identical images (and crops/re-encodes
+    * that preserve the luminance gradient structure) collide, which is
+    * what makes group-by-dhash a dedup key.
+    *
+    * Integer math end to end so an engine-exact oracle can recompute it:
+    * grayscale = (sum of bands) / numBands in integer division (band-order
+    * invariant), grid sample (i,j) -> pixel (i*w/9, j*h/8) in integer
+    * division. The 64 bits are emitted as two non-negative 32-bit halves
+    * (`dhash_hi` = rows 4..7, `dhash_lo` = rows 0..3) so SQL engines
+    * never face BIGINT sign/overflow at bit 63.
+    *
+    * Scale: same narrow mapPartitions stage as [[decodeBatch]] — decode
+    * and hash in one pass, no shuffle; grouping on the hash downstream is
+    * one exchange on an 8-byte composite key. Per-row failure isolation
+    * as decodeBatch (bad payload -> dropped row + accumulator).
+    */
+  def dHashBatch(df: DataFrame, idCol: String, binCol: String = "payload"): Dataset[ImageHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val badAcc = spark.sparkContext.longAccumulator("multimodal.dhash.badPayloads")
+    lastBadPayloads = Some(badAcc)
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          try {
+            val img = if (bytes == null) null else ImageIO.read(new ByteArrayInputStream(bytes))
+            if (img == null) { badAcc.add(1); None }
+            else {
+              val raster = img.getRaster
+              val w = img.getWidth
+              val h = img.getHeight
+              val nb = raster.getNumBands
+              // grayscale on the 9x8 sample grid only — no full-image pass
+              val gray = Array.ofDim[Int](8, 9)
+              var j = 0
+              while (j < 8) {
+                var i = 0
+                while (i < 9) {
+                  val x = i * w / 9
+                  val y = j * h / 8
+                  var s = 0
+                  var c = 0
+                  while (c < nb) { s += raster.getSample(x, y, c); c += 1 }
+                  gray(j)(i) = s / nb
+                  i += 1
+                }
+                j += 1
+              }
+              var hi = 0L
+              var lo = 0L
+              j = 0
+              while (j < 8) {
+                var i = 0
+                while (i < 8) {
+                  if (gray(j)(i + 1) > gray(j)(i)) {
+                    if (j < 4) lo |= 1L << (j * 8 + i)
+                    else hi |= 1L << ((j - 4) * 8 + i)
+                  }
+                  i += 1
+                }
+                j += 1
+              }
+              Some(ImageHash(id, hi, lo))
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => badAcc.add(1); None
+          }
+        }
+      }
+  }
+
   /** Accumulator from the most recent decodeBatch plan (test hook /
     * post-run observability): rows whose payload failed to decode.
     * Caveats shared with every accumulator-in-transformation: task

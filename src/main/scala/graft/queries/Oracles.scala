@@ -1258,6 +1258,39 @@ object Oracles {
         |  sum(v)::BIGINT AS px_sum, max(v)::BIGINT AS px_max
         |FROM px GROUP BY doc_id, w, h""".stripMargin,
 
+    // perceptual dHash near-dup: docs sharing doc_id % 97 carry identical
+    // synthetic PNGs; the oracle recomputes the 9x8 grid dHash of the
+    // closed-form raster in pure integer math (gray = band-sum // 3,
+    // nearest-neighbor sample at (i*w//9, j*h//8), bit set iff right
+    // neighbor strictly brighter), split in 32-bit halves to dodge BIGINT
+    // sign at bit 63
+    "m4_image_dhash" ->
+      """WITH img AS (
+        |  SELECT doc_id, doc_id % 97 AS im,
+        |         8 + (doc_id % 97) % 9 AS w, 8 + (doc_id % 97) % 7 AS h
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, j.range AS j, i.range AS i,
+        |    ((im*31 + (i.range*w//9)*7 + (j.range*h//8)*13) % 256
+        |     + (im*31 + (i.range*w//9)*7 + (j.range*h//8)*13 + 101) % 256
+        |     + (im*31 + (i.range*w//9)*7 + (j.range*h//8)*13 + 202) % 256) // 3 AS gray
+        |  FROM img CROSS JOIN range(0, 8) j CROSS JOIN range(0, 9) i),
+        |b AS (
+        |  SELECT doc_id, j, i,
+        |    CASE WHEN lead(gray) OVER (PARTITION BY doc_id, j ORDER BY i) > gray
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM g),
+        |hsh AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN j >= 4 THEN bit * (1::BIGINT << ((j - 4) * 8 + i))
+        |             ELSE 0 END)::BIGINT AS dhash_hi,
+        |    sum(CASE WHEN j < 4 THEN bit * (1::BIGINT << (j * 8 + i))
+        |             ELSE 0 END)::BIGINT AS dhash_lo
+        |  FROM b WHERE i < 8 GROUP BY doc_id)
+        |SELECT doc_id, dhash_hi, dhash_lo,
+        |  min(doc_id) OVER (PARTITION BY dhash_hi, dhash_lo) AS dup_group
+        |FROM hsh""".stripMargin,
+
     "ev3_stream_window" ->
       """SELECT floor(epoch_ms(ts) / 300000.0)::BIGINT AS bucket, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value

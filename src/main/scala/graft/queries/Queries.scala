@@ -1428,6 +1428,25 @@ object Queries {
       "doc_id")
       .toDF()
 
+  /** Multimodal near-dup dedup (M4): perceptual dHash over genuinely
+    * decoded pixels, then group-by-hash to elect a keeper. Docs sharing
+    * `doc_id % 97` carry byte-identical PNGs, so the fixture has real
+    * collision groups (~5 docs each at sf0.01); `dup_group` is the min
+    * doc_id sharing the 64-bit hash. One narrow decode+hash stage, one
+    * exchange on the 8-byte hash key for the window — no self-join.
+    */
+  def m4_image_dhash(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.dHashBatch(
+      Multimodal.attachSynthPng(
+        t(spark, dir, "documents").select(col("doc_id"))
+          .withColumn("img_id", pmod(col("doc_id"), lit(97L))),
+        "img_id")
+        .select(col("doc_id"), col("payload")),
+      "doc_id")
+      .toDF()
+      .withColumn("dup_group",
+        min(col("doc_id")).over(Window.partitionBy("dhash_hi", "dhash_lo")))
+
   // ---- sessionization (EV2) --------------------------------------------
 
   /** Gap-based sessionization (30 min) over the events stream table —

@@ -263,6 +263,13 @@ class PlanSpec extends SparkSpec {
       s"expected the mapPartitions decode kernel in:\n$plan")
   }
 
+  test("m4 image dhash: one exchange (the group window), no self-join") {
+    val plan = planOf(Queries.m4_image_dhash(spark, sf("0.001")))
+    assert("Exchange".r.findAllIn(plan).size === 1,
+      s"decode+hash is narrow; only the dup-group window shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"group-by-hash, not a self-join:\n$plan")
+  }
+
   test("t12 perplexity: vocab agg partial+final, no window, score agg on doc_id") {
     val plan = planOf(Queries.t12_lm_perplexity(spark, sf("0.001")))
     assert("HashAggregate".r.findAllIn(plan).size >= 4,

@@ -450,6 +450,40 @@ class ScaleOpsSpec extends SparkSpec {
       "both corrupt payloads counted, job did not fail")
   }
 
+  test("image dHash: decoded-raster hash matches closed form; identical images collide") {
+    import spark.implicits._
+    // ids 3 and 100 share id%97=3 -> byte-identical PNGs -> equal hashes
+    val docs = Seq(0L, 3L, 17L, 62L, 100L).map(Tuple1(_)).toDF("doc_id")
+      .withColumn("img_id", pmod(col("doc_id"), lit(97L)))
+    val out = Multimodal.dHashBatch(
+      Multimodal.attachSynthPng(docs, "img_id").select("doc_id", "payload"),
+      "doc_id").collect().map(d => d.doc_id -> d).toMap
+    assert(out.size === 5)
+    // closed form: gray = band-sum/3 at nearest-neighbor grid samples
+    def closedForm(im: Long): (Long, Long) = {
+      val w = 8 + (im % 9).toInt
+      val h = 8 + (im % 7).toInt
+      def gray(x: Int, y: Int): Int =
+        (0 until 3).map(c => java.lang.Math.floorMod(im * 31 + x * 7 + y * 13 + c * 101, 256L).toInt).sum / 3
+      var hi = 0L; var lo = 0L
+      for (j <- 0 until 8; i <- 0 until 8) {
+        if (gray((i + 1) * w / 9, j * h / 8) > gray(i * w / 9, j * h / 8)) {
+          if (j < 4) lo |= 1L << (j * 8 + i) else hi |= 1L << ((j - 4) * 8 + i)
+        }
+      }
+      (hi, lo)
+    }
+    Seq(0L, 3L, 17L, 62L, 100L).foreach { id =>
+      val (hi, lo) = closedForm(id % 97)
+      assert((out(id).dhash_hi, out(id).dhash_lo) === ((hi, lo)), s"dhash of $id")
+      assert(out(id).dhash_hi >= 0L && out(id).dhash_hi < (1L << 32), "32-bit half")
+    }
+    assert((out(3L).dhash_hi, out(3L).dhash_lo) === ((out(100L).dhash_hi, out(100L).dhash_lo)),
+      "identical images collide")
+    assert((out(0L).dhash_hi, out(0L).dhash_lo) !== ((out(17L).dhash_hi, out(17L).dhash_lo)),
+      "distinct images differ")
+  }
+
   test("temperature mix: alpha<1 upweights rare sources; budget holds; deterministic") {
     import spark.implicits._
     // 1600 common : 100 rare (16:1)
