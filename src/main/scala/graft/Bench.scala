@@ -65,6 +65,7 @@ object Bench {
     "d14_contamination_score",
     "m3_image_decode",
     "m4_image_dhash",
+    "m5_audio_decode",
     "g1_discover_variants",
     "g2_genotype_calls",
     "g3_realign",

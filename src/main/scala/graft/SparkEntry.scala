@@ -115,6 +115,7 @@ object SparkEntry {
     "m2_frame_sample" -> (Queries.m2_frame_sample _),
     "m3_image_decode" -> (Queries.m3_image_decode _),
     "m4_image_dhash" -> (Queries.m4_image_dhash _),
+    "m5_audio_decode" -> (Queries.m5_audio_decode _),
     "e9_batch_ann" -> (Queries.e9_batch_ann _)
   )
 

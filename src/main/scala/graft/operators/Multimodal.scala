@@ -3,6 +3,7 @@ package graft.operators
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.awt.image.BufferedImage
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -134,6 +135,91 @@ object Multimodal {
                 y += 1
               }
               Some(DecodedImage(id, w, h, ch, sum, max))
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => badAcc.add(1); None
+          }
+        }
+      }
+  }
+
+  case class DecodedAudio(doc_id: Long, n_frames: Long, sample_rate: Long,
+                          channels: Long, amp_sum: Long, amp_max: Long)
+
+  /** Deterministic synthetic WAV: 16-bit signed little-endian mono PCM at
+    * 8 kHz whose every sample is a closed-form function of (id, t),
+    * container-encoded through the real `javax.sound.sampled` WAVE
+    * writer — the audio twin of [[synthPng]].
+    */
+  def synthWav(id: Long): Array[Byte] = {
+    val n = 64 + java.lang.Math.floorMod(id, 33L).toInt
+    val data = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val s = (java.lang.Math.floorMod(id * 31 + t * 7, 65536L) - 32768L).toInt
+      data(2 * t) = (s & 0xff).toByte
+      data(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Attach a synthetic WAV payload per row (fixture plumbing, as
+    * [[attachSynthPng]]).
+    */
+  def attachSynthWav(df: DataFrame, idCol: String, binCol: String = "payload"): DataFrame = {
+    val mk = udf((id: Long) => synthWav(id))
+    df.withColumn(binCol, mk(col(idCol).cast("long")))
+  }
+
+  /** Real audio decode: `javax.sound.sampled` parses the WAVE container
+    * (header, format chunk, PCM payload — pure JDK, no external codec)
+    * and the kernel emits integer statistics over the DECODED samples, so
+    * a closed-form oracle proves the container round trip is bit-faithful
+    * — the audio analog of [[decodeBatch]]. Same narrow mapPartitions
+    * stage, same per-row bad-payload isolation. Supports the formats the
+    * JDK decodes (WAV/AU/AIFF, PCM); compressed codecs (MP3/FLAC) have no
+    * in-JDK decoder and land in the bad-payload counter, not a crash.
+    *
+    * Sample extraction assumes 16-bit signed PCM (the synthesizable and
+    * by far most common archival layout), honoring the container's
+    * declared endianness; other bit depths drop to the counter.
+    */
+  def decodeAudioBatch(df: DataFrame, idCol: String, binCol: String = "payload"): Dataset[DecodedAudio] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val badAcc = spark.sparkContext.longAccumulator("multimodal.audio.badPayloads")
+    lastBadPayloads = Some(badAcc)
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          try {
+            if (bytes == null) { badAcc.add(1); None }
+            else {
+              val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16) { badAcc.add(1); None }
+              else {
+                val pcm = ais.readAllBytes()
+                val big = fmt.isBigEndian
+                var sum = 0L
+                var max = Long.MinValue
+                var i = 0
+                while (i + 1 < pcm.length) {
+                  val lo = pcm(if (big) i + 1 else i) & 0xff
+                  val hiB = pcm(if (big) i else i + 1).toInt
+                  val v = (hiB << 8) | lo
+                  sum += v
+                  if (v > max) max = v
+                  i += 2
+                }
+                Some(DecodedAudio(id, pcm.length / (2L * fmt.getChannels),
+                  fmt.getSampleRate.toLong, fmt.getChannels.toLong, sum, max))
+              }
             }
           } catch {
             case scala.util.control.NonFatal(_) => badAcc.add(1); None

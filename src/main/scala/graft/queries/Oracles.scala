@@ -1291,6 +1291,20 @@ object Oracles {
         |  min(doc_id) OVER (PARTITION BY dhash_hi, dhash_lo) AS dup_group
         |FROM hsh""".stripMargin,
 
+    // real audio decode: Spark writes a WAV whose sample t is
+    // (doc_id*31 + t*7) % 65536 - 32768 over 64 + doc_id%33 mono 16-bit
+    // frames at 8 kHz, decodes it with javax.sound.sampled, and reports
+    // stats of the DECODED samples; closed-form recomputation here
+    "m5_audio_decode" ->
+      """WITH a AS (SELECT doc_id, 64 + doc_id % 33 AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, (doc_id * 31 + t.range * 7) % 65536 - 32768 AS v
+        |  FROM a CROSS JOIN range(0, 97) t WHERE t.range < n)
+        |SELECT doc_id, n AS n_frames, 8000::BIGINT AS sample_rate,
+        |  1::BIGINT AS channels,
+        |  sum(v)::BIGINT AS amp_sum, max(v)::BIGINT AS amp_max
+        |FROM s GROUP BY doc_id, n""".stripMargin,
+
     "ev3_stream_window" ->
       """SELECT floor(epoch_ms(ts) / 300000.0)::BIGINT AS bucket, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value

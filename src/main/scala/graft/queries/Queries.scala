@@ -1447,6 +1447,17 @@ object Queries {
       .withColumn("dup_group",
         min(col("doc_id")).over(Window.partitionBy("dhash_hi", "dhash_lo")))
 
+  /** Real audio decode end-to-end (M5): deterministic 16-bit PCM WAV per
+    * document through the real `javax.sound.sampled` WAVE writer, decoded
+    * by the same JDK stack, integer sample statistics of the DECODED
+    * frames against a closed-form oracle — the audio twin of m3.
+    */
+  def m5_audio_decode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudioBatch(
+      Multimodal.attachSynthWav(t(spark, dir, "documents").select("doc_id"), "doc_id"),
+      "doc_id")
+      .toDF()
+
   // ---- sessionization (EV2) --------------------------------------------
 
   /** Gap-based sessionization (30 min) over the events stream table —

@@ -263,6 +263,13 @@ class PlanSpec extends SparkSpec {
       s"expected the mapPartitions decode kernel in:\n$plan")
   }
 
+  test("m5 audio decode: narrow plan, zero shuffles — scan-parallel decode") {
+    val plan = planOf(Queries.m5_audio_decode(spark, sf("0.001")))
+    assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
+    assert(plan.contains("MapPartitions") || plan.contains("SerializeFromObject"),
+      s"expected the mapPartitions decode kernel in:\n$plan")
+  }
+
   test("m4 image dhash: one exchange (the group window), no self-join") {
     val plan = planOf(Queries.m4_image_dhash(spark, sf("0.001")))
     assert("Exchange".r.findAllIn(plan).size === 1,

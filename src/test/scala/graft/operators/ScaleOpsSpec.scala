@@ -450,6 +450,38 @@ class ScaleOpsSpec extends SparkSpec {
       "both corrupt payloads counted, job did not fail")
   }
 
+  test("audio decode: javax.sound round trip matches closed-form sample stats") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 7L, 40L, 65L)
+    val docs = ids.map(Tuple1(_)).toDF("doc_id")
+    val out = Multimodal.decodeAudioBatch(
+      Multimodal.attachSynthWav(docs, "doc_id"), "doc_id").collect()
+      .map(d => d.doc_id -> d).toMap
+    assert(out.size === ids.size)
+    ids.foreach { id =>
+      val n = 64 + (id % 33).toInt
+      val samples = (0 until n).map(t =>
+        java.lang.Math.floorMod(id * 31 + t * 7, 65536L) - 32768L)
+      val d = out(id)
+      assert(d.n_frames === n.toLong, s"n_frames of $id")
+      assert(d.sample_rate === 8000L)
+      assert(d.channels === 1L)
+      assert(d.amp_sum === samples.sum, s"amp_sum of $id: decode is real")
+      assert(d.amp_max === samples.max, s"amp_max of $id")
+    }
+  }
+
+  test("audio decode: corrupt payload drops the row and bumps the accumulator") {
+    import spark.implicits._
+    val good = Multimodal.attachSynthWav(Seq(Tuple1(5L)).toDF("doc_id"), "doc_id")
+    val bad = Seq((99L, Array[Byte](82, 73, 70, 70)), (98L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeAudioBatch(good.unionByName(bad), "doc_id").collect()
+    assert(out.map(_.doc_id).toSet === Set(5L), "only the decodable row survives")
+    assert(Multimodal.lastBadPayloads.exists(_.value === 2L),
+      "both corrupt payloads counted, job did not fail")
+  }
+
   test("image dHash: decoded-raster hash matches closed form; identical images collide") {
     import spark.implicits._
     // ids 3 and 100 share id%97=3 -> byte-identical PNGs -> equal hashes
