@@ -217,6 +217,7 @@ object Multimodal {
                   if (v > max) max = v
                   i += 2
                 }
+                if (pcm.length < 2) max = 0L // zero-frame payload: (0, 0), not MinValue
                 Some(DecodedAudio(id, pcm.length / (2L * fmt.getChannels),
                   fmt.getSampleRate.toLong, fmt.getChannels.toLong, sum, max))
               }

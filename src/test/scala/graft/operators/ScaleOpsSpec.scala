@@ -450,6 +450,27 @@ class ScaleOpsSpec extends SparkSpec {
       "both corrupt payloads counted, job did not fail")
   }
 
+  test("image decode is format-agnostic: BMP payload of the same raster == PNG stats") {
+    import spark.implicits._
+    // re-encode the synthPng raster as (lossless) BMP; decodeBatch sees
+    // only bytes, so identical stats prove the kernel isn't PNG-bound
+    def synthBmp(id: Long): Array[Byte] = {
+      val png = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.synthPng(id)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(png, "bmp", bos)
+      bos.toByteArray
+    }
+    val ids = Seq(2L, 11L, 60L)
+    val asBmp = ids.map(id => (id, synthBmp(id))).toDF("doc_id", "payload")
+    val asPng = Multimodal.attachSynthPng(ids.map(Tuple1(_)).toDF("doc_id"), "doc_id")
+    val fromBmp = Multimodal.decodeBatch(asBmp, "doc_id").collect()
+      .map(d => d.doc_id -> ((d.width, d.height, d.px_sum, d.px_max))).toMap
+    val fromPng = Multimodal.decodeBatch(asPng, "doc_id").collect()
+      .map(d => d.doc_id -> ((d.width, d.height, d.px_sum, d.px_max))).toMap
+    assert(fromBmp === fromPng, "lossless re-encode must not change decoded stats")
+  }
+
   test("audio decode: javax.sound round trip matches closed-form sample stats") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 7L, 40L, 65L)
