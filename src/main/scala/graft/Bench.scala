@@ -50,6 +50,7 @@ object Bench {
     "c9_prepare_shards",
     "c10_chunk_documents",
     "c11_split_assign",
+    "c12_epoch_upsample",
     "t13_token_estimate",
     "t14_bpe_pairs",
     "j7_salted_join",
