@@ -471,6 +471,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(fromBmp === fromPng, "lossless re-encode must not change decoded stats")
   }
 
+  test("binary media columns survive the parquet sink -> scan path byte-exact") {
+    import spark.implicits._
+    // the 100 TB layout: payload bytes live in parquet BINARY columns;
+    // decode stats must be identical whether the bytes came from memory
+    // or through the sink -> scan round trip
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    val docs = Seq(1L, 9L, 33L).map(Tuple1(_)).toDF("doc_id")
+    Multimodal.attachSynthPng(docs, "doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val direct = Multimodal.decodeBatch(
+      Multimodal.attachSynthPng(docs, "doc_id"), "doc_id").collect()
+      .map(d => d.doc_id -> d).toMap
+    val viaParquet = Multimodal.decodeBatch(
+      spark.read.parquet(dir), "doc_id").collect()
+      .map(d => d.doc_id -> d).toMap
+    assert(viaParquet === direct, "parquet round trip must be byte-faithful")
+  }
+
   test("audio decode: javax.sound round trip matches closed-form sample stats") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 7L, 40L, 65L)
