@@ -67,6 +67,7 @@ object Bench {
     "m3_image_decode",
     "m4_image_dhash",
     "m5_audio_decode",
+    "m6_image_neardup",
     "g1_discover_variants",
     "g2_genotype_calls",
     "g3_realign",

@@ -116,6 +116,7 @@ object SparkEntry {
     "m3_image_decode" -> (Queries.m3_image_decode _),
     "m4_image_dhash" -> (Queries.m4_image_dhash _),
     "m5_audio_decode" -> (Queries.m5_audio_decode _),
+    "m6_image_neardup" -> (Queries.m6_image_neardup _),
     "e9_batch_ann" -> (Queries.e9_batch_ann _)
   )
 

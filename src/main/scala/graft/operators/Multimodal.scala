@@ -305,6 +305,47 @@ object Multimodal {
       }
   }
 
+  /** Image near-dup pairs within `maxHamming` bits of dHash, LSH-bucketed
+    * by 16-bit chunks: a pair within Hamming distance <= 3 of the 64-bit
+    * hash must agree on at least one of 4 chunks (pigeonhole), so the
+    * candidate step is an equi-join on chunk value — the [[graft.operators.Dedup.simHashPairs]]
+    * scheme applied to the multimodal surface (perceptual dedup: LAION-style
+    * image corpus cleaning). Input is [[dHashBatch]] output; chunks 0-1
+    * come from `dhash_lo`, 2-3 from `dhash_hi`.
+    *
+    * Scale: candidate volume tracks bucket occupancy (true near-dups +
+    * 16-bit chunk collisions), never n² — same contract as SimHash; the
+    * exact Hamming verify after `distinct` kills chunk-collision false
+    * positives.
+    */
+  def dHashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "chunking scheme assumes <= 3 for 4 chunks")
+    val chunkStructs = array(
+      (0 until 2).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("dhash_lo"), c * 16).bitwiseAND(lit(0xffffL)).as("cv"))
+      } ++ (0 until 2).map { c =>
+        struct(lit(c + 2).as("chunk"),
+          shiftright(col("dhash_hi"), c * 16).bitwiseAND(lit(0xffffL)).as("cv"))
+      }: _*)
+    val chunked = hashes
+      .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"), explode(chunkStructs).as("c"))
+      .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"), col("c.chunk"), col("c.cv"))
+    val l = chunked.alias("l")
+    val r = chunked.alias("r")
+    l.join(r, col("l.chunk") === col("r.chunk") && col("l.cv") === col("r.cv") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.dhash_hi").as("ha_hi"), col("l.dhash_lo").as("ha_lo"),
+        col("r.dhash_hi").as("hb_hi"), col("r.dhash_lo").as("hb_lo"))
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
+          bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Accumulator from the most recent decodeBatch plan (test hook /
     * post-run observability): rows whose payload failed to decode.
     * Caveats shared with every accumulator-in-transformation: task

@@ -1447,6 +1447,23 @@ object Queries {
       .withColumn("dup_group",
         min(col("doc_id")).over(Window.partitionBy("dhash_hi", "dhash_lo")))
 
+  /** Image near-dup pairs (M6): dHash over decoded rasters, 16-bit-chunk
+    * pigeonhole LSH candidates, exact Hamming verify <= 3 — the SimHash
+    * dedup scheme on the multimodal surface. Fixture collision groups via
+    * doc_id % 97 give real distance-0 pairs.
+    */
+  def m6_image_neardup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.dHashNearDupPairs(
+      Multimodal.dHashBatch(
+        Multimodal.attachSynthPng(
+          t(spark, dir, "documents").select(col("doc_id"))
+            .withColumn("img_id", pmod(col("doc_id"), lit(97L))),
+          "img_id")
+          .select(col("doc_id"), col("payload")),
+        "doc_id")
+        .toDF(),
+      maxHamming = 3)
+
   /** Real audio decode end-to-end (M5): deterministic 16-bit PCM WAV per
     * document through the real `javax.sound.sampled` WAVE writer, decoded
     * by the same JDK stack, integer sample statistics of the DECODED

@@ -277,6 +277,12 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"group-by-hash, not a self-join:\n$plan")
   }
 
+  test("m6 image near-dup: chunk equi-join candidates, no cartesian product") {
+    val plan = planOf(Queries.m6_image_neardup(spark, sf("0.001")))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"candidates must come from the chunk equi-join:\n$plan")
+  }
+
   test("t12 perplexity: vocab agg partial+final, no window, score agg on doc_id") {
     val plan = planOf(Queries.t12_lm_perplexity(spark, sf("0.001")))
     assert("HashAggregate".r.findAllIn(plan).size >= 4,

@@ -555,6 +555,24 @@ class ScaleOpsSpec extends SparkSpec {
       "distinct images differ")
   }
 
+  test("image near-dup pairs: identical images pair at distance 0; far images don't pair") {
+    import spark.implicits._
+    // 10, 107, 204 share 10%97 -> identical PNGs; 5 and 23 are lone images
+    val docs = Seq(10L, 107L, 204L, 5L, 23L).map(Tuple1(_)).toDF("doc_id")
+      .withColumn("img_id", pmod(col("doc_id"), lit(97L)))
+    val hashes = Multimodal.dHashBatch(
+      Multimodal.attachSynthPng(docs, "img_id").select("doc_id", "payload"),
+      "doc_id").toDF()
+    val pairs = Multimodal.dHashNearDupPairs(hashes, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val idGroup = Set((10L, 107L, 0L), (10L, 204L, 0L), (107L, 204L, 0L))
+    assert(idGroup.subsetOf(pairs), s"identical triple must fully pair: $pairs")
+    // any extra pair must be a genuine near-dup within the radius,
+    // never a chunk-collision false positive at distance > 3
+    pairs.foreach { case (_, _, d) => assert(d <= 3L, s"verify must cut d>3: $pairs") }
+    assert(pairs.forall { case (a, b, _) => a < b }, "canonical pair order")
+  }
+
   test("temperature mix: alpha<1 upweights rare sources; budget holds; deterministic") {
     import spark.implicits._
     // 1600 common : 100 rare (16:1)
