@@ -12,10 +12,10 @@ import org.apache.spark.sql.functions._
   * with typed metadata alongside. Image decode is REAL (pure-JDK
   * `javax.imageio` — PNG/JPEG/BMP/GIF readers ship with every JDK):
   * `decodeBatch` parses payload bytes into pixel rasters with per-row
-  * failure isolation. `extractMeta` remains the cheap header-free path
-  * (length-derived metadata) for formats with no in-JDK codec
-  * (audio/video); its plumbing — schema, per-frame explosion — is the
-  * production shape either way.
+  * failure isolation. `extractMeta` parses REAL container headers (PNG
+  * IHDR dimensions, WAV fmt/data chunks) as pure codegen'd Column
+  * expressions over the leading payload bytes — no decode, no UDF —
+  * with nulls for unknown containers.
   */
 object Multimodal {
 
@@ -25,17 +25,65 @@ object Multimodal {
   def attachBinary(df: DataFrame, srcCol: String, binCol: String = "payload"): DataFrame =
     df.withColumn(binCol, col(srcCol).cast("binary"))
 
-  /** Length-derived metadata for payloads with no in-JDK codec
-    * (audio/video containers) — same signature and narrow plan as a
-    * header parse; for images use `decodeBatch`, which decodes for real.
+  /** Real container-header metadata, parsed declaratively: pure Column
+    * expressions (substring/hex/conv — whole-stage codegen'd, no UDF)
+    * read the actual header bytes of the payload.
+    *
+    *  - PNG: signature + IHDR chunk at its mandatory fixed offset;
+    *    width/height are the IHDR big-endian u32s (bytes 17-24).
+    *  - WAV: RIFF/WAVE magic + canonical "fmt " chunk; channels,
+    *    sample rate, and block align are little-endian fields of the
+    *    fmt chunk, `n_frames` = data-chunk size / block align when the
+    *    data chunk sits at the canonical offset (the layout every
+    *    fixed-header writer, incl. `javax.sound`, emits). Non-canonical
+    *    chunk orders (LIST/fact chunks first) fall back to null frames
+    *    rather than guessing.
+    *  - Anything else: metadata columns null — the declarative analog
+    *    of decodeBatch's bad-payload row drop; count unknowns with
+    *    [[extractMetaObserved]] or `container IS NULL`.
+    *
+    * Scale: a narrow per-row projection over the first 44 payload
+    * bytes; with parquet this reads only the scanned binary column, no
+    * shuffle, no full-payload decode.
     */
   def extractMeta(df: DataFrame, binCol: String = "payload"): DataFrame = {
-    val n = length(col(binCol))
-    df.withColumn("n_bytes", n)
-      .withColumn("width", pmod(n, lit(640)))
-      .withColumn("height", pmod(n, lit(480)))
-      .withColumn("n_frames", pmod(n, lit(16)))
+    val bin = col(binCol)
+    // big-endian u32 at 1-based byte offset (hex() emits uppercase)
+    def beU32(off: Int) = conv(hex(substring(bin, off, 4)), 16, 10).cast("long")
+    // little-endian uint at 1-based byte offset: per-byte hex, reversed
+    def leU(off: Int, len: Int) =
+      conv(concat((off + len - 1 to off by -1).map(i => hex(substring(bin, i, 1))): _*), 16, 10)
+        .cast("long")
+    val isPng = hex(substring(bin, 1, 8)) === "89504E470D0A1A0A" &&
+      hex(substring(bin, 13, 4)) === "49484452" // "IHDR" where the spec pins it
+    val isWav = hex(substring(bin, 1, 4)) === "52494646" && // "RIFF"
+      hex(substring(bin, 9, 8)) === "57415645666D7420" // "WAVEfmt "
+    val wavCanonicalData = hex(substring(bin, 37, 4)) === "64617461" // "data"
+    val blockAlign = leU(33, 2)
+    df.withColumn("n_bytes", length(bin))
+      .withColumn("container",
+        when(isPng, lit("png")).when(isWav, lit("wav")).otherwise(lit(null).cast("string")))
+      .withColumn("width", when(isPng, beU32(17)))
+      .withColumn("height", when(isPng, beU32(21)))
+      .withColumn("channels", when(isWav, leU(23, 2)))
+      .withColumn("sample_rate", when(isWav, leU(25, 4)))
+      .withColumn("n_frames",
+        when(isPng, lit(1L))
+          .when(isWav && wavCanonicalData && blockAlign > 0,
+            floor(leU(41, 4) / blockAlign).cast("long")))
   }
+
+  /** As [[extractMeta]], additionally counting payloads that matched no
+    * known container into `obs` (metric `unknown_payloads`) — the
+    * declarative analog of decodeBatch's bad-payload accumulator:
+    * CollectMetrics rides the same plan, so the count costs no second
+    * scan and is exact (no task-retry over-count).
+    */
+  def extractMetaObserved(df: DataFrame, obs: org.apache.spark.sql.Observation,
+                          binCol: String = "payload"): DataFrame =
+    extractMeta(df, binCol).observe(obs,
+      sum(when(col("container").isNull && col(binCol).isNotNull, 1L).otherwise(0L))
+        .as("unknown_payloads"))
 
   /** Frame sampling: one output row per sampled frame index — the
     * explode-shaped plumbing a video pipeline needs (decode would happen

@@ -548,9 +548,9 @@ object Oracles {
         |  FROM st WINDOW w AS (PARTITION BY contigName, vstart, valt)),
         |q AS (
         |  SELECT *,
-        |    0 + 2*ln(1-maf) + gl0 AS p0,
-        |    ln(2) + ln(maf) + ln(1-maf) + gl1 AS p1,
-        |    0 + 2*ln(maf) + gl2 AS p2
+        |    CASE WHEN maf < 1 THEN 2*ln(1-maf) ELSE 0 END + gl0 AS p0,
+        |    CASE WHEN maf < 1 THEN ln(2) + ln(maf) + ln(1-maf) ELSE 0 END + gl1 AS p1,
+        |    CASE WHEN maf < 1 THEN 2*ln(maf) ELSE 0 END + gl2 AS p2
         |  FROM j WHERE maf > 0)
         |SELECT contigName, vstart AS start, 'A' AS referenceAllele,
         |  valt AS alternateAllele, sample AS sampleId,
@@ -629,9 +629,9 @@ object Oracles {
         |  FROM st WINDOW w AS (PARTITION BY contigName, vstart, valt)),
         |q AS (
         |  SELECT *,
-        |    0 + 2*ln(1-maf) + gl0 AS p0,
-        |    ln(2) + ln(maf) + ln(1-maf) + gl1 AS p1,
-        |    0 + 2*ln(maf) + gl2 AS p2
+        |    CASE WHEN maf < 1 THEN 2*ln(1-maf) ELSE 0 END + gl0 AS p0,
+        |    CASE WHEN maf < 1 THEN ln(2) + ln(maf) + ln(1-maf) ELSE 0 END + gl1 AS p1,
+        |    CASE WHEN maf < 1 THEN 2*ln(maf) ELSE 0 END + gl2 AS p2
         |  FROM j WHERE maf > 0)
         |SELECT contigName, vstart AS start, 'A' AS referenceAllele,
         |  valt AS alternateAllele, sample AS sampleId,
@@ -1230,11 +1230,21 @@ object Oracles {
         |       ELSE 'REF|ALT' END AS child_alleles
         |FROM ph""".stripMargin,
 
+    // real header parse: Spark synthesizes a PNG (javax.imageio), a WAV
+    // (javax.sound), or raw text bytes per doc and reads container
+    // metadata back OUT OF THE HEADER BYTES; the oracle states the
+    // closed-form truth of what each JDK writer must have emitted —
+    // equality proves the IHDR/fmt fields were actually parsed
     "m1_multimodal_meta" ->
-      """SELECT doc_id, strlen(text) AS n_bytes,
-        |  strlen(text) % 640 AS width,
-        |  strlen(text) % 480 AS height,
-        |  strlen(text) % 16 AS n_frames
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |       WHEN doc_id % 3 = 1 THEN 'wav' END AS container,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 9 END)::BIGINT AS width,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 7 END)::BIGINT AS height,
+        |  (CASE WHEN doc_id % 3 = 1 THEN 1 END)::BIGINT AS channels,
+        |  (CASE WHEN doc_id % 3 = 1 THEN 8000 END)::BIGINT AS sample_rate,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 1
+        |        WHEN doc_id % 3 = 1 THEN 64 + doc_id % 33 END)::BIGINT AS n_frames
         |FROM documents""".stripMargin,
 
     // real image decode: Spark synthesizes a PNG whose every sample is

@@ -1389,10 +1389,26 @@ object Queries {
 
   // ---- multimodal plumbing (M1) ----------------------------------------
 
-  def m1_multimodal_meta(spark: SparkSession, dir: String): DataFrame =
+  /** Real header-parse metadata (M1): a mixed binary corpus — one third
+    * real PNGs (deterministic dims 8+id%9 x 8+id%7), one third real WAVs
+    * (mono 8 kHz, 64+id%33 frames), one third raw text bytes — through
+    * the declarative header parser. The oracle carries the closed-form
+    * truth for every header field, so a green hash proves the Column
+    * expressions read the actual IHDR/fmt bytes the JDK writers emitted
+    * (and that unknown containers null out rather than fabricate).
+    */
+  def m1_multimodal_meta(spark: SparkSession, dir: String): DataFrame = {
+    val mk = udf { (id: Long) =>
+      java.lang.Math.floorMod(id, 3L) match {
+        case 0L => Multimodal.synthPng(id)
+        case 1L => Multimodal.synthWav(id)
+        case _  => ("text:" + id).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      }
+    }
     Multimodal.extractMeta(
-      Multimodal.attachBinary(t(spark, dir, "documents"), "text"))
-      .select("doc_id", "n_bytes", "width", "height", "n_frames")
+      t(spark, dir, "documents").withColumn("payload", mk(col("doc_id").cast("long"))))
+      .select("doc_id", "container", "width", "height", "channels", "sample_rate", "n_frames")
+  }
 
   /** Frame sampling + per-frame fingerprint: the explode-shaped video
     * plumbing (every 4th frame, frame payload = its slice of the media

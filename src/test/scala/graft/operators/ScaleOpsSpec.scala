@@ -713,4 +713,51 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out(4L).getInt(1) === 0 && out(4L).getInt(2) === 0 &&
       out(4L).getInt(3) === 0 && out(4L).getString(4) === docs.collect()(3).getString(1))
   }
+
+  test("extractMeta parses real PNG IHDR and WAV fmt headers; unknowns null out") {
+    import spark.implicits._
+    val rows = Seq(
+      (10L, Multimodal.synthPng(10L)),                  // 8+10%9=9 x 8+10%7=11
+      (7L, Multimodal.synthWav(7L)),                    // mono 8kHz, 64+7%33=71 frames
+      (3L, "just some text".getBytes("UTF-8")),         // unknown container
+      (4L, Array[Byte](0x89.toByte, 0x50)),             // truncated PNG magic
+      (5L, null.asInstanceOf[Array[Byte]]))             // null payload
+      .toDF("doc_id", "payload")
+    val obs = new org.apache.spark.sql.Observation("meta")
+    val out = Multimodal.extractMetaObserved(rows, obs)
+      .select("doc_id", "container", "width", "height", "channels", "sample_rate", "n_frames")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(10L).getString(1) === "png")
+    assert(out(10L).getLong(2) === 9L && out(10L).getLong(3) === 11L,
+      "width/height must come from the IHDR bytes the PNG writer emitted")
+    assert(out(10L).getLong(6) === 1L)
+    assert(out(10L).isNullAt(4) && out(10L).isNullAt(5), "no audio fields on an image")
+    assert(out(7L).getString(1) === "wav")
+    assert(out(7L).getLong(4) === 1L && out(7L).getLong(5) === 8000L,
+      "channels/rate must come from the fmt chunk")
+    assert(out(7L).getLong(6) === 71L, "n_frames = data size / block align")
+    assert(out(7L).isNullAt(2) && out(7L).isNullAt(3), "no pixel dims on audio")
+    Seq(3L, 4L).foreach { id =>
+      assert(out(id).isNullAt(1), s"doc $id is no known container")
+      (2 to 6).foreach(i => assert(out(id).isNullAt(i), s"doc $id col $i must be null"))
+    }
+    assert(out(5L).isNullAt(1), "null payload parses to nulls, not an error")
+    // the observed metric counts non-null unknowns only (3 and 4)
+    assert(obs.get("unknown_payloads") === 2L)
+  }
+
+  test("extractMeta header fields survive the parquet sink -> scan path") {
+    import spark.implicits._
+    // same byte-faithfulness contract as the decode spec: header parses
+    // must not care whether bytes came from memory or a parquet BINARY
+    val dir = java.nio.file.Files.createTempDirectory("graft-meta").toString
+    val rows = Seq(1L, 2L, 12L).map(id => (id, Multimodal.synthPng(id)))
+      .toDF("doc_id", "payload")
+    rows.write.mode("overwrite").parquet(dir)
+    val direct = Multimodal.extractMeta(rows)
+      .select("doc_id", "width", "height").collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val via = Multimodal.extractMeta(spark.read.parquet(dir))
+      .select("doc_id", "width", "height").collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(via === direct)
+  }
 }
