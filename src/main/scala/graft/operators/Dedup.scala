@@ -790,11 +790,39 @@ object Dedup {
       idCol: String,
       embCol: String,
       centroids: Seq[(Long, Array[Double])],
-      threshold: Double): DataFrame = {
-    val assigned = SimilaritySearch
+      threshold: Double,
+      maxCellRows: Long = 1000000L): DataFrame = {
+    val spark = df.sparkSession
+    val assigned0 = SimilaritySearch
       .ivfCellsWithCos(df, idCol, embCol, centroids)
       .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"),
         col("cell"), col("c2c_raw"))
+    // SCALE GUARD (HardLimiter pattern): the per-cell self-join is O(m²)
+    // in cell membership — bounded ONLY by the caller keeping K ≈ N/10⁴.
+    // A caller passing 8 centroids for a 10⁹-row corpus would get
+    // quadratic cells silently; instead, cell occupancy (one partial+
+    // final agg on the same `cell` key the join shuffles on anyway,
+    // K rows out) is broadcast back onto the rows, and each oversized
+    // cell warns + bumps `dedup.semanticPrune.oversizedCells` once. The
+    // guard filter always passes — it observes, it does not drop.
+    val oversizedAcc = spark.sparkContext.longAccumulator("dedup.semanticPrune.oversizedCells")
+    lastOversizedCells = Some(oversizedAcc)
+    val warnOversized = udf { (cell: Long, n: Long) =>
+      if (n > maxCellRows) {
+        oversizedAcc.add(1)
+        org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup").warn(
+          s"semanticPrune cell $cell holds $n rows (> $maxCellRows): the in-cell " +
+            "compare is O(m²) — increase the centroid count (K ~ N/10^4)")
+      }
+      true
+    }.asNondeterministic() // side-effecting: must not be pruned or reordered
+    val cellSizes = assigned0.groupBy("cell")
+      .agg(count(lit(1)).as("__cell_n"))
+      .filter(warnOversized(col("cell"), col("__cell_n")))
+    // the guard joins into the FINAL assembly only (not the self-join
+    // sides), so its filter — and the accumulator bump — evaluates once
+    // per cell, not once per plan reuse
+    val assigned = assigned0
     val a = assigned.alias("a")
     val b = assigned.alias("b")
     // b outranks a: lower cosine-to-centroid, ties to the lower id
@@ -807,11 +835,20 @@ object Dedup {
         "left_semi")
       .select(col("id"))
       .withColumn("__pruned", lit(1L))
-    assigned.join(pruned, Seq("id"), "left")
+    assigned.join(broadcast(cellSizes), Seq("cell"))
+      .join(pruned, Seq("id"), "left")
       .select(col("id").as(idCol), col("cell"),
         round(col("c2c_raw"), 4).as("c2c"),
         when(col("__pruned").isNotNull, lit(0L)).otherwise(lit(1L)).as("kept"))
   }
+
+  /** Accumulator from the most recent [[semanticPrune]] plan (test hook /
+    * post-run observability): cells whose membership crossed
+    * `maxCellRows`. Same caveats as every accumulator-in-transformation
+    * (task retries over-count; concurrent calls overwrite the hook).
+    */
+  @volatile private[graft] var lastOversizedCells:
+      Option[org.apache.spark.util.LongAccumulator] = None
 
   /** Per-document contamination score against a benchmark (held-out
     * eval) set: distinct n-gram count, how many of them appear anywhere

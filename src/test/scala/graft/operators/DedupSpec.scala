@@ -526,6 +526,29 @@ class DedupSpec extends SparkSpec {
     assert(res === Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("semanticPrune: oversized cell fires the scale-guard accumulator, output unchanged") {
+    import spark.implicits._
+    // 6 vectors land in centroid 1's cell, 1 in centroid 2's; a bound of
+    // 4 makes exactly one cell oversized. The guard observes — it must
+    // not change a single output row.
+    def at(deg: Double) = { val r = math.toRadians(deg); Seq(math.cos(r), math.sin(r)) }
+    val df = ((1 to 6).map(i => (i.toLong, at(i * 2.0))) :+ (7L, at(180.0)))
+      .toDF("vec_id", "embedding")
+    val cent = Seq((1L, Array(1.0, 0.0)), (2L, Array(-1.0, 0.0)))
+    val unguarded = Dedup.semanticPrune(df, "vec_id", "embedding", cent, 0.99)
+      .select("vec_id", "cell", "kept").as[(Long, Long, Long)].collect().toSet
+    val guarded = Dedup.semanticPrune(df, "vec_id", "embedding", cent, 0.99,
+        maxCellRows = 4L)
+      .select("vec_id", "cell", "kept").as[(Long, Long, Long)].collect().toSet
+    assert(guarded === unguarded, "guard is observational only")
+    assert(Dedup.lastOversizedCells.exists(_.value === 1L),
+      "exactly the 6-row cell crossed the bound")
+    // generous bound: no warning
+    Dedup.semanticPrune(df, "vec_id", "embedding", cent, 0.99, maxCellRows = 100L)
+      .collect()
+    assert(Dedup.lastOversizedCells.exists(_.value === 0L))
+  }
+
   test("semanticPrune: null embedding degrades to (cell -1, kept)") {
     import spark.implicits._
     val df = Seq((1L, Option(Seq(1.0, 0.0))), (2L, None: Option[Seq[Double]]))
