@@ -12,6 +12,12 @@ object Bench {
   // DIFFERENT cohort than g2 (3 samples derived from l_linestatus vs
   // g2's single sample), so their called tables cannot be shared without
   // changing query semantics; g4's cost is its honest two-stage cost.
+  //
+  // Coverage policy (round 8): EVERY SparkEntry.queries key is benched —
+  // no untimed correctness-green query. A perf regression anywhere in
+  // the catalog shows up in the BENCH_r{N} record; the sub-second micro
+  // families (p/a/j/s/u/w/t singletons) cost ~10s of suite time total,
+  // which is cheap insurance against invisible drift.
   val headline: Seq[String] = Seq(
     "a3_wide_agg",
     "j3_bcast_equijoin",
@@ -73,7 +79,48 @@ object Bench {
     "g3_realign",
     "g4_joint_recall",
     "g5_trio_phase",
-    "g6_gvcf_squareoff")
+    "g6_gvcf_squareoff",
+    // round 8: the previously-untimed remainder of the catalog (VERDICT
+    // r7 "What's missing" #1) — micro families first, then the
+    // scale-relevant serving/streaming paths
+    "a1_distinct",
+    "a2_group_having",
+    "a4_dedup_keys",
+    "a5_typed_agg",
+    "a6_ratio_agg",
+    "a7_array_agg",
+    "a8_rollup",
+    "c2_sample_mix",
+    "c3_pack_sequences",
+    "d1_dedup_exact",
+    "e2_ann_topk",
+    "e3_embedding_dedup",
+    "e6_ann_recall",
+    "ev2_sessionize",
+    "ev3_stream_window",
+    "ev5_stream_enrich",
+    "ev6_stream_dedup",
+    "j4_semi_join",
+    "j5_anti_join",
+    "j6_pivot",
+    "m1_multimodal_meta",
+    "p1_filter_conj",
+    "p2_regex_pred",
+    "p3_cond_rewrite",
+    "p6_hard_filter_annotate",
+    "p6b_filter_matrix",
+    "p8_clamp",
+    "s1_scan_prune",
+    "s9_gen_dimtable",
+    "t1_token_count",
+    "t3_lang_id",
+    "t4_fingerprint",
+    "t5_json_extract",
+    "t7_repetition",
+    "u1_union",
+    "u3_token_intersect",
+    "w1_sort_limit",
+    "w3_coverage_cap")
 
   /** Fixed CPU-bound reference probe: 400M xxhash64 over a local range,
     * no I/O, no shuffle — its cost is stable on a quiet box, so a slow
@@ -96,6 +143,33 @@ object Bench {
   // runs under the 1.5x band while a BENCH_r04-style 1.8x-contended run
   // lands well over it
   val CalRefSec = 0.40
+
+  /** Hard acceptance gate (round 8, VERDICT r7 #6): a run whose best
+    * pre- or post-suite probe exceeds 1.25x the reference REFUSES to
+    * write `bench_out.json` — the r7 artifact was accepted with a 0.51s
+    * probe and carried a phantom 2.5x g4 regression that an isolated
+    * re-run disproved. Rejection is loud, not silent: the JSON (with
+    * `"rejected":true`) still goes to stdout and to
+    * `bench_out.rejected.json`, so the data exists without polluting
+    * the official record.
+    */
+  val CalGate = 1.25
+
+  /** Best-of-up-to-`attempts` probes, stopping early once one lands
+    * under the gate. A single probe carries GC/JIT noise (observed
+    * 0.49s first probe vs 0.29s second on a quiet box); genuine
+    * contention slows every attempt, so the min discriminates.
+    */
+  def probeMin(spark: SparkSession, attempts: Int): Double = {
+    var best = Double.MaxValue
+    var i = 0
+    while (i < attempts && best > CalGate * CalRefSec) {
+      best = math.min(best, calibrate(spark))
+      i += 1
+      if (best > CalGate * CalRefSec && i < attempts) Thread.sleep(2000)
+    }
+    best
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -127,10 +201,15 @@ object Bench {
 
     // contention probe before the suite (after warmup, so it measures the
     // box, not class loading); repeated after, so contention arriving
-    // mid-run is also visible
-    val calPre = calibrate(spark)
-    if (calPre > 1.5 * CalRefSec)
-      System.err.println(f"[bench] WARNING: calibration probe $calPre%.2fs > 1.5x reference $CalRefSec%.2fs — machine contended, timings unreliable")
+    // mid-run is also visible. Gated hard: a contended box produces no
+    // accepted artifact (see CalGate).
+    val calPre = probeMin(spark, 5)
+    if (calPre > CalGate * CalRefSec) {
+      System.err.println(f"[bench] REJECT: best-of-5 pre-suite probe $calPre%.2fs > ${CalGate}x reference $CalRefSec%.2fs — machine contended, refusing to run")
+      println(s"""{"metric":"total","value":-1.0,"unit":"sec","queries":{},"rejected":true,"reject_reason":"pre-suite calibration $calPre > $CalGate x $CalRefSec","calibration_ref_sec":$CalRefSec}""")
+      spark.stop()
+      sys.exit(3)
+    }
 
     // SPARK_GRAFT_ONLY=g2,g4 (comma-separated name prefixes) restricts
     // the suite — the profiling path for a single drifting query without
@@ -152,7 +231,14 @@ object Bench {
     // a failed query records -1.0 (numeric, so the driver's parse still
     // reads the map) and is excluded from the total; a fast failure must
     // not masquerade as a fast success
-    val results = selected.flatMap { name =>
+    //
+    // mid-run probes (every 12 queries): the r7 inflation arrived BETWEEN
+    // clean pre/post probes, so contention landing mid-suite needs its
+    // own record — informational (a single probe can be a GC
+    // coincidence), but a >1.5x mid probe flips `contended`
+    val midProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val results = selected.zipWithIndex.flatMap { case (name, qi) =>
+      if (qi > 0 && qi % 12 == 0) midProbes += calibrate(spark)
       overrides.get(name).orElse(SparkEntry.queries.get(name)).map { fn =>
         // release localCheckpoint blocks deterministically: queries that
         // materialize intermediates (g6's cohort gVCF, d9's bench grams)
@@ -178,10 +264,12 @@ object Bench {
         }
       }
     }
-    val calPost = calibrate(spark)
-    // min of the two probes: a genuinely contended box slows BOTH; a
-    // single slow probe can be a GC/codegen coincidence
-    val contended = math.min(calPre, calPost) > 1.5 * CalRefSec
+    val calPost = probeMin(spark, 5)
+    val rejected = calPost > CalGate * CalRefSec
+    // `contended` = mid-run contamination flag: pre/post are already
+    // gate-clean in an accepted artifact, so only the mid probes can
+    // testify to contention arriving inside the suite
+    val contended = midProbes.exists(_ > 1.5 * CalRefSec)
     val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -191,10 +279,19 @@ object Bench {
     val ov = overrides.keys.toSeq.sorted
       .map(k => "\"" + k + "\":\"xx64\"").mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"hash_family_overrides":$ov,"failed":$fj,"failed_count":${failed.size},"calibration_sec":[$calPre,$calPost],"calibration_ref_sec":$CalRefSec,"contended":$contended,"sf":"$sfDir"}"""
+    val mids = midProbes.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"hash_family_overrides":$ov,"failed":$fj,"failed_count":${failed.size},"calibration_sec":[$calPre,$calPost],"calibration_mid":$mids,"calibration_ref_sec":$CalRefSec,"calibration_gate":$CalGate,"contended":$contended,"rejected":$rejected,"sf":"$sfDir"}"""
     // stdout (unprefixed via fork + StdoutOutput) AND a file artifact,
     // so the driver's parse can't be defeated by log interleaving
     println(json)
+    if (rejected) {
+      // post-suite contention: the timings ran but the record cannot be
+      // trusted — keep the data out of the official artifact path
+      System.err.println(f"[bench] REJECT: best-of-5 post-suite probe $calPost%.2fs > ${CalGate}x reference $CalRefSec%.2fs — not writing bench_out.json")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.rejected.json"), json + "\n")
+      spark.stop()
+      sys.exit(3)
+    }
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
     spark.stop()
   }
