@@ -34,11 +34,19 @@ object JointAnnotatorCaller {
       .withColumn("siteSamples", count(lit(1)).over(w))
       .where(col("maf") > 0.0) // P7: drop sites with no alt anywhere
 
-    // K13: posterior_g = log Binom(ploidy, maf).pmf(g) + GL_g, renormalized
+    // K13: posterior_g = log Binom(ploidy, maf).pmf(g) + GL_g, renormalized.
+    // Boundary (reference JointAnnotatorCaller.scala:162-166): at a
+    // degenerate MAF (>= 1.0 here; <= 0.0 is already dropped by P7) the
+    // binomial prior is undefined and the reference recalls with NO prior
+    // — pure likelihood argmax. The closed form would otherwise produce
+    // 0 * log(0) = NaN for g = ploidy, poisoning the argmax (a
+    // single-sample hom-alt site is the everyday case that hits this).
     val lc = (0 to ploidy).map(g => LogMath.logChoose(ploidy, g))
     val posts = (0 to ploidy).map { g =>
-      (lit(lc(g)) + lit(g.toDouble) * log(col("maf")) +
-        lit((ploidy - g).toDouble) * log(lit(1.0) - col("maf")) +
+      (when(col("maf") < 1.0,
+        lit(lc(g)) + lit(g.toDouble) * log(col("maf")) +
+          lit((ploidy - g).toDouble) * log(lit(1.0) - col("maf")))
+        .otherwise(lit(0.0)) +
         col(s"gl_$g")).as(s"__post_$g")
     }
     val withPost = withMaf.select(col("*") +: posts: _*)

@@ -67,10 +67,26 @@ object Sam {
     }.toOption
   }
 
-  /** Distributed SAM text scan. */
-  def read(spark: SparkSession, path: String, sampleId: String = "sample"): Dataset[Read] = {
+  /** Distributed SAM text scan. With no explicit `sampleId`, the sample
+    * name comes from the header's first `@RG SM:` tag — same rule as
+    * [[Bam.read]] and as the reference's loader (ADAM attaches the RG
+    * sample to every record) — falling back to "sample" for untagged
+    * files. The header probe is one tiny driver-side read of the file's
+    * leading lines, not a second full scan.
+    */
+  def read(spark: SparkSession, path: String, sampleId: String = null): Dataset[Read] = {
     import spark.implicits._
-    spark.read.textFile(path).flatMap(parseLine(_, sampleId))
+    val sample = Option(sampleId).getOrElse(headerSample(spark, path))
+    spark.read.textFile(path).flatMap(parseLine(_, sample))
+  }
+
+  /** First `@RG SM:` tag of the SAM header, else "sample". */
+  private def headerSample(spark: SparkSession, path: String): String = {
+    import spark.implicits._
+    spark.read.textFile(path)
+      .filter(_.startsWith("@RG")).limit(1).collect().headOption
+      .flatMap(_.split("\t").find(_.startsWith("SM:")).map(_.substring(3)))
+      .getOrElse("sample")
   }
 
   /** Sequence dictionary from the file's @SQ header lines (P4). */

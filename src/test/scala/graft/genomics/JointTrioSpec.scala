@@ -83,6 +83,29 @@ class JointTrioSpec extends SparkSpec {
     assert(s1.getAs[Long]("siteDepth") === 90)
   }
 
+  test("joint caller: MAF = 1.0 recalls with no prior (reference boundary)") {
+    import spark.implicits._
+    // every sample hom-alt -> maf = 1.0; the binomial prior is undefined
+    // there (log(1-maf) = -inf, and 0 * -inf = NaN would poison the
+    // argmax). Reference JointAnnotatorCaller.scala:162-166 recalls with
+    // an EMPTY prior at the boundary: posterior = likelihoods alone.
+    // This is the everyday single-sample pipeline case (CLI jointer on
+    // one sample's calls: every emitted alt site has maf 1.0 or 0.5).
+    val squared = Seq(
+      gt(10, "C", "s1", 2, (-20.0, -5.0, -0.2)),
+      gt(10, "C", "s2", 2, (-18.0, -4.0, -0.3))
+    ).toDF(cols: _*)
+    val rows = JointAnnotatorCaller(squared).collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getAs[Double]("maf") === 1.0))
+    assert(rows.forall(_.getAs[Int]("recalledState") === 2),
+      "GL argmax must survive the degenerate prior")
+    val s1 = rows.find(_.getAs[String]("sampleId") == "s1").get
+    // quality = best - second of the bare GLs
+    assert(math.abs(s1.getAs[Double]("recalledQuality") -
+      math.rint(10.0 / math.log(10.0) * (-0.2 - -5.0) * 1000) / 1000) < 1e-9)
+  }
+
   test("trio caller phases hets and flags Mendelian violations") {
     import spark.implicits._
     val gts = Seq(
