@@ -5,7 +5,7 @@ import java.awt.image.BufferedImage
 import javax.imageio.ImageIO
 import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media carried as opaque `binary` columns
@@ -38,18 +38,28 @@ object Multimodal {
     *    fixed-header writer, incl. `javax.sound`, emits). Non-canonical
     *    chunk orders (LIST/fact chunks first) fall back to null frames
     *    rather than guessing.
+    *  - MP4 (ISO BMFF): leading `ftyp` box identifies the container;
+    *    `timescale`/`duration_ts` are the big-endian mvhd fields when
+    *    the file has the canonical leading layout (`moov` directly
+    *    after `ftyp`, version-0 `mvhd` as its first child — the shape
+    *    faststart muxers emit). The mvhd offset is DYNAMIC (ftyp box
+    *    size is read from the payload), still a pure Column expr.
+    *    Non-canonical layouts (moov at EOF) identify as "mp4" with
+    *    null fields rather than guessing.
     *  - Anything else: metadata columns null — the declarative analog
     *    of decodeBatch's bad-payload row drop; count unknowns with
     *    [[extractMetaObserved]] or `container IS NULL`.
     *
-    * Scale: a narrow per-row projection over the first 44 payload
-    * bytes; with parquet this reads only the scanned binary column, no
+    * Scale: a narrow per-row projection over the leading payload bytes;
+    * with parquet this reads only the scanned binary column, no
     * shuffle, no full-payload decode.
     */
   def extractMeta(df: DataFrame, binCol: String = "payload"): DataFrame = {
     val bin = col(binCol)
     // big-endian u32 at 1-based byte offset (hex() emits uppercase)
     def beU32(off: Int) = conv(hex(substring(bin, off, 4)), 16, 10).cast("long")
+    // as beU32, at a data-dependent 1-based offset
+    def beU32At(off: Column) = conv(hex(bin.substr(off, lit(4))), 16, 10).cast("long")
     // little-endian uint at 1-based byte offset: per-byte hex, reversed
     def leU(off: Int, len: Int) =
       conv(concat((off + len - 1 to off by -1).map(i => hex(substring(bin, i, 1))): _*), 16, 10)
@@ -60,9 +70,18 @@ object Multimodal {
       hex(substring(bin, 9, 8)) === "57415645666D7420" // "WAVEfmt "
     val wavCanonicalData = hex(substring(bin, 37, 4)) === "64617461" // "data"
     val blockAlign = leU(33, 2)
+    val isMp4 = hex(substring(bin, 5, 4)) === "66747970" // "ftyp"
+    // canonical ISO BMFF leading layout: the moov box directly follows
+    // ftyp (box size = bytes 1-4) and opens with a version-0 mvhd
+    val moov = beU32(1) // 0-based offset of the box after ftyp
+    val mp4Canonical = isMp4 && moov.between(16L, 1L << 20) &&
+      hex(bin.substr(moov + 5, lit(4))) === "6D6F6F76" && // "moov"
+      hex(bin.substr(moov + 13, lit(4))) === "6D766864" && // "mvhd" first child
+      hex(bin.substr(moov + 17, lit(1))) === "00" // mvhd version 0
     df.withColumn("n_bytes", length(bin))
       .withColumn("container",
-        when(isPng, lit("png")).when(isWav, lit("wav")).otherwise(lit(null).cast("string")))
+        when(isPng, lit("png")).when(isWav, lit("wav")).when(isMp4, lit("mp4"))
+          .otherwise(lit(null).cast("string")))
       .withColumn("width", when(isPng, beU32(17)))
       .withColumn("height", when(isPng, beU32(21)))
       .withColumn("channels", when(isWav, leU(23, 2)))
@@ -71,6 +90,10 @@ object Multimodal {
         when(isPng, lit(1L))
           .when(isWav && wavCanonicalData && blockAlign > 0,
             floor(leU(41, 4) / blockAlign).cast("long")))
+      // raw mvhd integers, no unit conversion — exact by construction
+      // (duration_ms would force a division; callers can divide)
+      .withColumn("timescale", when(mp4Canonical, beU32At(moov + 29)))
+      .withColumn("duration_ts", when(mp4Canonical, beU32At(moov + 33)))
   }
 
   /** As [[extractMeta]], additionally counting payloads that matched no
@@ -222,6 +245,37 @@ object Multimodal {
   def attachSynthWav(df: DataFrame, idCol: String, binCol: String = "payload"): DataFrame = {
     val mk = udf((id: Long) => synthWav(id))
     df.withColumn(binCol, mk(col(idCol).cast("long")))
+  }
+
+  /** Deterministic minimal MP4 (ISO BMFF): an `ftyp` box followed by a
+    * `moov` whose first (and only) child is a version-0 `mvhd` — the
+    * canonical leading layout faststart muxers emit, and exactly what
+    * [[extractMeta]]'s dynamic-offset parse reads. Timescale is the
+    * spec-recommended 600; duration (timescale units) is id-derived.
+    * No media track follows: this synthesizes the CONTAINER header the
+    * metadata path parses (sample data would live in a trailing mdat).
+    */
+  def synthMp4(id: Long): Array[Byte] = {
+    val duration = 600 + java.lang.Math.floorMod(id, 2401L).toInt // 1..5s @600
+    val buf = java.nio.ByteBuffer.allocate(132) // big-endian
+    def tag(s: String) = buf.put(s.getBytes("US-ASCII"))
+    buf.putInt(16); tag("ftyp"); tag("isom"); buf.putInt(0)
+    buf.putInt(116); tag("moov")
+    buf.putInt(108); tag("mvhd")
+    buf.putInt(0)               // version 0 + flags
+    buf.putInt(0).putInt(0)     // creation/modification time
+    buf.putInt(600)             // timescale
+    buf.putInt(duration)        // duration (timescale units)
+    buf.putInt(0x00010000)      // rate 1.0
+    buf.putShort(0x0100.toShort) // volume 1.0
+    buf.putShort(0)             // reserved
+    buf.putInt(0).putInt(0)     // reserved
+    buf.putInt(0x00010000).putInt(0).putInt(0) // unity matrix
+    buf.putInt(0).putInt(0x00010000).putInt(0)
+    buf.putInt(0).putInt(0).putInt(0x40000000)
+    (0 until 6).foreach(_ => buf.putInt(0)) // pre_defined
+    buf.putInt(2)               // next_track_id
+    buf.array()
   }
 
   /** Real audio decode: `javax.sound.sampled` parses the WAVE container

@@ -1231,20 +1231,24 @@ object Oracles {
         |FROM ph""".stripMargin,
 
     // real header parse: Spark synthesizes a PNG (javax.imageio), a WAV
-    // (javax.sound), or raw text bytes per doc and reads container
-    // metadata back OUT OF THE HEADER BYTES; the oracle states the
-    // closed-form truth of what each JDK writer must have emitted —
-    // equality proves the IHDR/fmt fields were actually parsed
+    // (javax.sound), a minimal MP4 (hand-built ftyp+moov/mvhd), or raw
+    // text bytes per doc and reads container metadata back OUT OF THE
+    // HEADER BYTES; the oracle states the closed-form truth of what each
+    // writer must have emitted — equality proves the IHDR/fmt/mvhd
+    // fields were actually parsed
     "m1_multimodal_meta" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'png'
-        |       WHEN doc_id % 3 = 1 THEN 'wav' END AS container,
-        |  (CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 9 END)::BIGINT AS width,
-        |  (CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 7 END)::BIGINT AS height,
-        |  (CASE WHEN doc_id % 3 = 1 THEN 1 END)::BIGINT AS channels,
-        |  (CASE WHEN doc_id % 3 = 1 THEN 8000 END)::BIGINT AS sample_rate,
-        |  (CASE WHEN doc_id % 3 = 0 THEN 1
-        |        WHEN doc_id % 3 = 1 THEN 64 + doc_id % 33 END)::BIGINT AS n_frames
+        |  CASE WHEN doc_id % 4 = 0 THEN 'png'
+        |       WHEN doc_id % 4 = 1 THEN 'wav'
+        |       WHEN doc_id % 4 = 2 THEN 'mp4' END AS container,
+        |  (CASE WHEN doc_id % 4 = 0 THEN 8 + doc_id % 9 END)::BIGINT AS width,
+        |  (CASE WHEN doc_id % 4 = 0 THEN 8 + doc_id % 7 END)::BIGINT AS height,
+        |  (CASE WHEN doc_id % 4 = 1 THEN 1 END)::BIGINT AS channels,
+        |  (CASE WHEN doc_id % 4 = 1 THEN 8000 END)::BIGINT AS sample_rate,
+        |  (CASE WHEN doc_id % 4 = 0 THEN 1
+        |        WHEN doc_id % 4 = 1 THEN 64 + doc_id % 33 END)::BIGINT AS n_frames,
+        |  (CASE WHEN doc_id % 4 = 2 THEN 600 END)::BIGINT AS timescale,
+        |  (CASE WHEN doc_id % 4 = 2 THEN 600 + doc_id % 2401 END)::BIGINT AS duration_ts
         |FROM documents""".stripMargin,
 
     // real image decode: Spark synthesizes a PNG whose every sample is

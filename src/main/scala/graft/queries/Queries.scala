@@ -1389,25 +1389,28 @@ object Queries {
 
   // ---- multimodal plumbing (M1) ----------------------------------------
 
-  /** Real header-parse metadata (M1): a mixed binary corpus — one third
-    * real PNGs (deterministic dims 8+id%9 x 8+id%7), one third real WAVs
-    * (mono 8 kHz, 64+id%33 frames), one third raw text bytes — through
-    * the declarative header parser. The oracle carries the closed-form
-    * truth for every header field, so a green hash proves the Column
-    * expressions read the actual IHDR/fmt bytes the JDK writers emitted
-    * (and that unknown containers null out rather than fabricate).
+  /** Real header-parse metadata (M1): a mixed binary corpus — a quarter
+    * each real PNGs (deterministic dims 8+id%9 x 8+id%7), real WAVs
+    * (mono 8 kHz, 64+id%33 frames), minimal MP4s (mvhd timescale 600,
+    * duration 600+id%2401), and raw text bytes — through the declarative
+    * header parser. The oracle carries the closed-form truth for every
+    * header field, so a green hash proves the Column expressions read
+    * the actual IHDR/fmt/mvhd bytes the writers emitted (and that
+    * unknown containers null out rather than fabricate).
     */
   def m1_multimodal_meta(spark: SparkSession, dir: String): DataFrame = {
     val mk = udf { (id: Long) =>
-      java.lang.Math.floorMod(id, 3L) match {
+      java.lang.Math.floorMod(id, 4L) match {
         case 0L => Multimodal.synthPng(id)
         case 1L => Multimodal.synthWav(id)
+        case 2L => Multimodal.synthMp4(id)
         case _  => ("text:" + id).getBytes(java.nio.charset.StandardCharsets.UTF_8)
       }
     }
     Multimodal.extractMeta(
       t(spark, dir, "documents").withColumn("payload", mk(col("doc_id").cast("long"))))
-      .select("doc_id", "container", "width", "height", "channels", "sample_rate", "n_frames")
+      .select("doc_id", "container", "width", "height", "channels", "sample_rate",
+        "n_frames", "timescale", "duration_ts")
   }
 
   /** Frame sampling + per-frame fingerprint: the explode-shaped video

@@ -714,18 +714,20 @@ class ScaleOpsSpec extends SparkSpec {
       out(4L).getInt(3) === 0 && out(4L).getString(4) === docs.collect()(3).getString(1))
   }
 
-  test("extractMeta parses real PNG IHDR and WAV fmt headers; unknowns null out") {
+  test("extractMeta parses real PNG IHDR, WAV fmt, MP4 mvhd headers; unknowns null out") {
     import spark.implicits._
     val rows = Seq(
       (10L, Multimodal.synthPng(10L)),                  // 8+10%9=9 x 8+10%7=11
       (7L, Multimodal.synthWav(7L)),                    // mono 8kHz, 64+7%33=71 frames
+      (9L, Multimodal.synthMp4(9L)),                    // ts 600, dur 600+9%2401=609
       (3L, "just some text".getBytes("UTF-8")),         // unknown container
       (4L, Array[Byte](0x89.toByte, 0x50)),             // truncated PNG magic
       (5L, null.asInstanceOf[Array[Byte]]))             // null payload
       .toDF("doc_id", "payload")
     val obs = new org.apache.spark.sql.Observation("meta")
     val out = Multimodal.extractMetaObserved(rows, obs)
-      .select("doc_id", "container", "width", "height", "channels", "sample_rate", "n_frames")
+      .select("doc_id", "container", "width", "height", "channels", "sample_rate",
+        "n_frames", "timescale", "duration_ts")
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(out(10L).getString(1) === "png")
     assert(out(10L).getLong(2) === 9L && out(10L).getLong(3) === 11L,
@@ -737,13 +739,31 @@ class ScaleOpsSpec extends SparkSpec {
       "channels/rate must come from the fmt chunk")
     assert(out(7L).getLong(6) === 71L, "n_frames = data size / block align")
     assert(out(7L).isNullAt(2) && out(7L).isNullAt(3), "no pixel dims on audio")
+    assert(out(9L).getString(1) === "mp4")
+    assert(out(9L).getLong(7) === 600L && out(9L).getLong(8) === 609L,
+      "timescale/duration must come from the mvhd bytes at the ftyp-derived offset")
+    (2 to 6).foreach(i => assert(out(9L).isNullAt(i), s"no image/audio fields on video (col $i)"))
     Seq(3L, 4L).foreach { id =>
       assert(out(id).isNullAt(1), s"doc $id is no known container")
-      (2 to 6).foreach(i => assert(out(id).isNullAt(i), s"doc $id col $i must be null"))
+      (2 to 8).foreach(i => assert(out(id).isNullAt(i), s"doc $id col $i must be null"))
     }
     assert(out(5L).isNullAt(1), "null payload parses to nulls, not an error")
     // the observed metric counts non-null unknowns only (3 and 4)
     assert(obs.get("unknown_payloads") === 2L)
+  }
+
+  test("extractMeta: non-canonical MP4 (moov not after ftyp) identifies but nulls fields") {
+    import spark.implicits._
+    // real-world late-moov file: ftyp then mdat; moov would sit at EOF.
+    // The parse must say "mp4" and decline to guess mvhd fields.
+    val ftyp = java.util.Arrays.copyOfRange(Multimodal.synthMp4(1L), 0, 16)
+    val mdat = java.nio.ByteBuffer.allocate(16)
+      .putInt(16).put("mdat".getBytes("US-ASCII")).putLong(0L).array()
+    val bytes = ftyp ++ mdat
+    val out = Multimodal.extractMeta(Seq((1L, bytes)).toDF("doc_id", "payload"))
+      .select("container", "timescale", "duration_ts").collect().head
+    assert(out.getString(0) === "mp4")
+    assert(out.isNullAt(1) && out.isNullAt(2))
   }
 
   test("extractMeta header fields survive the parquet sink -> scan path") {
