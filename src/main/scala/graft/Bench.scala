@@ -65,6 +65,7 @@ object Bench {
     "d11_incremental_minhash",
     "d12_cluster_keepers",
     "ev10_stream_incremental_dedup",
+    "ev11_stream_neardup",
     "e7_quantized_topk",
     "e8_hamming_topk",
     "e9_batch_ann",

@@ -109,6 +109,7 @@ object SparkEntry {
     "d13_semantic_prune" -> (Queries.d13_semantic_prune _),
     "d14_contamination_score" -> (Queries.d14_contamination_score _),
     "ev10_stream_incremental_dedup" -> (Queries.ev10_stream_incremental_dedup _),
+    "ev11_stream_neardup" -> (Queries.ev11_stream_neardup _),
     "t9_url_stats" -> (Queries.t9_url_stats _),
     "c3_pack_sequences" -> (Queries.c3_pack_sequences _),
     "m1_multimodal_meta" -> (Queries.m1_multimodal_meta _),

@@ -602,6 +602,27 @@ object Dedup {
     // localCheckpoint (the bloomDecontaminateWithRelease pattern).
     val bSigs = minHashSignatures(newDocs, idCol, textCol, n, k, hashFamily)
       .localCheckpoint()
+    incrementalMinHashFromSigs(
+      newDocs.select(col(idCol).as("doc_id")), bSigs,
+      historySigs, historyBands, k, bands, minAgree, hashFamily)
+  }
+
+  /** [[incrementalMinHash]] core against PRECOMPUTED batch signatures —
+    * for callers that need the signatures afterwards anyway (the
+    * streaming ingest path appends them to the persistent index) and
+    * must not pay the k-pass shingle kernel twice. `batchIds` carries
+    * one `doc_id` per batch doc; `bSigs` should be materialized
+    * (checkpointed) by the caller, since it feeds five plan subtrees.
+    */
+  def incrementalMinHashFromSigs(
+      batchIds: DataFrame,
+      bSigs: DataFrame,
+      historySigs: DataFrame,
+      historyBands: DataFrame,
+      k: Int,
+      bands: Int,
+      minAgree: Double,
+      hashFamily: String): DataFrame = {
     val bBands = minHashBandIndex(bSigs, k, bands, hashFamily)
     // history probe: shared band bucket -> candidate (batch, history)
     // pair; exact signature agreement kills LSH false positives
@@ -618,8 +639,7 @@ object Dedup {
     // within-batch: verified pairs drop the larger id
     val inBatchDrops = pairsFromSignatures(bSigs, k, bands, minAgree, hashFamily)
       .select(col("doc_b").as("doc_id")).distinct()
-    newDocs.select(col(idCol).as("doc_id"))
-      .join(histHits.unionByName(inBatchDrops), Seq("doc_id"), "left_anti")
+    batchIds.join(histHits.unionByName(inBatchDrops), Seq("doc_id"), "left_anti")
   }
 
   /** Duplicate-cluster resolution: turn a near-dup PAIR list (the output

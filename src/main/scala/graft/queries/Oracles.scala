@@ -1098,6 +1098,9 @@ object Oracles {
         |WHERE fp NOT IN (SELECT fp FROM hist)""".stripMargin,
 
     "d11_incremental_minhash" -> d11Sql,
+    // streaming near-dup ingest: index-absorbs-all-seen makes the
+    // survivor set batch-boundary invariant == d11's rule exactly
+    "ev11_stream_neardup" -> d11Sql,
     "d12_cluster_keepers" -> d12Sql,
 
     // SemDeDup dominance prune: cell = nearest of centroids 1..8 (max

@@ -1303,6 +1303,33 @@ object Queries {
       spark.table(name).distinct()
     }
 
+  /** Streaming incremental NEAR-dup ingest (the minhash twin of ev10):
+    * the batch stream (doc_id % 3 != 0) dedupes against a persistent
+    * signature + band index seeded from the history corpus
+    * (doc_id % 3 == 0), with the index absorbing each seen batch — d3's
+    * (n=3, k=64, bands=32, minAgree=0.5) parameters, md5 family so the
+    * oracle reproduces signatures/buckets/agreement exactly. Because
+    * the index absorbs ALL seen docs, the survivor set is
+    * batch-boundary invariant and shares d11's oracle rule; multi-batch
+    * state evidence lives in StreamingNearDupSpec.
+    */
+  def ev11_stream_neardup(spark: SparkSession, dir: String): DataFrame =
+    withStagedTable(dir, "documents.parquet", "ev11_stream") { staged =>
+      val tmp = java.nio.file.Files.createTempDirectory("ev11_idx").toString
+      val hist = t(spark, dir, "documents").where(col("doc_id") % 3 === 0)
+      val hSigs = Dedup.minHashSignatures(hist, "doc_id", "text",
+        n = 3, k = 64, hashFamily = "md5")
+      hSigs.write.parquet(s"$tmp/sigs")
+      Dedup.minHashBandIndex(hSigs, k = 64, bands = 32, hashFamily = "md5")
+        .write.parquet(s"$tmp/bands")
+      val docs = graft.streaming.StreamingOps.readDocuments(spark, staged)
+        .where(col("doc_id") % 3 =!= 0)
+      graft.streaming.StreamingOps.incrementalNearDupStream(
+        docs, "doc_id", "text", s"$tmp/sigs", s"$tmp/bands", s"$tmp/out",
+        n = 3, k = 64, bands = 32, minAgree = 0.5, hashFamily = "md5")
+      spark.read.parquet(s"$tmp/out").select("doc_id")
+    }
+
   /** Incremental exact dedup: every third document plays the existing
     * corpus (as a fingerprint index); the rest is the new batch,
     * deduped within itself and against history.

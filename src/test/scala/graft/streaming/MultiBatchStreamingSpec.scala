@@ -124,4 +124,38 @@ class MultiBatchStreamingSpec extends SparkSpec {
         .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString)
     assert(fps === expected)
   }
+
+  test("near-dup ingest: index growth drops a later-batch near-duplicate") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val docs = Seq(
+      (10L, s"$base mu", "en", "web", 1L),   // near-dup of the history doc
+      (20L, "one two three four five six seven eight nine ten eleven twelve",
+        "en", "web", 1L),                     // fresh -> survives
+      (30L, "one two three four five six seven eight nine ten eleven dozen",
+        "en", "web", 1L),                     // near-dup of 20, LATER batch
+      (40L, "red orange yellow green blue indigo violet black white gray pink teal",
+        "en", "web", 1L)                      // fresh -> survives
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // doc_id order == file order: doc 30's only near-dup (20) was seen a
+    // micro-batch earlier, so dropping it requires the persistent index
+    // to have absorbed batch 2 before batch 3 runs
+    val dir = stageSplitParquet(docs, parts = 4, sortCol = "doc_id")
+    val tmp = java.nio.file.Files.createTempDirectory("neardup_idx").toString
+    val history = Seq((100L, s"$base nu")).toDF("doc_id", "text")
+    val hSigs = graft.operators.Dedup.minHashSignatures(history, "doc_id", "text", n = 3, k = 32)
+    hSigs.write.parquet(s"$tmp/sigs")
+    graft.operators.Dedup.minHashBandIndex(hSigs, k = 32, bands = 8)
+      .write.parquet(s"$tmp/bands")
+    StreamingOps.incrementalNearDupStream(
+      StreamingOps.readDocuments(spark, s"$dir/*.parquet", maxFilesPerTrigger = Some(1)),
+      "doc_id", "text", s"$tmp/sigs", s"$tmp/bands", s"$tmp/out")
+    val survivors = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(20L, 40L),
+      "10 must drop vs history; 30 must drop vs the batch-2 index entry")
+    // the index absorbed every seen doc (history + all 4 batch docs)
+    assert(spark.read.parquet(s"$tmp/sigs").select("doc_id").as[Long]
+      .collect().toSet === Set(100L, 10L, 20L, 30L, 40L))
+  }
 }
