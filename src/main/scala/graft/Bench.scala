@@ -66,6 +66,8 @@ object Bench {
     "d12_cluster_keepers",
     "ev10_stream_incremental_dedup",
     "ev11_stream_neardup",
+    "ev12_stream_ann",
+    "e10_kmeans_train",
     "e7_quantized_topk",
     "e8_hamming_topk",
     "e9_batch_ann",

@@ -110,6 +110,8 @@ object SparkEntry {
     "d14_contamination_score" -> (Queries.d14_contamination_score _),
     "ev10_stream_incremental_dedup" -> (Queries.ev10_stream_incremental_dedup _),
     "ev11_stream_neardup" -> (Queries.ev11_stream_neardup _),
+    "ev12_stream_ann" -> (Queries.ev12_stream_ann _),
+    "e10_kmeans_train" -> (Queries.e10_kmeans_train _),
     "t9_url_stats" -> (Queries.t9_url_stats _),
     "c3_pack_sequences" -> (Queries.c3_pack_sequences _),
     "m1_multimodal_meta" -> (Queries.m1_multimodal_meta _),

@@ -190,14 +190,44 @@ object SimilaritySearch {
     */
   def batchAnnTopK(df: DataFrame, idCol: String, embCol: String, dim: Int,
       queries: Seq[(Long, Array[Double])], k: Int,
+      nBits: Int = 8, seed: Long = 42, nProbes: Int = 1): DataFrame =
+    batchTopKOverBuckets(lshBuckets(df, idCol, embCol, dim, nBits, seed),
+      idCol, embCol, dim, queries, k, nBits, seed, nProbes)
+
+  /** [[batchAnnTopK]] against a [[writeBucketed]] table: the probe scan
+    * is partition-PRUNED to the union of the batch's probe buckets (a
+    * literal isin over the partition column) before the bucket join —
+    * at 100 TB the batch reads nProbes·|queries|/2^nBits of the corpus
+    * at most, not all of it. This is the serving read path; the
+    * streaming twin ([[graft.streaming.StreamingOps.annServeStream]])
+    * calls it once per micro-batch.
+    */
+  def batchAnnTopKBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, embCol: String, dim: Int,
+      queries: Seq[(Long, Array[Double])], k: Int,
       nBits: Int = 8, seed: Long = 42, nProbes: Int = 1): DataFrame = {
     require(queries.nonEmpty, "need at least one query vector")
-    val spark = df.sparkSession
+    val allBuckets = queries
+      .flatMap { case (_, qv) => probeBuckets(qv, dim, nBits, seed, nProbes) }
+      .distinct
+    val bucketed = spark.read.parquet(path)
+      .where(col("bucket").isin(allBuckets: _*))
+    batchTopKOverBuckets(bucketed, idCol, embCol, dim, queries, k, nBits, seed, nProbes)
+  }
+
+  /** Shared candidate-join + bounded-top-K tail of the batched ANN
+    * paths; `bucketed` must carry (idCol, embCol, bucket).
+    */
+  private def batchTopKOverBuckets(bucketed: DataFrame, idCol: String,
+      embCol: String, dim: Int, queries: Seq[(Long, Array[Double])], k: Int,
+      nBits: Int, seed: Long, nProbes: Int): DataFrame = {
+    require(queries.nonEmpty, "need at least one query vector")
+    val spark = bucketed.sparkSession
     import spark.implicits._
     val probes = queries.flatMap { case (qid, qv) =>
       probeBuckets(qv, dim, nBits, seed, nProbes).map(b => (qid, b, qv.toSeq))
     }.toDF("qid", "bucket", "qv")
-    val cand = lshBuckets(df, idCol, embCol, dim, nBits, seed)
+    val cand = bucketed
       .join(broadcast(probes), "bucket")
       .select(col("qid"), col(idCol).cast("long").as("cand_id"),
         graft.functions.NativeExpressions.cosine_sim(
@@ -353,6 +383,44 @@ object SimilaritySearch {
       .select(col("cell"), (col("pos") + 1).as("dim"), col("col").as("x"))
       .groupBy("cell", "dim")
       .agg(round(avg(col("x")), scale).as("mean"))
+
+  /** Full Lloyd training loop: `iters` [[kmeansStep]] rounds, each
+    * collecting the K×D centroid table to the driver (parameter-sized —
+    * the same class of fetch as the e4/e5 centroid init; the CORPUS
+    * never leaves the cluster, each round is one narrow assignment scan
+    * + one (cells × dims)-row partial+final agg). A cell that captures
+    * no vectors keeps its previous centroid (the standard
+    * empty-cluster rule). Rounding each round's means to `scale`
+    * decimals makes the trajectory ENGINE-REPRODUCIBLE: both engines
+    * feed bit-identical centroids into every round, so the oracle can
+    * unroll the same loop in SQL. Converged rounds short-circuit
+    * (new == previous is a fixed point: re-running the step cannot
+    * change the assignment, so skipped rounds are observationally
+    * free). Returns the final (cell, dim [1-based], mean) table.
+    */
+  def kmeansTrain(df: DataFrame, idCol: String, embCol: String,
+      init: Seq[(Long, Array[Double])], iters: Int, scale: Int = 6): DataFrame = {
+    require(init.nonEmpty, "need at least one initial centroid")
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cents = init.sortBy(_._1)
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      val rows = kmeansStep(df, idCol, embCol, cents, scale).collect()
+      val byCell = rows.groupBy(_.getLong(0)).map { case (cell, rs) =>
+        cell -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+      }
+      val next = cents.map { case (cid, cv) => (cid, byCell.getOrElse(cid, cv)) }
+      converged = next.zip(cents).forall { case ((_, a), (_, b)) => a.sameElements(b) }
+      cents = next
+      it += 1
+    }
+    cents.flatMap { case (cid, cv) =>
+      cv.iterator.zipWithIndex.map { case (m, i) => (cid, i + 1, m) }
+    }.toDF("cell", "dim", "mean")
+  }
 
   /** Recall of an approximate top-k result against the exact top-k:
     * |approx ∩ exact| / k — the evaluation loop every ANN deployment

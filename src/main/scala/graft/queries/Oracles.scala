@@ -1427,6 +1427,8 @@ object Oracles {
     "e2_ann_topk" -> e2Sql,
     "e6_ann_recall" -> e6Sql,
     "e9_batch_ann" -> e9Sql,
+    "ev12_stream_ann" -> ev12Sql,
+    "e10_kmeans_train" -> e10Sql,
 
     // sign-sketch Hamming top-k: the oracle counts sign mismatches
     // directly (no bit packing needed in SQL — the count is what the
@@ -1611,7 +1613,15 @@ object Oracles {
     * Fully dynamic SQL — per-query margins and probe sets computed in
     * windows, no per-query duplication.
     */
-  private def e9Sql: String = {
+  private def e9Sql: String = batchAnnSql("vec_id IN (0, 1, 2)")
+
+  /** ev12 = e9's batch rule over the streamed query set (per-query
+    * results are independent, so streaming output is batch-boundary
+    * invariant; multi-batch evidence in StreamingAnnSpec).
+    */
+  private def ev12Sql: String = batchAnnSql("vec_id % 100 = 7")
+
+  private def batchAnnSql(queryPred: String): String = {
     val planes = graft.operators.SimilaritySearch.hyperplanes(64, 4, 42)
     val planeLits = planes.map(_.map(_.toString).mkString("[", ", ", "]"))
     val margins = planeLits.zipWithIndex
@@ -1625,7 +1635,7 @@ object Oracles {
        |  FROM e),
        |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb,
        |  $margins
-       |  FROM b WHERE vec_id IN (0, 1, 2)),
+       |  FROM b WHERE $queryPred),
        |pm AS (
        |  SELECT q.qid, q.qv, xor(mask.range, q.qb) AS pb,
        |    row_number() OVER (PARTITION BY q.qid ORDER BY ($flipCost), mask.range) AS prk
@@ -1649,6 +1659,36 @@ object Oracles {
     * all 2^4 flip masks ranked by the total |margin| of flipped planes
     * (ties by mask), top 4, XOR'd onto the query bucket.
     */
+  /** e10: the 3-round Lloyd loop unrolled — per-round rounding to 6
+    * decimals pins each round's centroid table cross-engine, so round
+    * i+1's assignment sees bit-identical centroids in both engines
+    * (the same contract that keeps e5 green, iterated). Assignment =
+    * nearest-of-K by cosine, ties to the lowest centroid id, exactly
+    * kmeansStep's rule.
+    */
+  private def e10Sql: String = {
+    val assign = (src: String, cents: String) =>
+      s"""(SELECT e.vec_id, c.cid,
+         |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    list_dot_product(e.v, c.cv)
+         |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+         |    c.cid) AS rn
+         |  FROM e CROSS JOIN $cents c)""".stripMargin
+    val iter = (i: Int) =>
+      s"""s$i AS ${assign("e", s"c${i - 1}")},
+         |m$i AS (SELECT s.cid AS cell, x.dim, round(avg(x.x), 6) AS mean
+         |  FROM s$i s JOIN xv x ON s.vec_id = x.vec_id
+         |  WHERE s.rn = 1 GROUP BY s.cid, x.dim),
+         |c$i AS (SELECT cell AS cid, list(mean ORDER BY dim) AS cv FROM m$i GROUP BY cell)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |xv AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS dim, unnest(v) AS x FROM e),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT cell, dim, mean FROM m3""".stripMargin
+  }
+
   private def e6Sql: String = {
     val planes = graft.operators.SimilaritySearch.hyperplanes(64, 4, 42)
     val planeLits = planes.map(_.map(_.toString).mkString("[", ", ", "]"))

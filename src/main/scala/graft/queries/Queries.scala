@@ -1414,6 +1414,44 @@ object Queries {
     SimilaritySearch.kmeansStep(emb, "vec_id", "embedding", cent)
   }
 
+  /** Full Lloyd TRAINING loop (3 rounds from the e5 init): per-round
+    * means are rounded to 6 decimals, which pins the whole trajectory
+    * cross-engine — the oracle unrolls the identical 3 rounds in SQL.
+    * The corpus never leaves the cluster; only the K×D centroid table
+    * does, once per round.
+    */
+  def e10_kmeans_train(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val init = emb.where(col("vec_id").between(1, 8))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    SimilaritySearch.kmeansTrain(emb, "vec_id", "embedding", init, iters = 3)
+  }
+
+  /** Streaming ANN serving (the stream twin of e9): query vectors
+    * (vec_id % 100 = 7) arrive as a micro-batch stream; each batch
+    * probes the bucketed corpus written once by writeBucketed —
+    * partition-pruned to the batch's probe buckets — and appends its
+    * per-query top-10 (nBits=4, 4 probes, e9's parameters). Per-query
+    * results are independent ⇒ batch-boundary invariant ⇒ the oracle
+    * is e9's batch rule over the streamed query set; multi-batch
+    * serving evidence lives in StreamingAnnSpec.
+    */
+  def ev12_stream_ann(spark: SparkSession, dir: String): DataFrame =
+    withStagedTable(dir, "embeddings.parquet", "ev12_stream") { staged =>
+      val tmp = java.nio.file.Files.createTempDirectory("ev12_idx").toString
+      SimilaritySearch.writeBucketed(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, path = s"$tmp/corpus", nBits = 4)
+      val queries = graft.streaming.StreamingOps.readEmbeddings(spark, staged)
+        .where(col("vec_id") % 100 === 7)
+      graft.streaming.StreamingOps.annServeStream(
+        queries, "vec_id", "embedding", s"$tmp/corpus", s"$tmp/out",
+        dim = 64, k = 10, nBits = 4, nProbes = 4)
+      spark.read.parquet(s"$tmp/out")
+    }
+
   // ---- multimodal plumbing (M1) ----------------------------------------
 
   /** Real header-parse metadata (M1): a mixed binary corpus — a quarter

@@ -391,6 +391,40 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("kmeans train: converges to planted centers, short-circuits at the fixed point, carries empty cells") {
+    import spark.implicits._
+    val dim = 4
+    val rnd = new scala.util.Random(5)
+    def around(base: Array[Double]) =
+      base.map(c => (c + 0.1 * rnd.nextGaussian()).toFloat)
+    val ca = Array(5.0, 5.0, 5.0, 5.0)
+    val cb = Array(-5.0, -5.0, -5.0, -5.0)
+    val a = (0L until 30L).map(i => (i, around(ca)))
+    val b = (100L until 130L).map(i => (i, around(cb)))
+    val df = (a ++ b).toDF("vec_id", "embedding")
+    // centroid 7 is orthogonal to both clusters (cos ~0 vs ~1): it can
+    // never win a point, so its cell stays empty every round
+    val orphan = Array(1.0, -1.0, 1.0, -1.0)
+    val init = Seq(0L -> a.head._2.map(_.toDouble),
+      100L -> b.head._2.map(_.toDouble), 7L -> orphan)
+    val trained = SimilaritySearch
+      .kmeansTrain(df, "vec_id", "embedding", init, iters = 10)
+      .as[(Long, Int, Double)].collect()
+    assert(trained.length === 3 * dim)
+    trained.foreach {
+      case (7L, d, m) => assert(m === orphan(d - 1), "empty cell keeps its init centroid")
+      case (cell, _, m) =>
+        val want = if (cell == 0L) 5.0 else -5.0
+        assert(math.abs(m - want) < 0.2, s"cell $cell mean $m")
+    }
+    // the loop is a fixed point well before 10 rounds: more rounds
+    // cannot change the result (the convergence short-circuit at work)
+    val more = SimilaritySearch
+      .kmeansTrain(df, "vec_id", "embedding", init, iters = 25)
+      .as[(Long, Int, Double)].collect()
+    assert(more.sortBy(t => (t._1, t._2)) === trained.sortBy(t => (t._1, t._2)))
+  }
+
   test("duplicated n-grams: cross-doc windows reported once per doc") {
     import spark.implicits._
     val shared = (1 to 13).map(i => s"w$i").mkString(" ")

@@ -158,4 +158,30 @@ class MultiBatchStreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/sigs").select("doc_id").as[Long]
       .collect().toSet === Set(100L, 10L, 20L, 30L, 40L))
   }
+
+  test("ANN serving: multi-batch streamed top-k equals the one-shot batch rule") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("ann_serve").toString
+    graft.operators.SimilaritySearch.writeBucketed(
+      emb, "vec_id", "embedding", dim = 64, path = s"$tmp/corpus", nBits = 4)
+    val qdf = emb.where(col("vec_id") % 100 === 7) // 5 queries at sf0.001
+    val dir = stageSplitParquet(qdf, parts = 3, sortCol = "vec_id")
+    val served = StreamingOps.annServeStream(
+      StreamingOps.readEmbeddings(spark, s"$dir/*.parquet", maxFilesPerTrigger = Some(1)),
+      "vec_id", "embedding", s"$tmp/corpus", s"$tmp/out",
+      dim = 64, k = 10, nBits = 4, nProbes = 4)
+    assert(served >= 3, s"expected >= 3 non-empty serving micro-batches, got $served")
+    val queries = qdf
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+    val oneShot = graft.operators.SimilaritySearch.batchAnnTopK(
+      emb, "vec_id", "embedding", dim = 64, queries = queries,
+      k = 10, nBits = 4, nProbes = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed === oneShot,
+      "per-query top-k must be batch-boundary invariant")
+  }
 }
