@@ -257,9 +257,20 @@ object Bench {
         // queries otherwise absorb reclamation as phantom regressions)
         System.gc()
         val t0 = System.nanoTime()
+        // in-query GC wall time: the one cumulative-state mechanism a
+        // CPU-only calibration probe cannot see (heap debris from prior
+        // queries surfaces as collection pauses inside later ones)
+        def gcMs: Long = {
+          import scala.jdk.CollectionConverters._
+          java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+        }
+        val gc0 = gcMs
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          name -> (System.nanoTime() - t0) / 1e9
+          val sec = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] $name $sec%.2fs gc=${gcMs - gc0}ms")
+          name -> sec
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: $e")
