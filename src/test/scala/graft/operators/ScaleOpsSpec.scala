@@ -303,6 +303,28 @@ class ScaleOpsSpec extends SparkSpec {
       s"expected partition pruning on bucket=$qb in:\n$plan")
   }
 
+  test("batched bucketed ANN: partition-pruned probe equals the in-memory batch rule") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 300L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("annb").toString + "/buckets"
+    SimilaritySearch.writeBucketed(df, "vec_id", "embedding", dim, dir, nBits = 4)
+    val queries = rows.take(3).map { case (id, v) => (id, v.map(_.toDouble)) }
+    val fromDisk = SimilaritySearch.batchAnnTopKBucketed(spark, dir,
+      "vec_id", "embedding", dim, queries, k = 5, nBits = 4, nProbes = 2)
+    val inMem = SimilaritySearch.batchAnnTopK(df,
+      "vec_id", "embedding", dim, queries, k = 5, nBits = 4, nProbes = 2)
+    assert(fromDisk.as[(Long, Long, Double)].collect().toSet ===
+      inMem.as[(Long, Long, Double)].collect().toSet)
+    // the batch probe must prune partition directories at the scan — the
+    // serving read path reads nProbes*|batch|/2^nBits of the corpus
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected partition pruning on the bucket key in:\n$plan")
+  }
+
   test("ANN recall gate: multi-probe recall@20 holds the documented floor") {
     val emb = spark.read.parquet(s"${sf("0.01")}/embeddings.parquet")
     val query = emb.where(col("vec_id") === 0)
