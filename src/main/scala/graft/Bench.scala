@@ -68,6 +68,7 @@ object Bench {
     "ev11_stream_neardup",
     "ev12_stream_ann",
     "e10_kmeans_train",
+    "e11_pq_topk",
     "e7_quantized_topk",
     "e8_hamming_topk",
     "e9_batch_ann",

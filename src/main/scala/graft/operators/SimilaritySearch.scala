@@ -422,6 +422,117 @@ object SimilaritySearch {
     }.toDF("cell", "dim", "mean")
   }
 
+  /** Product-quantization codebooks: the embedding space splits into
+    * `m` subspaces of dim/m components; each subspace gets `ksub`
+    * centroids. Here the codebooks are data-drawn (the subvectors of
+    * `ksub` designated corpus vectors — the same parameter-class fetch
+    * as the e4/e5 centroid init); [[kmeansTrain]] generalizes to
+    * refining them per subspace. Returns codebooks(m)(j) = centroid j
+    * of subspace m.
+    */
+  def pqCodebooks(df: DataFrame, idCol: String, embCol: String,
+      m: Int, ksub: Int, seedIds: Seq[Long]): Array[Array[Array[Double]]] = {
+    require(seedIds.length == ksub, s"need exactly $ksub seed vectors")
+    val seeds = df.where(col(idCol).isin(seedIds: _*))
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(t => seedIds.indexOf(t._1))
+    require(seeds.length == ksub, s"found ${seeds.length} of $ksub seed vectors")
+    val dim = seeds.head._2.length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    Array.tabulate(m, ksub) { (mi, j) =>
+      java.util.Arrays.copyOfRange(seeds(j)._2, mi * sub, (mi + 1) * sub)
+    }
+  }
+
+  /** PQ encode: each vector → m codes (argmin squared L2 distance to
+    * the subspace's centroids, ties to the lowest code). One-pass
+    * kernel UDF (the bestCell rationale); codes are the 100 TB storage
+    * format — m bytes a vector vs 4·dim for float32 (32x at m=8,
+    * dim=64), and ranking needs ONLY the codes ([[pqTopK]]).
+    * Distance math is sequential index-order adds, reproducible by any
+    * engine summing the same order.
+    */
+  def pqEncode(df: DataFrame, idCol: String, embCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val sub = codebooks(0)(0).length
+    val enc = udf((v: Seq[Double]) => {
+      if (v == null || v.length < m * sub) null
+      else {
+        val arr = v.toArray
+        val codes = new Array[Int](m)
+        var mi = 0
+        while (mi < m) {
+          var bestD = Double.MaxValue
+          var bestJ = 0
+          var j = 0
+          while (j < ksub) {
+            val c = codebooks(mi)(j)
+            var d = 0.0
+            var i = 0
+            while (i < sub) {
+              val x = arr(mi * sub + i) - c(i)
+              d += x * x
+              i += 1
+            }
+            if (d < bestD) { bestD = d; bestJ = j }
+            j += 1
+          }
+          codes(mi) = bestJ
+          mi += 1
+        }
+        codes
+      }
+    })
+    df.select(col(idCol), enc(col(embCol).cast("array<double>")).as("codes"))
+  }
+
+  /** PQ top-k by asymmetric distance (ADC): the query stays exact; the
+    * driver precomputes the m×ksub table of squared distances from each
+    * query subvector to each centroid (parameter-sized), and a corpus
+    * row's approximate distance is m table LOOKUPS summed — a pure
+    * codegen'd projection over the codes column, no float vectors read.
+    * Ranking (adist asc, id asc) via TakeOrderedAndProject, no global
+    * sort. This is the serving rung between int8 ([[quantizedTopK]])
+    * and the 1-bit sketch ([[hammingTopK]]): 32x compression with
+    * distance fidelity the sign sketch can't carry.
+    */
+  def pqTopK(df: DataFrame, idCol: String, embCol: String,
+      codebooks: Array[Array[Array[Double]]], query: Array[Double],
+      k: Int, scale: Int = 6): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    require(query.length == m * sub, s"query dim ${query.length} != ${m * sub}")
+    val dtab: Array[Array[Double]] = Array.tabulate(m) { mi =>
+      codebooks(mi).map { c =>
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val x = query(mi * sub + i) - c(i)
+          d += x * x
+          i += 1
+        }
+        d
+      }
+    }
+    val adist = (0 until m)
+      .map(mi => element_at(lit(dtab(mi)), element_at(col("codes"), mi + 1) + 1))
+      .reduce(_ + _)
+    // rank on the ROUNDED distance (ties then id): code-identical rows
+    // have exactly equal adist within one engine but the two engines
+    // may sum the m lookups in different float orders — rounding before
+    // ranking makes the cut deterministic cross-engine
+    pqEncode(df, idCol, embCol, codebooks)
+      .where(col("codes").isNotNull)
+      .select(col(idCol), round(adist, scale).as("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(k)
+  }
+
   /** Recall of an approximate top-k result against the exact top-k:
     * |approx ∩ exact| / k — the evaluation loop every ANN deployment
     * runs on a sample before trusting the index parameters.

@@ -1429,6 +1429,7 @@ object Oracles {
     "e9_batch_ann" -> e9Sql,
     "ev12_stream_ann" -> ev12Sql,
     "e10_kmeans_train" -> e10Sql,
+    "e11_pq_topk" -> e11Sql,
 
     // sign-sketch Hamming top-k: the oracle counts sign mismatches
     // directly (no bit packing needed in SQL — the count is what the
@@ -1659,6 +1660,42 @@ object Oracles {
     * all 2^4 flip masks ranked by the total |margin| of flipped planes
     * (ties by mask), top 4, XOR'd onto the query bucket.
     */
+  /** e11: PQ encode + ADC, fully relational — subvector slices for
+    * corpus and codebook (codebook j = vec_id j+1's subvectors),
+    * per-(vector, subspace) argmin by squared L2 (ties to the lowest
+    * code — pqEncode's strict-< rule), query-to-centroid distance
+    * table, approximate distance = the m lookups summed per vector.
+    * Both engines rank on the ROUNDED distance (then vec_id) so the
+    * top-k cut is float-order independent.
+    */
+  private def e11Sql: String = {
+    val sq = "(s.sv[i] - c.sv[i]) * (s.sv[i] - c.sv[i])"
+    val qsq = "(q.sv[i] - c.sv[i]) * (q.sv[i] - c.sv[i])"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sub AS (SELECT vec_id, mi.range AS mi,
+       |  v[mi.range * 8 + 1 : mi.range * 8 + 8] AS sv
+       |  FROM e, range(0, 8) mi),
+       |cb AS (SELECT vec_id - 1 AS code, mi, sv FROM sub
+       |  WHERE vec_id BETWEEN 1 AND 16),
+       |assign AS (
+       |  SELECT s.vec_id, s.mi, c.code,
+       |    row_number() OVER (PARTITION BY s.vec_id, s.mi ORDER BY
+       |      list_sum([$sq FOR i IN range(1, 9)]), c.code) AS rn
+       |  FROM sub s JOIN cb c ON s.mi = c.mi),
+       |dtab AS (
+       |  SELECT c.mi, c.code,
+       |    list_sum([$qsq FOR i IN range(1, 9)]) AS d
+       |  FROM cb c JOIN sub q ON q.vec_id = 0 AND q.mi = c.mi),
+       |adist AS (
+       |  SELECT a.vec_id, round(sum(d.d), 6) AS adist
+       |  FROM assign a JOIN dtab d ON a.mi = d.mi AND a.code = d.code
+       |  WHERE a.rn = 1
+       |  GROUP BY a.vec_id)
+       |SELECT vec_id, adist FROM adist
+       |ORDER BY adist, vec_id
+       |LIMIT 20""".stripMargin
+  }
+
   /** e10: the 3-round Lloyd loop unrolled — per-round rounding to 6
     * decimals pins each round's centroid table cross-engine, so round
     * i+1's assignment sees bit-identical centroids in both engines

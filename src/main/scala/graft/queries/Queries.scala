@@ -1430,6 +1430,22 @@ object Queries {
     SimilaritySearch.kmeansTrain(emb, "vec_id", "embedding", init, iters = 3)
   }
 
+  /** PQ (product quantization) top-k: 8 subspaces × 16 data-drawn
+    * centroids (vec_id 1..16's subvectors), codes = 8 small ints per
+    * vector (the 32x-compressed serving format), ranking by asymmetric
+    * distance — the query stays exact, corpus rows cost 8 table lookups
+    * over their codes; no float vectors read at ranking time.
+    */
+  def e11_pq_topk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val cb = SimilaritySearch.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, seedIds = 1L to 16L)
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    SimilaritySearch.pqTopK(emb, "vec_id", "embedding", cb, query, k = 20)
+  }
+
   /** Streaming ANN serving (the stream twin of e9): query vectors
     * (vec_id % 100 = 7) arrive as a micro-batch stream; each batch
     * probes the bucketed corpus written once by writeBucketed —

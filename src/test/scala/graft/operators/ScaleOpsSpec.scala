@@ -413,6 +413,54 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("PQ: ADC is exact on centroid-aligned vectors; real-corpus recall holds a floor") {
+    import spark.implicits._
+    // planted exactness: every corpus vector IS a concatenation of
+    // centroids, so encode loses nothing and ADC == exact squared L2
+    val m = 4
+    val sub = 2
+    val ksub = 16
+    val rnd = new scala.util.Random(17)
+    val seeds = (1L to ksub).map(id => (id, Array.fill(m * sub)(rnd.nextGaussian().toFloat)))
+    val aligned = (100L until 140L).map { id =>
+      val picks = Array.fill(m)(rnd.nextInt(ksub))
+      val v = Array.tabulate(m * sub)(i => seeds(picks(i / sub))._2(i))
+      (id, v)
+    }
+    val df = (seeds ++ aligned).toDF("vec_id", "embedding")
+    val cb = SimilaritySearch.pqCodebooks(df, "vec_id", "embedding", m, ksub, 1L to ksub)
+    val query = Array.fill(m * sub)(rnd.nextGaussian())
+    val got = SimilaritySearch.pqTopK(df, "vec_id", "embedding", cb, query, k = 56)
+      .as[(Long, Double)].collect().toMap
+    val allRows = df.collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    allRows.foreach { case (id, v) =>
+      val exact = v.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(got(id) - exact) < 1e-6, s"vec $id: adc ${got(id)} vs exact $exact")
+    }
+
+    // real corpus: PQ top-20 must overlap the exact squared-L2 top-20
+    val emb = spark.read.parquet(s"${sf("0.01")}/embeddings.parquet")
+    val cb2 = SimilaritySearch.pqCodebooks(emb, "vec_id", "embedding", 8, 16, 1L to 16L)
+    val q0 = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val pq = SimilaritySearch.pqTopK(emb, "vec_id", "embedding", cb2, q0, k = 20)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val exact20 = emb
+      .select(col("vec_id"), aggregate(
+        zip_with(col("embedding").cast("array<double>"), lit(q0), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(20)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(pq.contains(0L), "the query vector itself must rank in its own PQ top-20")
+    // measured 0.20 at sf0.01 with UNTRAINED (data-drawn) codebooks —
+    // the catalog query's contract; kmeansTrain per subspace is the
+    // recall dial (as is ksub), same as single-bucket LSH's 0.15 before
+    // multi-probe. The floor guards against an encode/ADC regression.
+    val recall = (pq & exact20).size / 20.0
+    info(s"PQ recall@20 vs exact L2: $recall")
+    assert(recall >= 0.15, s"PQ recall@20 $recall below floor")
+  }
+
   test("kmeans train: converges to planted centers, short-circuits at the fixed point, carries empty cells") {
     import spark.implicits._
     val dim = 4
