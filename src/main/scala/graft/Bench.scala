@@ -69,6 +69,7 @@ object Bench {
     "ev12_stream_ann",
     "e10_kmeans_train",
     "e11_pq_topk",
+    "e12_lsh_neardup",
     "e7_quantized_topk",
     "e8_hamming_topk",
     "e9_batch_ann",

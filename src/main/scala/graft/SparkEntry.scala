@@ -76,6 +76,7 @@ object SparkEntry {
     "d4_simhash_pairs" -> (Queries.d4_simhash_pairs _),
     "e2_ann_topk" -> (Queries.e2_ann_topk _),
     "e3_embedding_dedup" -> (Queries.e3_embedding_dedup _),
+    "e12_lsh_neardup" -> (Queries.e12_lsh_neardup _),
     "e4_ivf_topk" -> (Queries.e4_ivf_topk _),
     "e5_kmeans_step" -> (Queries.e5_kmeans_step _),
     "e6_ann_recall" -> (Queries.e6_ann_recall _),

@@ -750,9 +750,24 @@ object Dedup {
     * threshold over an array<float|double> column.
     *
     * exact=true: block self-join (O(n²) compares) — right for
-    * oracle-checkable correctness and moderate corpus sizes. exact=false:
+    * oracle-checkable correctness and moderate corpus sizes (the r8
+    * sf0.1→sf1 step-up measured it at 64× wall for 10× rows — the
+    * declared quadratic doing its declared thing). exact=false:
     * random-hyperplane LSH buckets generate candidates (recall < 1,
-    * scale path) verified by exact cosine.
+    * scale path) verified by exact cosine. With a FIXED nBits the scale
+    * path is only linear until occupancy catches up (bucket count is a
+    * constant ⇒ per-bucket m grows with N ⇒ O(m²) again); pass
+    * targetOccupancy > 0 to derive nBits from the corpus size instead
+    * ([[SimilaritySearch.autoBits]] — one count() job, then expected
+    * occupancy stays flat and candidate volume tracks N).
+    *
+    * SCALE GUARD (the semanticPrune pattern): bucket occupancy is
+    * aggregated on the same key the join shuffles on, broadcast onto
+    * the probe side, and any bucket above maxBucketRows warns + bumps
+    * `dedup.embeddingCosinePairs.oversizedBuckets` once — the silent-
+    * quadratic failure (nBits too small for the corpus, or an exact=
+    * true call on a corpus that outgrew it) becomes observable. The
+    * guard observes; it never drops rows.
     */
   def embeddingCosinePairs(
       df: DataFrame,
@@ -762,14 +777,39 @@ object Dedup {
       threshold: Double,
       exact: Boolean = false,
       nBits: Int = 8,
-      seed: Long = 42): DataFrame = {
+      seed: Long = 42,
+      targetOccupancy: Long = 0L,
+      maxBucketRows: Long = 1000000L): DataFrame = {
+    val spark = df.sparkSession
+    val bits =
+      if (exact || targetOccupancy <= 0L) nBits
+      else SimilaritySearch.autoBits(df.count(), targetOccupancy)
     val base =
       if (exact)
         df.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"))
           .withColumn("bucket", lit(0))
-      else SimilaritySearch.lshBuckets(df, idCol, embCol, dim, nBits, seed)
+      else SimilaritySearch.lshBuckets(df, idCol, embCol, dim, bits, seed)
         .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"), col("bucket"))
-    val a = base.alias("a")
+    val oversizedAcc = spark.sparkContext.longAccumulator(
+      "dedup.embeddingCosinePairs.oversizedBuckets")
+    lastOversizedBuckets = Some(oversizedAcc)
+    val warnOversized = udf { (bucket: Int, n: Long) =>
+      if (n > maxBucketRows) {
+        oversizedAcc.add(1)
+        org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup").warn(
+          s"embeddingCosinePairs bucket $bucket holds $n rows (> $maxBucketRows): " +
+            "the in-bucket compare is O(m²) — raise nBits / pass targetOccupancy " +
+            "(or use the LSH path if this was exact=true)")
+      }
+      true
+    }.asNondeterministic() // side-effecting: must not be pruned or reordered
+    // one row per bucket; evaluated when the broadcast is built, so the
+    // warning fires even if every candidate pair fails the threshold
+    val bucketSizes = base.groupBy("bucket")
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(warnOversized(col("bucket"), col("__bucket_n")))
+      .select("bucket")
+    val a = base.join(broadcast(bucketSizes), Seq("bucket")).alias("a")
     val b = base.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       // native fused-loop cosine (codegen'd): the O(n²·d) compare is the
@@ -780,6 +820,13 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("cos_raw"), 4).as("cos_sim"))
   }
+
+  /** Accumulator from the most recent [[embeddingCosinePairs]] plan
+    * (test hook / post-run observability): buckets whose membership
+    * crossed maxBucketRows. Same caveats as [[lastOversizedCells]].
+    */
+  @volatile private[graft] var lastOversizedBuckets:
+      Option[org.apache.spark.util.LongAccumulator] = None
 
   /** SemDeDup-style semantic pruning (Abbas et al. 2023,
     * arXiv:2303.09540): cluster every vector to its nearest centroid,

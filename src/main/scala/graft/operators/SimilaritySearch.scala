@@ -553,4 +553,23 @@ object SimilaritySearch {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
+
+  /** Occupancy-driven LSH width: the fewest hyperplane bits that bound
+    * EXPECTED bucket membership at `targetOccupancy` rows
+    * (2^bits >= n / target). A fixed nBits makes bucket count a
+    * constant, so occupancy — and the per-bucket O(m²) candidate
+    * compare every LSH consumer runs — grows linearly with the corpus
+    * and the "scale path" quietly goes quadratic (observed: the r8
+    * sf0.1→sf1 step-up). Deriving bits from n keeps expected occupancy
+    * flat: candidate volume tracks N, not N². Clamped to [1, 30]
+    * (2^30 buckets ≈ any practical corpus / occupancy ratio).
+    */
+  def autoBits(n: Long, targetOccupancy: Long): Int = {
+    require(targetOccupancy > 0, s"targetOccupancy must be positive: $targetOccupancy")
+    if (n <= targetOccupancy) 1
+    else {
+      val buckets = (n + targetOccupancy - 1) / targetOccupancy
+      math.min(30, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1))
+    }
+  }
 }

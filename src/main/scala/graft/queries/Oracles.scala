@@ -1425,6 +1425,7 @@ object Oracles {
     "d4_simhash_pairs" -> d4Sql,
     "d7_dup_clusters" -> d7Sql,
     "e2_ann_topk" -> e2Sql,
+    "e12_lsh_neardup" -> e12Sql,
     "e6_ann_recall" -> e6Sql,
     "e9_batch_ann" -> e9Sql,
     "ev12_stream_ann" -> ev12Sql,
@@ -1594,6 +1595,22 @@ object Oracles {
       s"(CASE WHEN list_dot_product(v, $lits) >= 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" +\n  ")
   }
+
+  /** e12 = e3's pair semantics restricted to bucket-mates under e2's
+    * planes (nBits=4, seed 42): the LSH candidate+verify near-dup path,
+    * deterministic because the buckets are.
+    */
+  private def e12Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |  $lshBucketExpr AS bucket
+       |  FROM e)
+       |SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       |  round(list_dot_product(a.v, b2.v)
+       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 4) AS cos_sim
+       |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       |WHERE list_dot_product(a.v, b2.v)
+       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) >= 0.35""".stripMargin
 
   private def e2Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

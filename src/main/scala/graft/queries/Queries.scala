@@ -1125,6 +1125,20 @@ object Queries {
     Dedup.embeddingCosinePairs(t(spark, dir, "embeddings"), "vec_id", "embedding",
       dim = 64, threshold = 0.35, exact = true)
 
+  /** LSH-bucketed embedding near-dup pairs — e3's scale path made
+    * oracle-visible: candidates are pairs sharing a random-hyperplane
+    * bucket (e2's planes: nBits=4, seed 42), verified by exact cosine.
+    * Recall < 1 by design; the oracle reproduces the SAME buckets from
+    * inlined plane literals, so the result is deterministic and
+    * hash-checkable. nBits is pinned here for the oracle; production
+    * calls pass targetOccupancy and let [[SimilaritySearch.autoBits]]
+    * size the bucket count to the corpus (r8 step-up: fixed bits go
+    * quadratic once occupancy grows).
+    */
+  def e12_lsh_neardup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, threshold = 0.35, exact = false, nBits = 4)
+
   /** IVF ANN: centroids are corpus vectors 1..8 (deterministic, so the
     * DuckDB oracle can reproduce the cell assignment exactly); probe the
     * 2 nearest cells, exact cosine inside them. Centroid/query fetches

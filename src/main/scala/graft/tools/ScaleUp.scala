@@ -54,11 +54,50 @@ object ScaleUp {
       .drop("__copy")
   }
 
+  /** embeddings: copy 0 is verbatim (fixed query/seed vectors — vec 0,
+    * seeds 1..16 — stay bit-identical), later copies cyclically SHIFT
+    * the component order by the copy index. A uniform permutation
+    * preserves every within-copy dot product/distance exactly (the
+    * dup/neighbor structure the ANN family measures), while cross-copy
+    * similarity decorrelates — neighbor counts scale ~N×, not N²×,
+    * mirroring the documents vowel-rotation rationale.
+    */
+  def scaleEmbeddings(df: DataFrame, copies: Int): DataFrame = {
+    val stride = df.agg(max("vec_id")).head.getLong(0) + 1
+    val dim = df.select(size(col("embedding"))).head.getInt(0)
+    val rotated = (0 until copies).foldLeft(lit(null).cast("array<float>")) {
+      case (acc, i) =>
+        val s = i % dim
+        val e =
+          if (s == 0) col("embedding")
+          else concat(slice(col("embedding"), s + 1, dim - s),
+            slice(col("embedding"), 1, s))
+        when(col("__copy") === i, e).otherwise(acc)
+    }
+    explodeCopies(df, copies)
+      .withColumn("vec_id", col("vec_id") + col("__copy") * stride)
+      .withColumn("embedding", rotated)
+      .drop("__copy")
+  }
+
   /** One row per (row, copy) — a generate, not a union of N scans, so
     * the input is read once however large it is.
     */
   private def explodeCopies(df: DataFrame, copies: Int): DataFrame =
     df.withColumn("__copy", explode(sequence(lit(0L), lit(copies - 1L))))
+
+  private def writeSingleFile(df: DataFrame, dest: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("scaleup").resolve("out")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+    val target = java.nio.file.Paths.get(dest)
+    // a stale directory-layout table at the destination blocks the move
+    val old = target.toFile
+    if (old.isDirectory) { old.listFiles().foreach(_.delete()); old.delete() }
+    else java.nio.file.Files.deleteIfExists(target)
+    java.nio.file.Files.move(part.toPath, target)
+  }
 
   def main(args: Array[String]): Unit = {
     val in = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -74,9 +113,13 @@ object ScaleUp {
     scaleLineitem(spark.read.parquet(s"$in/lineitem.parquet"), copies)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    scaleDocuments(spark.read.parquet(s"$in/documents.parquet"), copies)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // documents/embeddings ship as SINGLE FILES like the driver's
+    // testdata (the streaming queries stage `<dir>/<table>.parquet` as a
+    // file-source path — a nested directory wouldn't be listed)
+    writeSingleFile(scaleDocuments(
+      spark.read.parquet(s"$in/documents.parquet"), copies), s"$out/documents.parquet")
+    writeSingleFile(scaleEmbeddings(
+      spark.read.parquet(s"$in/embeddings.parquet"), copies), s"$out/embeddings.parquet")
     println(s"[scaleup] wrote $out at ${copies}x of $in")
     spark.stop()
   }

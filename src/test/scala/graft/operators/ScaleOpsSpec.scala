@@ -277,6 +277,54 @@ class ScaleOpsSpec extends SparkSpec {
     val lsh = Dedup.embeddingCosinePairs(df, "vec_id", "embedding", 16, 0.95, exact = false, nBits = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(pairs))
+    // auto-occupancy path: same candidate+verify semantics (subset of
+    // exact), bits derived from corpus size instead of pinned
+    val auto = Dedup.embeddingCosinePairs(df, "vec_id", "embedding", 16, 0.95,
+        exact = false, targetOccupancy = 8L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto.subsetOf(pairs))
+  }
+
+  test("autoBits: expected occupancy stays at or under target, clamped [1, 30]") {
+    import graft.operators.SimilaritySearch.autoBits
+    // 2^bits buckets must cover n / target
+    for (n <- Seq(1L, 100L, 1000L, 12345L, 1000000L, 100000000000L);
+         t <- Seq(1L, 10L, 1000L, 100000L)) {
+      val bits = autoBits(n, t)
+      assert(bits >= 1 && bits <= 30, s"n=$n t=$t bits=$bits out of range")
+      if (bits < 30)
+        assert((1L << bits) * t >= n, s"n=$n t=$t bits=$bits under-covers")
+      if (bits > 1) // minimality: one fewer bit would over-fill buckets
+        assert((1L << (bits - 1)) * t < n, s"n=$n t=$t bits=$bits over-sized")
+    }
+    // 10x the corpus at fixed target => more buckets, flat occupancy
+    assert(autoBits(20000L, 100L) > autoBits(2000L, 100L))
+    assertThrows[IllegalArgumentException](autoBits(100L, 0L))
+  }
+
+  test("embeddingCosinePairs: oversized bucket fires the scale-guard, output unchanged") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 30).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val unguarded = Dedup.embeddingCosinePairs(df, "vec_id", "embedding", 8, 0.9, exact = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact=true puts all 30 rows in bucket 0; a bound of 10 trips it
+    val guarded = Dedup.embeddingCosinePairs(df, "vec_id", "embedding", 8, 0.9,
+        exact = true, maxBucketRows = 10L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(guarded === unguarded, "guard is observational only")
+    assert(Dedup.lastOversizedBuckets.exists(_.value === 1L),
+      "exactly bucket 0 crossed the bound")
+    // generous bound: silent — and the guard must evaluate even when no
+    // pair survives the threshold (the broadcast is still built)
+    Dedup.embeddingCosinePairs(df, "vec_id", "embedding", 8, 1.1, exact = true,
+      maxBucketRows = 10L).collect()
+    assert(Dedup.lastOversizedBuckets.exists(_.value === 1L),
+      "empty result still evaluates the guard")
+    Dedup.embeddingCosinePairs(df, "vec_id", "embedding", 8, 0.9, exact = true,
+      maxBucketRows = 100L).collect()
+    assert(Dedup.lastOversizedBuckets.exists(_.value === 0L))
   }
 
   test("bucketed ANN table: partition-pruned probe equals in-memory probe") {
