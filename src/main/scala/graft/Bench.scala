@@ -70,6 +70,7 @@ object Bench {
     "e10_kmeans_train",
     "e11_pq_topk",
     "e12_lsh_neardup",
+    "e13_ivfpq_topk",
     "e7_quantized_topk",
     "e8_hamming_topk",
     "e9_batch_ann",

@@ -114,6 +114,7 @@ object SparkEntry {
     "ev12_stream_ann" -> (Queries.ev12_stream_ann _),
     "e10_kmeans_train" -> (Queries.e10_kmeans_train _),
     "e11_pq_topk" -> (Queries.e11_pq_topk _),
+    "e13_ivfpq_topk" -> (Queries.e13_ivfpq_topk _),
     "t9_url_stats" -> (Queries.t9_url_stats _),
     "c3_pack_sequences" -> (Queries.c3_pack_sequences _),
     "m1_multimodal_meta" -> (Queries.m1_multimodal_meta _),

@@ -533,6 +533,146 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** IVF-PQ encode — the canonical billion-scale ANN index layout
+    * (Jégou et al., "Product quantization for nearest neighbor
+    * search", TPAMI 2011 §IV; the reference has no ANN surface — this
+    * is greenfield LLM-pipeline capability): each vector is assigned
+    * its coarse IVF cell ([[ivfCells]] rule: max cosine, ties to the
+    * lowest centroid id) and its RESIDUAL v − centroid(cell) is
+    * PQ-encoded against the codebooks. Encoding the residual instead
+    * of the raw vector is what makes the two quantizers compose: the
+    * coarse step removes the cell's mean so the m-byte codes spend
+    * their 8 bits on local detail. Output (id, cell, codes) is the
+    * 100 TB index: m bytes + a cell id per vector, written
+    * `partitionBy("cell")` ([[writeIvfPq]]) so probes prune to the
+    * probed cells' directories. One-pass kernel UDF (the bestCell
+    * rationale); sequential index-order float math, engine-reproducible.
+    */
+  def ivfPqEncode(df: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[(Long, Array[Double])],
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val cids = centroids.map(_._1).toArray
+    val cvecs = centroids.map(_._2).toArray
+    val cNorms = cvecs.map(c => math.sqrt(c.map(x => x * x).sum))
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val sub = codebooks(0)(0).length
+    val enc = udf((v: Seq[Double]) => {
+      if (v == null || v.length < m * sub) null
+      else {
+        val arr = v.toArray
+        val (cell, _) = bestCell(arr, cids, cvecs, cNorms)
+        val cvec = cvecs(cids.indexOf(cell))
+        val codes = new Array[Int](m)
+        var mi = 0
+        while (mi < m) {
+          var bestD = Double.MaxValue
+          var bestJ = 0
+          var j = 0
+          while (j < ksub) {
+            val c = codebooks(mi)(j)
+            var d = 0.0
+            var i = 0
+            while (i < sub) {
+              val x = (arr(mi * sub + i) - cvec(mi * sub + i)) - c(i)
+              d += x * x
+              i += 1
+            }
+            if (d < bestD) { bestD = d; bestJ = j }
+            j += 1
+          }
+          codes(mi) = bestJ
+          mi += 1
+        }
+        (cell, codes.toSeq)
+      }
+    })
+    df.withColumn("__e", enc(col(embCol).cast("array<double>")))
+      .select(col(idCol), col("__e._1").as("cell"), col("__e._2").as("codes"))
+  }
+
+  /** Write the IVF-PQ index partitioned by coarse cell — the same
+    * write-once/probe-many storage path as [[writeBucketed]]: a query's
+    * scan is partition-PRUNED to its nProbe cell directories, and each
+    * row read is m bytes of codes, not 4·dim of floats.
+    */
+  def writeIvfPq(df: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[(Long, Array[Double])],
+      codebooks: Array[Array[Array[Double]]], path: String): Unit =
+    ivfPqEncode(df, idCol, embCol, centroids, codebooks)
+      .write.mode("overwrite")
+      .partitionBy("cell")
+      .parquet(path)
+
+  /** IVF-PQ top-k by per-cell asymmetric distance: probe the nProbe
+    * cells whose centroids are nearest the query (driver-side,
+    * parameter-sized — the [[ivfTopK]] rule); for each probed cell the
+    * driver precomputes the m×ksub table of squared distances from the
+    * QUERY'S RESIDUAL in that cell (q − centroid) to each codebook
+    * centroid, and a corpus row's approximate distance is m table
+    * lookups summed — a codegen'd when-cascade on the cell id over
+    * `element_at` literal-array lookups, no float vectors read.
+    * Ranking (rounded adist asc, id asc) via TakeOrderedAndProject
+    * (the [[pqTopK]] cross-engine rounding rule). `encoded` is an
+    * [[ivfPqEncode]] output — in memory, or the partition-pruned scan
+    * of a [[writeIvfPq]] table.
+    */
+  def ivfPqTopKEncoded(encoded: DataFrame, idCol: String,
+      centroids: Seq[(Long, Array[Double])],
+      codebooks: Array[Array[Array[Double]]], query: Array[Double],
+      k: Int, nProbe: Int, scale: Int = 6): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    require(query.length == m * sub, s"query dim ${query.length} != ${m * sub}")
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val probed: Seq[Long] = centroids.map { case (cid, cvec) =>
+      val cNorm = math.sqrt(cvec.map(x => x * x).sum)
+      val dot = cvec.zip(query).map { case (a, b) => a * b }.sum
+      (cid, dot / (cNorm * qNorm))
+    }.sortBy { case (cid, cos) => (-cos, cid) }.take(nProbe).map(_._1)
+    val byId = centroids.toMap
+    // per probed cell: dtab(cell)(mi)(code) = ||(q − centroid)[mi] − cb[mi][code]||²
+    val dtabs: Map[Long, Array[Array[Double]]] = probed.map { cid =>
+      val cvec = byId(cid)
+      cid -> Array.tabulate(m) { mi =>
+        codebooks(mi).map { c =>
+          var d = 0.0
+          var i = 0
+          while (i < sub) {
+            val x = (query(mi * sub + i) - cvec(mi * sub + i)) - c(i)
+            d += x * x
+            i += 1
+          }
+          d
+        }
+      }
+    }.toMap
+    val adist = (0 until m).map { mi =>
+      val tab = probed.tail.foldLeft(
+        when(col("cell") === probed.head, lit(dtabs(probed.head)(mi)))) {
+        case (acc, cid) => acc.when(col("cell") === cid, lit(dtabs(cid)(mi)))
+      }
+      element_at(tab, element_at(col("codes"), mi + 1) + 1)
+    }.reduce(_ + _)
+    encoded
+      .where(col("cell").isin(probed: _*) && col("codes").isNotNull)
+      .select(col(idCol), round(adist, scale).as("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(k)
+  }
+
+  /** Convenience one-shot: encode inline and rank. Assignment runs over
+    * the whole input (it IS the index build); at scale use
+    * [[writeIvfPq]] once + [[ivfPqTopKEncoded]] over the pruned scan.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[(Long, Array[Double])],
+      codebooks: Array[Array[Array[Double]]], query: Array[Double],
+      k: Int, nProbe: Int, scale: Int = 6): DataFrame =
+    ivfPqTopKEncoded(ivfPqEncode(df, idCol, embCol, centroids, codebooks),
+      idCol, centroids, codebooks, query, k, nProbe, scale)
+
   /** Recall of an approximate top-k result against the exact top-k:
     * |approx ∩ exact| / k — the evaluation loop every ANN deployment
     * runs on a sample before trusting the index parameters.

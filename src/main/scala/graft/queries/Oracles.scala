@@ -1431,6 +1431,7 @@ object Oracles {
     "ev12_stream_ann" -> ev12Sql,
     "e10_kmeans_train" -> e10Sql,
     "e11_pq_topk" -> e11Sql,
+    "e13_ivfpq_topk" -> e13Sql,
 
     // sign-sketch Hamming top-k: the oracle counts sign mismatches
     // directly (no bit packing needed in SQL — the count is what the
@@ -1706,6 +1707,67 @@ object Oracles {
        |adist AS (
        |  SELECT a.vec_id, round(sum(d.d), 6) AS adist
        |  FROM assign a JOIN dtab d ON a.mi = d.mi AND a.code = d.code
+       |  WHERE a.rn = 1
+       |  GROUP BY a.vec_id)
+       |SELECT vec_id, adist FROM adist
+       |ORDER BY adist, vec_id
+       |LIMIT 20""".stripMargin
+  }
+
+  /** e13 = e4's coarse-cell rule composed with e11's PQ rule on the
+    * RESIDUAL (v − cell centroid): cells and probed cells from
+    * nearest-of-8 centroids by cosine (ties to lowest cid), residual
+    * codes from argmin squared L2 to the 16 seed-derived codebook
+    * entries per 8-dim subspace (ties to lowest code), adist = per-cell
+    * query-residual distance table summed over the row's codes, rounded
+    * to 6 before ranking (e11's cross-engine sum-order rule).
+    */
+  private def e13Sql: String = {
+    val sq = "(s.sv[i] - c.sv[i]) * (s.sv[i] - c.sv[i])"
+    val qsq = "(qr.sv[i] - cb.sv[i]) * (qr.sv[i] - cb.sv[i])"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+       |s0 AS (SELECT e.vec_id, c.cid,
+       |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    list_dot_product(e.v, c.cv)
+       |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+       |    c.cid) AS rn
+       |  FROM e CROSS JOIN c),
+       |cell AS (SELECT vec_id, cid AS cell FROM s0 WHERE rn = 1),
+       |probed AS (SELECT cid FROM (
+       |  SELECT c.cid,
+       |    row_number() OVER (ORDER BY
+       |      list_dot_product(q.v, c.cv)
+       |        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+       |      c.cid) AS rn
+       |  FROM e q CROSS JOIN c WHERE q.vec_id = 0) WHERE rn <= 2),
+       |r AS (SELECT e.vec_id, cell.cell,
+       |  [e.v[i] - c.cv[i] FOR i IN range(1, 65)] AS rv
+       |  FROM e JOIN cell ON e.vec_id = cell.vec_id JOIN c ON c.cid = cell.cell
+       |  WHERE cell.cell IN (SELECT cid FROM probed)),
+       |rsub AS (SELECT vec_id, cell, mi.range AS mi,
+       |  rv[mi.range * 8 + 1 : mi.range * 8 + 8] AS sv
+       |  FROM r, range(0, 8) mi),
+       |cb AS (SELECT vec_id - 1 AS code, mi.range AS mi,
+       |  v[mi.range * 8 + 1 : mi.range * 8 + 8] AS sv
+       |  FROM e, range(0, 8) mi WHERE vec_id BETWEEN 1 AND 16),
+       |assign AS (
+       |  SELECT s.vec_id, s.cell, s.mi, c.code,
+       |    row_number() OVER (PARTITION BY s.vec_id, s.mi ORDER BY
+       |      list_sum([$sq FOR i IN range(1, 9)]), c.code) AS rn
+       |  FROM rsub s JOIN cb c ON s.mi = c.mi),
+       |qres AS (SELECT p.cid AS cell,
+       |  [q.v[i] - c.cv[i] FOR i IN range(1, 65)] AS rv
+       |  FROM e q, probed p, c WHERE q.vec_id = 0 AND c.cid = p.cid),
+       |qrsub AS (SELECT cell, mi.range AS mi,
+       |  rv[mi.range * 8 + 1 : mi.range * 8 + 8] AS sv
+       |  FROM qres, range(0, 8) mi),
+       |dtab AS (SELECT qr.cell, qr.mi, cb.code,
+       |  list_sum([$qsq FOR i IN range(1, 9)]) AS d
+       |  FROM qrsub qr JOIN cb ON qr.mi = cb.mi),
+       |adist AS (
+       |  SELECT a.vec_id, round(sum(d.d), 6) AS adist
+       |  FROM assign a JOIN dtab d ON a.cell = d.cell AND a.mi = d.mi AND a.code = d.code
        |  WHERE a.rn = 1
        |  GROUP BY a.vec_id)
        |SELECT vec_id, adist FROM adist

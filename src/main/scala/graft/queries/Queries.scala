@@ -1157,6 +1157,30 @@ object Queries {
     SimilaritySearch.ivfTopK(emb, "vec_id", "embedding", cent, query, k = 20, nProbe = 2)
   }
 
+  /** IVF-PQ ANN (e4's coarse cells × e11's PQ codes, composed on the
+    * RESIDUAL): centroids are corpus vectors 1..8, codebooks come from
+    * seed vectors 1..16 (both deterministic so the oracle reproduces
+    * cell assignment, residual codes, and per-cell ADC tables exactly);
+    * probe the query's 2 nearest cells, rank their rows by m=8 table
+    * lookups over the codes column. The billion-scale serving shape:
+    * partition-pruned cells + m-byte rows ([[SimilaritySearch.writeIvfPq]]).
+    */
+  def e13_ivfpq_topk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val cent = emb.where(col("vec_id").between(1, 8))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    val cb = SimilaritySearch.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, seedIds = 1L to 16L)
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    SimilaritySearch.ivfPqTopK(emb, "vec_id", "embedding", cent, cb, query,
+      k = 20, nProbe = 2)
+  }
+
   /** Cross-document duplicated 13-gram contamination report. */
   def d5_dup_ngrams(spark: SparkSession, dir: String): DataFrame =
     Dedup.duplicatedNgrams(t(spark, dir, "documents"), "doc_id", "text", n = 13)

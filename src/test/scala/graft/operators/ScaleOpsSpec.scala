@@ -351,6 +351,61 @@ class ScaleOpsSpec extends SparkSpec {
       s"expected partition pruning on bucket=$qb in:\n$plan")
   }
 
+  test("ivf-pq: residual codes decompose as ivfCells + pqEncode(v - centroid)") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(21)
+    val rows = (0L until 60L).map(i => (i, Array.fill(dim)(rnd.nextGaussian())))
+    val df = rows.toDF("vec_id", "embedding")
+    val cent = rows.take(4).map { case (i, v) => (i + 1, v) }.toSeq
+    val cb = SimilaritySearch.pqCodebooks(df, "vec_id", "embedding",
+      m = 4, ksub = 8, seedIds = 0L to 7L)
+    val enc = SimilaritySearch.ivfPqEncode(df, "vec_id", "embedding", cent, cb)
+      .as[(Long, Long, Seq[Int])].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // cell agrees with the coarse quantizer on its own
+    val cells = SimilaritySearch.ivfCells(df, "vec_id", "embedding", cent)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(enc.view.mapValues(_._1).toMap === cells)
+    // codes agree with pqEncode run on the residual table
+    val byCid = cent.toMap
+    val residuals = rows.map { case (i, v) =>
+      val cv = byCid(cells(i))
+      (i, v.zip(cv).map { case (a, b) => a - b })
+    }.toDF("vec_id", "embedding")
+    val expect = SimilaritySearch.pqEncode(residuals, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(enc.view.mapValues(_._2).toMap === expect)
+  }
+
+  test("ivf-pq: partition-pruned serving from writeIvfPq equals inline top-k") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(22)
+    val rows = (0L until 200L).map(i => (i, Array.fill(dim)(rnd.nextGaussian())))
+    val df = rows.toDF("vec_id", "embedding")
+    val cent = rows.take(4).map { case (i, v) => (i + 1, v) }.toSeq
+    val cb = SimilaritySearch.pqCodebooks(df, "vec_id", "embedding",
+      m = 4, ksub = 8, seedIds = 0L to 7L)
+    val query = rows.head._2
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/index"
+    SimilaritySearch.writeIvfPq(df, "vec_id", "embedding", cent, cb, dir)
+    val fromDisk = SimilaritySearch.ivfPqTopKEncoded(spark.read.parquet(dir),
+      "vec_id", cent, cb, query, k = 10, nProbe = 2)
+    val inline = SimilaritySearch.ivfPqTopK(df, "vec_id", "embedding", cent, cb,
+      query, k = 10, nProbe = 2)
+    assert(fromDisk.as[(Long, Double)].collect().toSeq ===
+      inline.as[(Long, Double)].collect().toSeq)
+    // the probe must prune to the 2 probed cell directories at the scan
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected partition pruning on cell in:\n$plan")
+    // a null embedding row encodes to null and is excluded, not a crash
+    val withNull = df.union(Seq((999L, null: Array[Double])).toDF("vec_id", "embedding"))
+    val res = SimilaritySearch.ivfPqTopK(withNull, "vec_id", "embedding", cent, cb,
+      query, k = 10, nProbe = 2).as[(Long, Double)].collect()
+    assert(!res.exists(_._1 == 999L))
+  }
+
   test("batched bucketed ANN: partition-pruned probe equals the in-memory batch rule") {
     import spark.implicits._
     val dim = 8
@@ -390,6 +445,31 @@ class ScaleOpsSpec extends SparkSpec {
     assert(multi >= 0.35, s"multi-probe recall@20 $multi below the 0.35 floor")
     assert(multi > single,
       s"multi-probe recall ($multi) must beat the single-bucket probe ($single)")
+  }
+
+  test("ivf-pq recall gate: recall@20 vs exact holds a floor; more probes never lose recall") {
+    val emb = spark.read.parquet(s"${sf("0.01")}/embeddings.parquet")
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val cent = emb.where(col("vec_id").between(1, 8))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+    val cb = SimilaritySearch.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, seedIds = 1L to 16L)
+    val exact = SimilaritySearch.topK(emb, "vec_id", "embedding", query, k = 20)
+    def recall(nProbe: Int): Double = SimilaritySearch.recallAt(exact,
+      SimilaritySearch.ivfPqTopK(emb, "vec_id", "embedding", cent, cb, query,
+        k = 20, nProbe = nProbe),
+      "vec_id", k = 20).head().getDouble(0)
+    // measured at sf0.01: 0.20 at nProbe=2 AND 4 (the missing neighbors
+    // are PQ ranking error, not unprobed cells) with the crude
+    // seed-vector codebooks/centroids (production trains both — e10);
+    // the floors fail the build if encode/ADC changes degrade ranking
+    val two = recall(2)
+    val four = recall(4)
+    assert(two >= 0.15, s"ivf-pq recall@20 (nProbe=2) $two below the 0.15 floor")
+    assert(four >= two, s"more probes must not lose recall: $four < $two")
+    info(s"ivf-pq recall@20: nProbe=2 $two, nProbe=4 $four")
   }
 
   test("batched ANN: one plan equals per-query annTopK; no window, no global sort") {
