@@ -642,6 +642,46 @@ object Dedup {
     batchIds.join(histHits.unionByName(inBatchDrops), Seq("doc_id"), "left_anti")
   }
 
+  /** Index compaction — the maintenance op the incremental/streaming
+    * dedup paths need at scale: every micro-batch APPENDS a small
+    * parquet segment to the signature and band indexes
+    * ([[graft.streaming.StreamingOps.incrementalNearDupStream]]), so a
+    * long-lived index accumulates thousands of tiny files (each a
+    * task's worth of one batch) and, under foreachBatch's
+    * at-least-once replay, duplicate rows. Compaction rewrites the
+    * directory as a BUCKETED table: duplicates collapse, the file
+    * count drops to `buckets`, and — the reason it's bucketed rather
+    * than just coalesced — every subsequent probe join against the
+    * index reads a scan that already satisfies the join partitioning
+    * and plans NO exchange on the history side (the DedupSpec
+    * no-exchange contract, now preserved across compactions). Two
+    * shuffles of index-sized rows (dedup + bucket alignment), paid at
+    * maintenance cadence, amortized over every probe after.
+    *
+    * Band index flavor: rows (bh, doc_id), bucketed on `bh` (the probe
+    * key). Signature flavor: rows (doc_id, sig), deduped and bucketed
+    * on `doc_id` (the verify-join key; signatures are deterministic per
+    * doc, so keeping any row per id is exact).
+    */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, table: String, destPath: String,
+      buckets: Int = 32): Unit =
+    graft.sources.Bucketed.write(
+      spark.read.parquet(srcDir)
+        .dropDuplicates("bh", "doc_id")
+        .repartition(buckets, col("bh")),
+      table, destPath, bucketCols = Seq("bh"), buckets = buckets)
+
+  /** See [[compactBandIndex]]. */
+  def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, table: String, destPath: String,
+      buckets: Int = 32): Unit =
+    graft.sources.Bucketed.write(
+      spark.read.parquet(srcDir)
+        .dropDuplicates("doc_id")
+        .repartition(buckets, col("doc_id")),
+      table, destPath, bucketCols = Seq("doc_id"), buckets = buckets)
+
   /** Duplicate-cluster resolution: turn a near-dup PAIR list (the output
     * shape of [[minHashLshPairs]]/[[simHashPairs]]/ngram Jaccard) into
     * per-document cluster ids via connected components — the step a real

@@ -31,13 +31,47 @@ object ScaleUp {
 
   private val vowels = "aeiou"
 
-  def scaleLineitem(df: DataFrame, copies: Int): DataFrame = {
-    val stride = {
-      val m = df.agg(max("l_orderkey")).head.getLong(0) + 1
-      m + (3 - m % 3) % 3 // next multiple of 3: preserves orderkey%3 mix
-    }
+  def scaleLineitem(df: DataFrame, copies: Int): DataFrame =
+    scaleLineitem(df, copies, keyStride(df, "l_orderkey"))
+
+  def scaleLineitem(df: DataFrame, copies: Int, stride: Long): DataFrame =
     explodeCopies(df, copies)
       .withColumn("l_orderkey", col("l_orderkey") + col("__copy") * stride)
+      .drop("__copy")
+
+  /** Next multiple of 3 past the key's max: preserves the key%3 mix
+    * (the alt-base / batch-vs-history split several queries key on).
+    */
+  def keyStride(df: DataFrame, key: String): Long = {
+    val m = df.agg(max(key)).head.getLong(0) + 1
+    m + (3 - m % 3) % 3
+  }
+
+  /** orders: o_orderkey offsets by the SAME stride as lineitem (pass the
+    * max of both tables' strides to keep the l_orderkey = o_orderkey
+    * lineage aligned across copies); o_custkey stays verbatim — the
+    * dimension tables ship unscaled, so a 10× step means 10× orders per
+    * customer, the realistic fact-grows-dims-don't regime.
+    */
+  def scaleOrders(df: DataFrame, copies: Int, stride: Long): DataFrame =
+    explodeCopies(df, copies)
+      .withColumn("o_orderkey", col("o_orderkey") + col("__copy") * stride)
+      .drop("__copy")
+
+  /** events: event_id offsets per copy; user_id stays VERBATIM (it joins
+    * customer/orders keys — ev7/j7 — and the dims ship unscaled), so a
+    * 10× step gives every user 10× events: denser sessions and fatter
+    * per-user window/state partitions, exactly the hot-key regime the
+    * streaming family must survive. ts nudges +1 ms per copy so the
+    * copies don't collapse into 10-way exact-timestamp ties (window
+    * semantics unchanged at session/window granularity: the generator's
+    * gaps are seconds-scale).
+    */
+  def scaleEvents(df: DataFrame, copies: Int): DataFrame = {
+    val stride = keyStride(df, "event_id")
+    explodeCopies(df, copies)
+      .withColumn("event_id", col("event_id") + col("__copy") * stride)
+      .withColumn("ts", col("ts") + col("__copy") * lit(1000000L))
       .drop("__copy")
   }
 
@@ -110,9 +144,25 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    scaleLineitem(spark.read.parquet(s"$in/lineitem.parquet"), copies)
+    val li = spark.read.parquet(s"$in/lineitem.parquet")
+    val ords = spark.read.parquet(s"$in/orders.parquet")
+    // one stride for both fact tables keeps the orderkey lineage aligned
+    val stride = math.max(keyStride(li, "l_orderkey"), keyStride(ords, "o_orderkey"))
+    scaleLineitem(li, copies, stride)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    scaleOrders(ords, copies, stride)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    writeSingleFile(scaleEvents(
+      spark.read.parquet(s"$in/events.parquet"), copies), s"$out/events.parquet")
+    // dimension tables ship verbatim (fact-grows-dims-don't): plain copy
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$in/$t.parquet"),
+        java.nio.file.Paths.get(s"$out/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     // documents/embeddings ship as SINGLE FILES like the driver's
     // testdata (the streaming queries stage `<dir>/<table>.parquet` as a
     // file-source path — a nested directory wouldn't be listed)

@@ -429,6 +429,67 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("index compaction: segments + replay dups collapse to a bucketed no-exchange index") {
+    import spark.implicits._
+    val docs = (0 until 200).map(i => (i.toLong, s"doc $i some body words here"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", n = 3, k = 8)
+    // simulate a streaming index: three appended segments, the second
+    // replayed (foreachBatch at-least-once) so rows are duplicated
+    for (lo <- Seq(0L, 80L, 80L, 140L)) {
+      val seg = sigs.where(col("doc_id") >= lo && col("doc_id") < lo + 80)
+      seg.write.mode("append").parquet(s"$dir/sigs")
+      Dedup.minHashBandIndex(seg, k = 8, bands = 4)
+        .write.mode("append").parquet(s"$dir/bands")
+    }
+    val rawBands = spark.read.parquet(s"$dir/bands")
+    assert(rawBands.count() > rawBands.dropDuplicates("bh", "doc_id").count(),
+      "the replayed segment must produce duplicate index rows")
+    Dedup.compactBandIndex(spark, s"$dir/bands", "t_c_bands", s"$dir/bands_c", buckets = 4)
+    Dedup.compactSignatureIndex(spark, s"$dir/sigs", "t_c_sigs", s"$dir/sigs_c", buckets = 4)
+    try {
+      // contents: exactly the distinct rows, replay dups gone
+      val want = rawBands.dropDuplicates("bh", "doc_id")
+        .as[(Long, Long)].collect().toSet
+      val got = spark.table("t_c_bands").as[(Long, Long)].collect().toSet
+      assert(got === want)
+      assert(spark.table("t_c_sigs").count() === 200)
+      // files: segment sprawl compacted to <= buckets data files
+      val files = new java.io.File(s"$dir/bands_c").listFiles()
+        .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      assert(files <= 4, s"expected <= 4 bucket files, found $files")
+      // the probe against the compacted index keeps the no-exchange
+      // contract: only the batch side shuffles
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val batch = (500 until 520).map(i => (i.toLong, s"new doc $i words here"))
+          .toDF("doc_id", "text")
+        val bSigs = Dedup.minHashSignatures(batch, "doc_id", "text", n = 3, k = 8)
+        val probe = Dedup.minHashBandIndex(bSigs, k = 8, bands = 4)
+          .join(spark.table("t_c_bands").withColumnRenamed("doc_id", "h_id"), "bh")
+        val plan = probe.queryExecution.executedPlan.toString
+        assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+          s"compacted index must not re-shuffle:\n$plan")
+        // end-to-end: incremental dedup over the compacted index equals
+        // the run over the raw segment directory
+        val overRaw = Dedup.incrementalMinHash(batch,
+          spark.read.parquet(s"$dir/sigs"), rawBands,
+          "doc_id", "text", n = 3, k = 8, bands = 4)
+          .as[Long].collect().toSet
+        val overCompacted = Dedup.incrementalMinHash(batch,
+          spark.table("t_c_sigs"), spark.table("t_c_bands"),
+          "doc_id", "text", n = 3, k = 8, bands = 4)
+          .as[Long].collect().toSet
+        assert(overCompacted === overRaw)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_c_bands")
+      spark.sql("DROP TABLE IF EXISTS t_c_sigs")
+    }
+  }
+
   test("cluster keepers: longest member wins, ties to min id, singletons self-keep") {
     import spark.implicits._
     val docs = Seq(
