@@ -237,69 +237,114 @@ object Bench {
     // a failed query records -1.0 (numeric, so the driver's parse still
     // reads the map) and is excluded from the total; a fast failure must
     // not masquerade as a fast success
-    //
-    // mid-run probes (every 12 queries): the r7 inflation arrived BETWEEN
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    }
+    def runOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      // release localCheckpoint blocks deterministically: queries that
+      // materialize intermediates (g6's cohort gVCF, d9's bench grams)
+      // pin RDD blocks until the ASYNC ContextCleaner gets to them, so
+      // a System.gc() alone still lets tens of GB of block debris leak
+      // into later queries' timings (BENCH_r05: g4 16.9s in-suite vs
+      // 7.1s isolated, identical code). Unpersist is synchronous.
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) =>
+          if (!preexisting.contains(id)) rdd.unpersist(blocking = true) }
+      // then prompt the GC-triggered ContextCleaner for broadcast/
+      // shuffle debris (full GCs are rare on a 24g heap, so late
+      // queries otherwise absorb reclamation as phantom regressions)
+      System.gc()
+      val t0 = System.nanoTime()
+      // in-query GC wall time: the one cumulative-state mechanism a
+      // CPU-only calibration probe cannot see (heap debris from prior
+      // queries surfaces as collection pauses inside later ones)
+      val gc0 = gcMs
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcMs - gc0) / 1e3
+      System.err.println(f"[bench] $name $sec%.2fs gc=${(gcSec * 1e3).toLong}ms")
+      (sec, gcSec)
+    }
+    // mid-run probes (every 6 queries): the r7 inflation arrived BETWEEN
     // clean pre/post probes, so contention landing mid-suite needs its
-    // own record — informational (a single probe can be a GC
-    // coincidence), but a >1.5x mid probe flips `contended`
+    // own record. A hot probe (>1.5x ref) CONVICTS the window of queries
+    // since the previous probe: BENCH_r08 measured the g-family at up to
+    // 35x its isolated cost with clean pre/post probes — external load
+    // arrived exactly inside one window and left. Convicted queries are
+    // re-measured once after the box goes quiet (bounded wait), both
+    // values recorded (`contention_reruns`), min wins — self-documented
+    // re-measurement, not cherry-picking.
     val midProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val gcReruns = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
-    val results = selected.zipWithIndex.flatMap { case (name, qi) =>
-      if (qi > 0 && qi % 12 == 0) midProbes += calibrate(spark)
-      overrides.get(name).orElse(SparkEntry.queries.get(name)).map { fn =>
-        // release localCheckpoint blocks deterministically: queries that
-        // materialize intermediates (g6's cohort gVCF, d9's bench grams)
-        // pin RDD blocks until the ASYNC ContextCleaner gets to them, so
-        // a System.gc() alone still lets tens of GB of block debris leak
-        // into later queries' timings (BENCH_r05: g4 16.9s in-suite vs
-        // 7.1s isolated, identical code). Unpersist is synchronous.
-        spark.sparkContext.getPersistentRDDs
-          .foreach { case (id, rdd) =>
-            if (!preexisting.contains(id)) rdd.unpersist(blocking = true) }
-        // then prompt the GC-triggered ContextCleaner for broadcast/
-        // shuffle debris (full GCs are rare on a 24g heap, so late
-        // queries otherwise absorb reclamation as phantom regressions)
-        System.gc()
-        val t0 = System.nanoTime()
-        // in-query GC wall time: the one cumulative-state mechanism a
-        // CPU-only calibration probe cannot see (heap debris from prior
-        // queries surfaces as collection pauses inside later ones)
-        def gcMs: Long = {
-          import scala.jdk.CollectionConverters._
-          java.lang.management.ManagementFactory
-            .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val contReruns = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    val window = scala.collection.mutable.ArrayBuffer.empty[String]
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def fnFor(name: String) = overrides.get(name).orElse(SparkEntry.queries.get(name))
+    def quietBox(maxWaitSec: Int): Boolean = {
+      val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+      var p = calibrate(spark)
+      while (p > CalGate * CalRefSec && System.nanoTime() < deadline) {
+        Thread.sleep(5000); p = calibrate(spark)
+      }
+      p <= CalGate * CalRefSec
+    }
+    def remeasureWindow(): Unit = {
+      val victims = window.filter(n => timings.getOrElse(n, -1.0) > 2.0)
+      if (victims.nonEmpty && contReruns.size < 12 && quietBox(90)) {
+        victims.foreach { name =>
+          fnFor(name).foreach { fn =>
+            try {
+              val first = timings(name)
+              val (again, _) = runOnce(name + " (contention re-run)", fn)
+              contReruns += (name -> (first, again))
+              timings(name) = math.min(first, again)
+            } catch { case _: Throwable => () }
+          }
         }
-        val gc0 = gcMs
+      }
+    }
+    selected.zipWithIndex.foreach { case (name, qi) =>
+      if (qi > 0 && qi % 6 == 0) {
+        val p = calibrate(spark)
+        midProbes += p
+        if (p > 1.5 * CalRefSec) remeasureWindow()
+        window.clear()
+      }
+      fnFor(name).foreach { fn =>
         try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          val sec = (System.nanoTime() - t0) / 1e9
-          val gcSec = (gcMs - gc0) / 1e3
-          System.err.println(f"[bench] $name $sec%.2fs gc=${gcMs - gc0}ms")
+          val (sec, gcSec) = runOnce(name, fn)
           // GC-pause-dominated measurement: the rare bimodal heap mode
           // (PROFILE_r08 — g4 13.9s one run, 5.99s the next, identical
           // code, clean CPU probes) is collection pauses, not query
           // cost. Re-measure ONCE and record BOTH values — the retry is
           // taken only when the first run's own gc telemetry convicts
-          // it, and the JSON carries the evidence (`gc_reruns` rows), so
-          // this is self-documenting re-measurement, not cherry-picking.
-          if (gcSec > 0.25 * sec && sec > 2.0) {
-            System.gc()
-            val t1 = System.nanoTime()
-            val gc1 = gcMs
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            val sec2 = (System.nanoTime() - t1) / 1e9
-            System.err.println(
-              f"[bench] $name RERUN (gc ${gcSec}%.1fs of ${sec}%.1fs): $sec2%.2fs gc=${gcMs - gc1}ms")
-            gcReruns += (name -> (sec, sec2))
-            name -> math.min(sec, sec2)
-          } else name -> sec
+          // it, and the JSON carries the evidence (`gc_reruns` rows).
+          timings(name) =
+            if (gcSec > 0.25 * sec && sec > 2.0) {
+              val (sec2, _) = runOnce(name + " (gc re-run)", fn)
+              gcReruns += (name -> (sec, sec2))
+              math.min(sec, sec2)
+            } else sec
+          window += name
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: $e")
-            name -> -1.0
+            timings(name) = -1.0
         }
       }
     }
+    // final window has no trailing scheduled probe — give it one so the
+    // last queries (historically the heavy g-family) can't be convicted
+    // silently
+    locally {
+      val p = calibrate(spark)
+      midProbes += p
+      if (p > 1.5 * CalRefSec) remeasureWindow()
+    }
+    val results = selected.flatMap(n => timings.get(n).map(n -> _))
     val calPost = probeMin(spark, 5)
     val rejected = calPost > CalGate * CalRefSec
     // `contended` = mid-run contamination flag: pre/post are already

@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
 object Queries {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts must be epoch-nanos long engine-wide whatever the file's
+    // timestamp encoding (see StreamingOps.tsToNanos)
+    if (name == "events")
+      graft.streaming.StreamingOps.readEventsBatch(spark, s"$dir/$name.parquet")
+    else spark.read.parquet(s"$dir/$name.parquet")
 
   // ---- scans / generated sources (S1, S9) ------------------------------
 

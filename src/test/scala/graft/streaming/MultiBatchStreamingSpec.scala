@@ -42,7 +42,7 @@ class MultiBatchStreamingSpec extends SparkSpec {
     progress.count(_.numInputRows > 0)
 
   test("sessionization state survives across >= 3 micro-batches") {
-    val events = spark.read.parquet(s"${sf("0.001")}/events.parquet")
+    val events = StreamingOps.readEventsBatch(spark, s"${sf("0.001")}/events.parquet")
     val dir = stageSplitParquet(events, parts = 3, sortCol = "ts")
 
     val (streamed, progress) = StreamingOps.runToMemorySinkWithProgress(
@@ -79,7 +79,7 @@ class MultiBatchStreamingSpec extends SparkSpec {
   }
 
   test("streaming dedup state survives across >= 3 micro-batches") {
-    val events = spark.read.parquet(s"${sf("0.001")}/events.parquet")
+    val events = StreamingOps.readEventsBatch(spark, s"${sf("0.001")}/events.parquet")
     val dir = stageSplitParquet(events, parts = 3, sortCol = "ts")
     // watermark beyond the fixture's whole time span: no state expiry, so
     // cross-batch duplicates MUST dedup against state from earlier batches

@@ -21,7 +21,7 @@ class StreamingSpec extends SparkSpec {
       StreamingOps.windowedCounts(StreamingOps.readEvents(spark, dir)),
       "win_counts", OutputMode.Append())
 
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = StreamingOps.readEventsBatch(spark, s"$dir/events.parquet")
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
@@ -58,7 +58,7 @@ class StreamingSpec extends SparkSpec {
       StreamingOps.sessionizeStream(StreamingOps.readEvents(spark, dir)).toDF(),
       "sessions_stream", org.apache.spark.sql.streaming.OutputMode.Append())
     val gap = 1800000000000L
-    val ev = spark.read.parquet(s"$dir/events.parquet").select("user_id", "ts")
+    val ev = StreamingOps.readEventsBatch(spark, s"$dir/events.parquet").select("user_id", "ts")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val maxTs = ev.map(_._2).max
     val all = ev.groupBy(_._1).flatMap { case (uid, es) =>
@@ -104,7 +104,7 @@ class StreamingSpec extends SparkSpec {
       .select("purchase_id", "click_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = StreamingOps.readEventsBatch(spark, s"$dir/events.parquet")
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
     val bp = ev.where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("event_time").as("p_time"))
