@@ -115,6 +115,8 @@ object SparkEntry {
     "e10_kmeans_train" -> (Queries.e10_kmeans_train _),
     "e11_pq_topk" -> (Queries.e11_pq_topk _),
     "e13_ivfpq_topk" -> (Queries.e13_ivfpq_topk _),
+    "e14_pq_recall" -> (Queries.e14_pq_recall _),
+    "e15_ivfpq_recall" -> (Queries.e15_ivfpq_recall _),
     "t9_url_stats" -> (Queries.t9_url_stats _),
     "c3_pack_sequences" -> (Queries.c3_pack_sequences _),
     "m1_multimodal_meta" -> (Queries.m1_multimodal_meta _),
@@ -123,6 +125,7 @@ object SparkEntry {
     "m4_image_dhash" -> (Queries.m4_image_dhash _),
     "m5_audio_decode" -> (Queries.m5_audio_decode _),
     "m6_image_neardup" -> (Queries.m6_image_neardup _),
+    "m7_mp4_frames" -> (Queries.m7_mp4_frames _),
     "e9_batch_ann" -> (Queries.e9_batch_ann _)
   )
 

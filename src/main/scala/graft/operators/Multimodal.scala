@@ -247,20 +247,31 @@ object Multimodal {
     df.withColumn(binCol, mk(col(idCol).cast("long")))
   }
 
-  /** Deterministic minimal MP4 (ISO BMFF): an `ftyp` box followed by a
-    * `moov` whose first (and only) child is a version-0 `mvhd` — the
-    * canonical leading layout faststart muxers emit, and exactly what
-    * [[extractMeta]]'s dynamic-offset parse reads. Timescale is the
-    * spec-recommended 600; duration (timescale units) is id-derived.
-    * No media track follows: this synthesizes the CONTAINER header the
-    * metadata path parses (sample data would live in a trailing mdat).
+  /** Deterministic minimal MP4 (ISO BMFF): an `ftyp` box, then a `moov`
+    * whose first child is a version-0 `mvhd` (the canonical leading
+    * layout faststart muxers emit — what [[extractMeta]]'s
+    * dynamic-offset parse reads), then a single-track sample table
+    * (`trak`→`mdia`→`minf`→`stbl` with `stsz` per-frame sizes and a
+    * one-chunk `stco`), then the `mdat` holding the frame bytes the
+    * table points at. Timescale is the spec-recommended 600; duration,
+    * frame count (3 + id%5), frame sizes (16 + (7id+3i)%17), and frame
+    * bytes ('a' + (31id+7i+p)%26, ASCII so SQL can rebuild them) are
+    * all closed-form in `id` — which is what lets a DuckDB oracle carry
+    * TRUTH offsets for the stco/stsz parse ([[mp4FrameTable]]).
     */
   def synthMp4(id: Long): Array[Byte] = {
     val duration = 600 + java.lang.Math.floorMod(id, 2401L).toInt // 1..5s @600
-    val buf = java.nio.ByteBuffer.allocate(132) // big-endian
+    val n = 3 + java.lang.Math.floorMod(id, 5L).toInt
+    val sizes = (0 until n).map(i => 16 + java.lang.Math.floorMod(id * 7 + i * 3, 17L).toInt)
+    val stszSize = 20 + 4 * n
+    val stblSize = 8 + stszSize + 20 // + stco (8 hdr + ver/flags + count + 1 offset)
+    val trakSize = 8 + 8 + 8 + stblSize // trak > mdia > minf > stbl
+    val moovSize = 8 + 108 + trakSize
+    val chunkOff = 16 + moovSize + 8 // frame 0: right after the mdat header
+    val buf = java.nio.ByteBuffer.allocate(chunkOff + sizes.sum) // big-endian
     def tag(s: String) = buf.put(s.getBytes("US-ASCII"))
     buf.putInt(16); tag("ftyp"); tag("isom"); buf.putInt(0)
-    buf.putInt(116); tag("moov")
+    buf.putInt(moovSize); tag("moov")
     buf.putInt(108); tag("mvhd")
     buf.putInt(0)               // version 0 + flags
     buf.putInt(0).putInt(0)     // creation/modification time
@@ -275,7 +286,88 @@ object Multimodal {
     buf.putInt(0).putInt(0).putInt(0x40000000)
     (0 until 6).foreach(_ => buf.putInt(0)) // pre_defined
     buf.putInt(2)               // next_track_id
+    buf.putInt(trakSize); tag("trak")
+    buf.putInt(trakSize - 8); tag("mdia")
+    buf.putInt(trakSize - 16); tag("minf")
+    buf.putInt(stblSize); tag("stbl")
+    buf.putInt(stszSize); tag("stsz")
+    buf.putInt(0)               // version + flags
+    buf.putInt(0)               // sample_size 0 => per-sample entries
+    buf.putInt(n)               // sample_count
+    sizes.foreach(buf.putInt)
+    buf.putInt(20); tag("stco")
+    buf.putInt(0)               // version + flags
+    buf.putInt(1)               // entry_count (single chunk)
+    buf.putInt(chunkOff)
+    buf.putInt(8 + sizes.sum); tag("mdat")
+    for (i <- 0 until n; p <- 0 until sizes(i))
+      buf.put((97 + java.lang.Math.floorMod(id * 31 + i * 7 + p, 26L)).toByte)
     buf.array()
+  }
+
+  /** Real video frame table: one row per frame, with `frame_off`/
+    * `frame_size` read from the container's OWN sample table (`stsz`
+    * sizes, `stco` chunk base — the dynamic-offset walk [[extractMeta]]
+    * does for mvhd, continued through trak→mdia→minf→stbl), and
+    * `frame_fp` = md5 of the actual payload bytes those offsets point
+    * at. Every box offset is computed from sizes read out of the
+    * payload and every tag on the chain is verified; non-canonical
+    * layouts (or non-MP4 payloads) produce no rows rather than guessed
+    * ones. Pure Column expressions end to end — a narrow, codegen'd
+    * projection + explode, no UDF, no shuffle; at corpus scale this is
+    * one pass over the binary column with candidate frame slices read
+    * straight from the row's bytes.
+    */
+  def mp4FrameTable(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "payload"): DataFrame = {
+    val bin = col(binCol)
+    // Offsets are chained u32s read from the payload, so an arbitrary
+    // (non-MP4 or corrupt) payload can yield offsets past Int range.
+    // The tag guards below make such rows fail `canonical`, but Catalyst
+    // CSE hoists the substr calls out of the &&-short-circuit, so every
+    // payload-derived offset is clamped before the (ANSI) int cast: a
+    // clamped probe reads past the payload end, returns empty, and the
+    // tag check fails — no overflow, no guessed parse.
+    def safe(off: Column) = least(off, lit(1L << 30)).cast("int")
+    def beU32At(off0: Column) = // big-endian u32 at a 0-based byte offset
+      conv(hex(bin.substr(safe(off0 + 1), lit(4))), 16, 10).cast("long")
+    def tagAt(off0: Column) = hex(bin.substr(safe(off0 + 5), lit(4)))
+    val moov0 = beU32At(lit(0)) // ftyp size = moov's 0-based offset
+    val mvhd0 = moov0 + 8
+    val trak0 = mvhd0 + beU32At(mvhd0)
+    val mdia0 = trak0 + 8
+    val minf0 = mdia0 + 8
+    val stbl0 = minf0 + 8
+    val stsz0 = stbl0 + 8
+    val stco0 = stsz0 + beU32At(stsz0)
+    val canonical =
+      length(bin) >= 16 && tagAt(lit(0)) === "66747970" && // "ftyp"
+      moov0.between(16L, 1L << 20) &&
+      tagAt(moov0) === "6D6F6F76" && // "moov"
+      tagAt(mvhd0) === "6D766864" && // "mvhd"
+      tagAt(trak0) === "7472616B" && // "trak"
+      tagAt(mdia0) === "6D646961" && // "mdia"
+      tagAt(minf0) === "6D696E66" && // "minf"
+      tagAt(stbl0) === "7374626C" && // "stbl"
+      tagAt(stsz0) === "7374737A" && // "stsz"
+      beU32At(stsz0 + 12) === 0L && // per-sample sizes, not uniform
+      tagAt(stco0) === "7374636F" && // "stco"
+      beU32At(stco0 + 12) === 1L // single-chunk layout
+    df.where(canonical)
+      .withColumn("__n", beU32At(stsz0 + 16))
+      .withColumn("__sizes", transform(
+        sequence(lit(0L), col("__n") - 1L),
+        i => beU32At(stsz0 + 20 + i * 4)))
+      .withColumn("__chunk0", beU32At(stco0 + 16))
+      .withColumn("frame_idx", explode(sequence(lit(0L), col("__n") - 1L)))
+      .withColumn("frame_size", element_at(col("__sizes"), (col("frame_idx") + 1).cast("int")))
+      .withColumn("frame_off", col("__chunk0") +
+        aggregate(slice(col("__sizes"), lit(1), col("frame_idx").cast("int")),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("frame_fp", md5(bin.substr(safe(col("frame_off") + 1),
+        safe(col("frame_size")))))
+      .select(col(idCol), col("frame_idx"), col("frame_off"), col("frame_size"),
+        col("frame_fp"))
   }
 
   /** Real audio decode: `javax.sound.sampled` parses the WAVE container

@@ -688,6 +688,32 @@ object Oracles {
         |  md5(substring(text, (frame_idx * frame_size + 1)::INTEGER, frame_size::INTEGER)) AS frame_fp
         |FROM f""".stripMargin,
 
+    // real MP4 frame table: the oracle carries the fixture writer's
+    // closed-form TRUTH — n = 3 + id%5 frames, sizes 16 + (7id+3i)%17,
+    // chunk base 212 + 4n (ftyp 16 + moov 188+4n + mdat header 8),
+    // frame bytes 'a' + (31id+7i+p)%26 — so a green hash proves the
+    // engine's stsz/stco parse read the container's own sample table
+    "m7_mp4_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, 3 + doc_id % 5 AS n FROM documents),
+        |fr AS (
+        |  SELECT doc_id, n, unnest(range(0, n)) AS i FROM f),
+        |sz AS (
+        |  SELECT doc_id, n, i,
+        |    16 + (doc_id * 7 + i * 3) % 17 AS frame_size,
+        |    212 + 4 * n
+        |      + coalesce(list_sum([16 + (doc_id * 7 + j * 3) % 17
+        |                           FOR j IN range(0, i)]), 0) AS frame_off
+        |  FROM fr)
+        |SELECT doc_id,
+        |  i::BIGINT AS frame_idx,
+        |  frame_off::BIGINT AS frame_off,
+        |  frame_size::BIGINT AS frame_size,
+        |  md5(list_aggregate(
+        |    [chr((97 + (doc_id * 31 + i * 7 + p) % 26)::INT)
+        |     FOR p IN range(0, frame_size)], 'string_agg', '')) AS frame_fp
+        |FROM sz""".stripMargin,
+
     // deterministic stratified sampling: the keep ticket is the md5-60bit
     // of the doc id mod 10000 (same SQL-reproducible trick as the LSH
     // family); class fractions 10%/50%/90% by length tercile
@@ -1432,6 +1458,8 @@ object Oracles {
     "e10_kmeans_train" -> e10Sql,
     "e11_pq_topk" -> e11Sql,
     "e13_ivfpq_topk" -> e13Sql,
+    "e14_pq_recall" -> recallVsExactSql(e11Sql),
+    "e15_ivfpq_recall" -> recallVsExactSql(e13Sql),
 
     // sign-sketch Hamming top-k: the oracle counts sign mismatches
     // directly (no bit packing needed in SQL — the count is what the
@@ -1804,6 +1832,24 @@ object Oracles {
        |${iter(3)}
        |SELECT cell, dim, mean FROM m3""".stripMargin
   }
+
+  /** Recall@20 of a compressed ranker against the exact cosine top-20
+    * (the e6 pattern applied to e11/e13): the ranker's own statement is
+    * nested as a derived CTE — its inner `e` shadows the outer one —
+    * and recall = |approx ∩ exact| / 20.
+    */
+  private def recallVsExactSql(approxSql: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |exact AS (
+       |  SELECT e.vec_id FROM e, q
+       |  ORDER BY list_dot_product(e.v, q.qv)
+       |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+       |    e.vec_id
+       |  LIMIT 20),
+       |approx AS ($approxSql)
+       |SELECT round(count(*) / 20.0, 4) AS recall
+       |FROM exact JOIN approx USING (vec_id)""".stripMargin
 
   private def e6Sql: String = {
     val planes = graft.operators.SimilaritySearch.hyperplanes(64, 4, 42)

@@ -1429,6 +1429,46 @@ object Queries {
     SimilaritySearch.recallAt(exact, ann, "vec_id", k = 20)
   }
 
+  /** Recall@20 of the PQ ADC ranking (e11) vs the exact top-20 — the
+    * compressed-ranker twin of e6. e11's hash gate proves the ADC math
+    * matches the oracle's identical model, but a PQ with a degenerate
+    * codebook would still hash-match its own oracle; this row records
+    * ranking fidelity against the uncompressed truth.
+    */
+  def e14_pq_recall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val exact = SimilaritySearch.topK(emb, "vec_id", "embedding", query, k = 20)
+    val cb = SimilaritySearch.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, seedIds = 1L to 16L)
+    val pq = SimilaritySearch.pqTopK(emb, "vec_id", "embedding", cb, query, k = 20)
+    SimilaritySearch.recallAt(exact, pq, "vec_id", k = 20)
+  }
+
+  /** Recall@20 of IVF-PQ (e13) vs the exact top-20: cell pruning AND
+    * residual-code quantization both cost recall; this is the number a
+    * serving deployment tunes nProbe against.
+    */
+  def e15_ivfpq_recall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val cent = emb.where(col("vec_id").between(1, 8))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    val cb = SimilaritySearch.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, seedIds = 1L to 16L)
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val exact = SimilaritySearch.topK(emb, "vec_id", "embedding", query, k = 20)
+    val ivfpq = SimilaritySearch.ivfPqTopK(emb, "vec_id", "embedding", cent, cb,
+      query, k = 20, nProbe = 2)
+    SimilaritySearch.recallAt(exact, ivfpq, "vec_id", k = 20)
+  }
+
   /** Batched multi-query ANN (E9): top-10 for three query vectors in one
     * plan — one corpus scan serves the whole query batch; per-query
     * ranking via the bounded typed top-K agg (no per-query window, no
@@ -1556,6 +1596,23 @@ object Queries {
         col("doc_id"),
         col("frame_idx").cast("long").as("frame_idx"),
         md5(expr("substring(text, frame_idx * frame_size + 1, frame_size)")).as("frame_fp"))
+
+  /** Real MP4 frame table (M7): every document carries a synthetic but
+    * REAL ISO BMFF container (ftyp/moov/mvhd + trak→…→stbl with
+    * stsz/stco + mdat); the query parses the sample table out of the
+    * payload bytes — box offsets chained from sizes read from the
+    * payload, every tag verified — and fingerprints the exact frame
+    * byte ranges stco/stsz point at. The oracle carries the writer's
+    * closed-form TRUTH offsets and rebuilds the frame bytes, so a green
+    * hash proves the declarative parse read the real sample table, not
+    * synthesized frame math (m2's acknowledged stand-in).
+    */
+  def m7_mp4_frames(spark: SparkSession, dir: String): DataFrame = {
+    val mk = udf((id: Long) => Multimodal.synthMp4(id))
+    Multimodal.mp4FrameTable(
+      t(spark, dir, "documents").select(col("doc_id"))
+        .withColumn("payload", mk(col("doc_id").cast("long"))))
+  }
 
   /** Real image decode end-to-end (M3): synthesize a deterministic PNG
     * per document (every sample a closed-form function of id/x/y/channel),

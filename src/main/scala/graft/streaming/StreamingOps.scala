@@ -61,7 +61,14 @@ object StreamingOps {
     */
   def readEvents(spark: SparkSession, pathOrGlob: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val physicalTs = spark.read.parquet(pathOrGlob).schema("ts").dataType
+    // an empty or not-yet-populated source directory (or zero-match
+    // glob) has no footer to sniff — fall back to the engine-wide
+    // LongType epoch-nanos encoding, which is what every writer in this
+    // repo emits; files arriving later with a TIMESTAMP encoding would
+    // need the directory to be non-empty at stream start
+    val physicalTs =
+      try spark.read.parquet(pathOrGlob).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => LongType }
     val schema = StructType(eventsSchema.map {
       case f if f.name == "ts" => f.copy(dataType = physicalTs)
       case f => f
@@ -176,7 +183,7 @@ object StreamingOps {
       watermarkDelay: String = "10 minutes"): DataFrame =
     events
       .withWatermark("event_time", watermarkDelay)
-      .withColumn("fp", md5(concat_ws(" ", contentCols.map(col): _*)))
+      .withColumn("fp", md5(concat_ws("\u0000", contentCols.map(col): _*)))
       .dropDuplicatesWithinWatermark("fp")
 
   /** Stream-static enrichment join: each micro-batch hash-joins against

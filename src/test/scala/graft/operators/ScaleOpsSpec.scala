@@ -984,6 +984,41 @@ class ScaleOpsSpec extends SparkSpec {
     assert(obs.get("unknown_payloads") === 2L)
   }
 
+  test("mp4FrameTable: stsz/stco offsets slice the exact frame bytes the writer laid down") {
+    import spark.implicits._
+    val ids = Seq(0L, 3L, 9L, 17L)
+    val rows = ids.map(id => (id, Multimodal.synthMp4(id))).toDF("doc_id", "payload")
+    val out = Multimodal.mp4FrameTable(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    ids.foreach { id =>
+      val bytes = Multimodal.synthMp4(id)
+      val n = 3 + java.lang.Math.floorMod(id, 5L).toInt
+      val sizes = (0 until n).map(i => 16 + java.lang.Math.floorMod(id * 7 + i * 3, 17L).toInt)
+      (0 until n).foreach { i =>
+        val r = out((id, i.toLong))
+        val expOff = bytes.length - sizes.sum + sizes.take(i).sum
+        assert(r.getLong(2) === expOff, s"doc $id frame $i offset must point into mdat")
+        assert(r.getLong(3) === sizes(i).toLong)
+        // the fingerprint must hash the very bytes at [off, off+size)
+        val slice = java.util.Arrays.copyOfRange(bytes, expOff, expOff + sizes(i))
+        val md = java.security.MessageDigest.getInstance("MD5").digest(slice)
+        assert(r.getString(4) === md.map("%02x".format(_)).mkString)
+      }
+      assert(!out.contains((id, n.toLong)), "no frames past sample_count")
+    }
+    // non-canonical payloads (no sample table to read) emit NO rows
+    val png = Seq((99L, Multimodal.synthPng(99L))).toDF("doc_id", "payload")
+    assert(Multimodal.mp4FrameTable(png).count() === 0)
+    val lateMoov = {
+      val ftyp = java.util.Arrays.copyOfRange(Multimodal.synthMp4(1L), 0, 16)
+      val mdat = java.nio.ByteBuffer.allocate(16)
+        .putInt(16).put("mdat".getBytes("US-ASCII")).putLong(0L).array()
+      Seq((98L, ftyp ++ mdat)).toDF("doc_id", "payload")
+    }
+    assert(Multimodal.mp4FrameTable(lateMoov).count() === 0,
+      "a late-moov layout must yield no rows, not guessed offsets")
+  }
+
   test("extractMeta: non-canonical MP4 (moov not after ftyp) identifies but nulls fields") {
     import spark.implicits._
     // real-world late-moov file: ftyp then mdat; moov would sit at EOF.

@@ -44,7 +44,7 @@ class StreamingSpec extends SparkSpec {
       StreamingOps.streamingDedup(
         StreamingOps.readEvents(spark, dir), Seq("user_id", "event_type")),
       "dedup_stream", OutputMode.Append())
-    val batchDistinct = spark.read.parquet(s"$dir/events.parquet")
+    val batchDistinct = StreamingOps.readEventsBatch(spark, s"$dir/events.parquet")
       .select("user_id", "event_type").distinct().count()
     // one micro-batch over a static source: state never expires inside
     // the run, so the streamed row set is exactly the batch distinct set
@@ -158,7 +158,7 @@ class StreamingSpec extends SparkSpec {
     // final state per user == batch per-user aggregate
     val lastPerUser = streamed
       .groupBy("user_id").agg(max(col("n_events")).as("n_events"))
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = StreamingOps.readEventsBatch(spark, s"$dir/events.parquet")
       .groupBy("user_id").agg(count(lit(1)).as("n_events"))
     val s = lastPerUser.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val b = batch.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
