@@ -180,6 +180,41 @@ object Bench {
     best
   }
 
+  /** Memory-bandwidth probe (round 10): this session observed a box
+    * state where the CPU probe stayed gate-clean while every
+    * shuffle/agg-heavy query ran 2-8x its band with idle CPUs and low
+    * GC — host-level contention on memory bandwidth / LLC that a
+    * compute-bound xxhash loop cannot see. A single-threaded xor-reduce
+    * over a 256 MiB long array is bandwidth-bound, so its GB/s drops
+    * when a neighbor saturates the memory bus. Recorded (pre/mid/post)
+    * alongside the CPU probes — not hard-gated yet: the quiet-box
+    * reference needs a few rounds of data before a threshold is
+    * defensible (same calibration path CalRefSec took in r4-r8).
+    */
+  private lazy val memArr: Array[Long] = {
+    val a = new Array[Long](1 << 25) // 256 MiB
+    var i = 0
+    while (i < a.length) { a(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
+    a
+  }
+  def memProbeGbps(): Double = {
+    val a = memArr
+    var best = Double.MaxValue
+    var pass = 0
+    while (pass < 3) {
+      val t0 = System.nanoTime()
+      var acc = 0L
+      var i = 0
+      while (i < a.length) { acc ^= a(i); i += 1 }
+      val sec = (System.nanoTime() - t0) / 1e9
+      memSink = acc // defeat dead-code elimination
+      best = math.min(best, sec)
+      pass += 1
+    }
+    (a.length.toLong * 8) / best / 1e9
+  }
+  @volatile private var memSink = 0L
+
   /** Queries that spend less than this are not re-measured after a
     * conviction: their worst-case inflation is bounded by the floor
     * itself, and a re-run would cost more probe time than it could
@@ -325,6 +360,8 @@ object Bench {
     // values recorded (`contention_reruns`), min wins — self-documented
     // re-measurement, not cherry-picking.
     val midProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val memMids = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val memPre = memProbeGbps()
     val gcReruns = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val contReruns = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val window = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -376,6 +413,7 @@ object Bench {
       if (qi > 0 && qi % 6 == 0) {
         val p = calibrate(spark)
         midProbes += p
+        memMids += memProbeGbps()
         if (p > 1.5 * CalRefSec) remeasureWindow()
         window.clear()
       }
@@ -408,10 +446,12 @@ object Bench {
     locally {
       val p = calibrate(spark)
       midProbes += p
+      memMids += memProbeGbps()
       if (p > 1.5 * CalRefSec) remeasureWindow()
     }
     val results = selected.flatMap(n => timings.get(n).map(n -> _))
     val calPost = probeMin(spark, 5)
+    val memPost = memProbeGbps()
     val rejected = shouldReject(calPost, contUnremediated.toSeq)
     // `contended` = mid-run contamination flag: pre/post are already
     // gate-clean in an accepted artifact, so only the mid probes can
@@ -441,7 +481,8 @@ object Bench {
         s""""post-suite probe $calPost > $CalGate x $CalRefSec""""
       else
         s""""convicted windows not cleanly re-measured: ${contUnremediated.mkString(",")}""""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"hash_family_overrides":$ov,"failed":$fj,"failed_count":${failed.size},"calibration_sec":[$calPre,$calPost],"calibration_mid":$mids,"gc_reruns":${rerunJson(gcReruns)},"contention_reruns":${rerunJson(contReruns)},"contention_skipped":${namesJson(contSkipped)},"contention_unremediated":${namesJson(contUnremediated)},"calibration_ref_sec":$CalRefSec,"calibration_gate":$CalGate,"contended":$contended,"rejected":$rejected,"reject_reason":$rejectReason,"sf":"$sfDir"}"""
+    val memMidJ = memMids.map(v => f"$v%.2f").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"hash_family_overrides":$ov,"failed":$fj,"failed_count":${failed.size},"calibration_sec":[$calPre,$calPost],"calibration_mid":$mids,"mem_probe_gbps":{"pre":${f"$memPre%.2f"},"mid":$memMidJ,"post":${f"$memPost%.2f"}},"gc_reruns":${rerunJson(gcReruns)},"contention_reruns":${rerunJson(contReruns)},"contention_skipped":${namesJson(contSkipped)},"contention_unremediated":${namesJson(contUnremediated)},"calibration_ref_sec":$CalRefSec,"calibration_gate":$CalGate,"contended":$contended,"rejected":$rejected,"reject_reason":$rejectReason,"sf":"$sfDir"}"""
     // stdout (unprefixed via fork + StdoutOutput) AND a file artifact,
     // so the driver's parse can't be defeated by log interleaving
     println(json)

@@ -68,8 +68,12 @@ object ScaleUp {
     * gaps are seconds-scale).
     */
   def scaleEvents(df: DataFrame, copies: Int): DataFrame = {
-    val stride = keyStride(df, "event_id")
-    explodeCopies(df, copies)
+    // the events table has shipped in several physical ts encodings
+    // (TIMESTAMP NANOS/MICROS, tz/ntz, INT64-nanos) — normalize to the
+    // engine-wide epoch-nanos long before doing long arithmetic on it
+    val norm = graft.streaming.StreamingOps.tsToNanos(df)
+    val stride = keyStride(norm, "event_id")
+    explodeCopies(norm, copies)
       .withColumn("event_id", col("event_id") + col("__copy") * stride)
       .withColumn("ts", col("ts") + col("__copy") * lit(1000000L))
       .drop("__copy")
