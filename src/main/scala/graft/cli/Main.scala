@@ -2,7 +2,7 @@ package graft.cli
 
 import graft.genomics._
 import graft.model.{DiscoveredVariant, Read}
-import graft.sources.{Bam, Gff, Sam, Vcf}
+import graft.sources.{Bam, Cram, Gff, Sam, Vcf}
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
   *   graft.cli.Main trioGenotyper <reads> <out> <mother> <father> <child>
   *       [-ploidy N] [-bin_size N]
   *
-  * Reads: .sam/.bam files or parquet directories of the Read schema
-  * (CRAM is a documented non-goal: the codec requires an external
-  * reference genome — transcode to BAM first). Outputs: parquet
+  * Reads: .sam/.bam/.cram files or parquet directories of the Read
+  * schema. CRAM with neither an embedded reference nor RR=false needs
+  * `-reference genome.fa` (the htsjdk-style external FASTA). Outputs:
+  * parquet
   * (calls/variants/reads) or VCF text (jointer). -ploidy sets the base
   * ploidy; -contig_ploidy overrides whole contigs (sex chromosomes),
   * threading variable-ploidy calling through the genotyper's
@@ -48,12 +49,10 @@ object Main {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private def loadReads(spark: SparkSession, path: String): Dataset[Read] = {
+  private def loadReads(spark: SparkSession, path: String,
+      reference: Option[String] = None): Dataset[Read] = {
     import spark.implicits._
-    if (path.endsWith(".cram"))
-      sys.error("CRAM input is not supported: the CRAM codec requires an " +
-        "external reference genome (documented non-goal; see README). " +
-        "Transcode to BAM (samtools view -b) and retry.")
+    if (path.endsWith(".cram")) Cram.read(spark, path, reference)
     else if (path.endsWith(".sam")) Sam.read(spark, path)
     else if (path.endsWith(".bam")) Bam.read(spark, path)
     else spark.read.parquet(path).as[Read]
@@ -67,7 +66,7 @@ object Main {
 
   /** Positional args with `-flag value` pairs and bare switches removed. */
   private def positional(args: Array[String]): Array[String] = {
-    val valued = Set("-ploidy", "-contig_ploidy", "-bin_size", "-cnv")
+    val valued = Set("-ploidy", "-contig_ploidy", "-bin_size", "-cnv", "-reference")
     val out = Array.newBuilder[String]
     var i = 0
     while (i < args.length) {
@@ -123,7 +122,7 @@ object Main {
       case "discover" =>
         val minPhred = if (args.length > 3) args(3).toInt else 20
         val minObs = if (args.length > 4) args(4).toLong else 2L
-        DiscoverVariants.discover(PrefilterReads(loadReads(spark, args(1))), minPhred, minObs)
+        DiscoverVariants.discover(PrefilterReads(loadReads(spark, args(1), flagValue(args, "-reference"))), minPhred, minObs)
           .write.mode("overwrite").parquet(args(2))
 
       case "biallelicGenotyper" =>
@@ -131,7 +130,7 @@ object Main {
         val minPhred = if (pos.length > 3) pos(3).toInt else 20
         val minObs = if (pos.length > 4) pos(4).toLong else 2L
         val (basePloidy, cn) = ploidyConfig(spark, args)
-        val reads = PrefilterReads(loadReads(spark, pos(1)))
+        val reads = PrefilterReads(loadReads(spark, pos(1), flagValue(args, "-reference")))
         val variants = DiscoverVariants.discover(reads, minPhred, minObs)
           .select("contigName", "start", "referenceAllele", "alternateAllele")
           .as[DiscoveredVariant]
@@ -164,14 +163,14 @@ object Main {
           .write.mode("overwrite").parquet(args(2))
 
       case "reassemble" =>
-        Realigner.realign(loadReads(spark, args(1)))
+        Realigner.realign(loadReads(spark, args(1), flagValue(args, "-reference")))
           .write.mode("overwrite").parquet(args(2))
 
       case "trioGenotyper" =>
         val pos = positional(args)
         require(pos.length >= 6, "trioGenotyper <reads> <out> <mother> <father> <child>")
         val (basePloidy, cn) = ploidyConfig(spark, args)
-        val reads = PrefilterReads(loadReads(spark, pos(1)))
+        val reads = PrefilterReads(loadReads(spark, pos(1), flagValue(args, "-reference")))
         val variants = DiscoverVariants.discover(reads, 20, 2)
           .select("contigName", "start", "referenceAllele", "alternateAllele")
           .as[DiscoveredVariant]

@@ -135,10 +135,15 @@ class CliSpec extends SparkSpec {
     assert(d.columns.contains("px_sum"))
   }
 
-  test("CRAM input fails with an explicit unsupported error") {
-    val e = intercept[RuntimeException] { run("discover", "in.cram", s"$tmp/nope") }
-    assert(e.getMessage.contains("CRAM"))
-    assert(e.getMessage.contains("BAM"), "error should point at the BAM path")
+  test("CRAM input runs discover end-to-end (referenceless fixture)") {
+    val sam = graft.sources.Sam.read(spark,
+      "/root/reference/avocado-core/src/test/resources/NA12878.chr1.875159.sam", "NA12878")
+      .collect().toSeq.map(r => if (!r.readMapped) r.copy(mapq = 0) else r)
+    graft.sources.Cram.write(sam, s"$tmp/reads.cram", sample = "NA12878")
+    run("discover", s"$tmp/reads.cram", s"$tmp/cram_variants")
+    val vs = spark.read.parquet(s"$tmp/cram_variants")
+    assert(vs.count() > 0)
+    assert(vs.columns.contains("alternateAllele"))
   }
 
   test("jointer -from_gvcf squares a gVCF before the joint layer") {
