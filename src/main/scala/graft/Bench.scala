@@ -83,6 +83,7 @@ object Bench {
     "m5_audio_decode",
     "m6_image_neardup",
     "m7_mp4_frames",
+    "m8_image_neardup_scaled",
     "g1_discover_variants",
     "g2_genotype_calls",
     "g3_realign",

@@ -126,6 +126,7 @@ object SparkEntry {
     "m5_audio_decode" -> (Queries.m5_audio_decode _),
     "m6_image_neardup" -> (Queries.m6_image_neardup _),
     "m7_mp4_frames" -> (Queries.m7_mp4_frames _),
+    "m8_image_neardup_scaled" -> (Queries.m8_image_neardup_scaled _),
     "e9_batch_ann" -> (Queries.e9_batch_ann _)
   )
 

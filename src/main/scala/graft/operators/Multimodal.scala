@@ -540,6 +540,61 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Scale path for [[dHashNearDupPairs]] (M8, the e3→e12 pattern on the
+    * multimodal surface): collapse exact-duplicate images FIRST — one
+    * representative (min doc_id) per distinct 128-bit dHash with a
+    * member count — then run the pigeonhole candidate join over DISTINCT
+    * hashes only. Output is one row per duplicate relationship, weighted
+    * by underlying pair mass:
+    *
+    *  - `(rep, rep, 0, n·(n−1)/2)` — a collapsed exact-dup cluster;
+    *  - `(rep_a, rep_b, h, n_a·n_b)` — a cross-cluster near-dup at
+    *    Hamming distance 1..maxHamming between representatives.
+    *
+    * Why it scales where pairwise doesn't: a corpus with heavy exact
+    * duplication (thumbnails, mirrored CDN assets — or this fixture's
+    * fixed 97 image identities) makes pairwise output Ω(Σ n_i²) while
+    * the collapsed form is O(#distinct + near-dup structure). Candidate
+    * volume tracks distinct-hash bucket occupancy, never raw row count.
+    */
+  def dHashNearDupScaled(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "chunking scheme assumes <= 3 for 4 chunks")
+    val grp = hashes.groupBy("dhash_hi", "dhash_lo")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
+    val exact = grp.where(col("n") >= 2)
+      .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
+        lit(0L).as("hamming"), expr("(n * (n - 1)) DIV 2").as("weight"))
+    val chunkStructs = array(
+      (0 until 2).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("dhash_lo"), c * 16).bitwiseAND(lit(0xffffL)).as("cv"))
+      } ++ (0 until 2).map { c =>
+        struct(lit(c + 2).as("chunk"),
+          shiftright(col("dhash_hi"), c * 16).bitwiseAND(lit(0xffffL)).as("cv"))
+      }: _*)
+    val chunked = grp
+      .select(col("rep"), col("n"), col("dhash_hi"), col("dhash_lo"),
+        explode(chunkStructs).as("c"))
+      .select(col("rep"), col("n"), col("dhash_hi"), col("dhash_lo"),
+        col("c.chunk"), col("c.cv"))
+    val l = chunked.alias("l")
+    val r = chunked.alias("r")
+    val cross = l.join(r, col("l.chunk") === col("r.chunk") && col("l.cv") === col("r.cv") &&
+        col("l.rep") < col("r.rep"))
+      .select(col("l.rep").as("rep_a"), col("r.rep").as("rep_b"),
+        col("l.n").as("na"), col("r.n").as("nb"),
+        col("l.dhash_hi").as("ha_hi"), col("l.dhash_lo").as("ha_lo"),
+        col("r.dhash_hi").as("hb_hi"), col("r.dhash_lo").as("hb_lo"))
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
+          bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("long"))
+      .where(col("hamming") <= maxHamming) // distinct hashes ⇒ hamming ≥ 1
+      .select(col("rep_a"), col("rep_b"), col("hamming"),
+        (col("na") * col("nb")).as("weight"))
+    exact.unionByName(cross)
+  }
+
   /** Accumulator from the most recent decodeBatch plan (test hook /
     * post-run observability): rows whose payload failed to decode.
     * Caveats shared with every accumulator-in-transformation: task

@@ -1376,6 +1376,59 @@ object Oracles {
         |FROM cand
         |WHERE bit_count(xor(ha_hi, hb_hi)) + bit_count(xor(ha_lo, hb_lo)) <= 3""".stripMargin,
 
+    // collapsed image near-dup (m6's scale path): exact-dup clusters
+    // shrink to (rep, n) before the pigeonhole pair join, weights carry
+    // the underlying pair mass
+    "m8_image_neardup_scaled" ->
+      """WITH img AS (
+        |  SELECT doc_id, doc_id % 97 AS im,
+        |         8 + (doc_id % 97) % 9 AS w, 8 + (doc_id % 97) % 7 AS h
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, j.range AS j, i.range AS i,
+        |    ((im*31 + (i.range*w//9)*7 + (j.range*h//8)*13) % 256
+        |     + (im*31 + (i.range*w//9)*7 + (j.range*h//8)*13 + 101) % 256
+        |     + (im*31 + (i.range*w//9)*7 + (j.range*h//8)*13 + 202) % 256) // 3 AS gray
+        |  FROM img CROSS JOIN range(0, 8) j CROSS JOIN range(0, 9) i),
+        |b AS (
+        |  SELECT doc_id, j, i,
+        |    CASE WHEN lead(gray) OVER (PARTITION BY doc_id, j ORDER BY i) > gray
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM g),
+        |hsh AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN j >= 4 THEN bit * (1::BIGINT << ((j - 4) * 8 + i))
+        |             ELSE 0 END)::BIGINT AS dhash_hi,
+        |    sum(CASE WHEN j < 4 THEN bit * (1::BIGINT << (j * 8 + i))
+        |             ELSE 0 END)::BIGINT AS dhash_lo
+        |  FROM b WHERE i < 8 GROUP BY doc_id),
+        |grp AS (
+        |  SELECT dhash_hi, dhash_lo, min(doc_id) AS rep, count(*) AS n
+        |  FROM hsh GROUP BY dhash_hi, dhash_lo),
+        |exact AS (
+        |  SELECT rep AS rep_a, rep AS rep_b, 0::BIGINT AS hamming,
+        |         ((n * (n - 1)) // 2)::BIGINT AS weight
+        |  FROM grp WHERE n >= 2),
+        |ch AS (
+        |  SELECT rep, n, dhash_hi, dhash_lo, c.range AS chunk,
+        |    CASE WHEN c.range < 2 THEN (dhash_lo >> (c.range::INT * 16)) & 65535
+        |         ELSE (dhash_hi >> ((c.range::INT - 2) * 16)) & 65535 END AS cv
+        |  FROM grp CROSS JOIN range(0, 4) c),
+        |cand AS (
+        |  SELECT DISTINCT l.rep AS rep_a, r.rep AS rep_b, l.n AS na, r.n AS nb,
+        |    l.dhash_hi AS ha_hi, l.dhash_lo AS ha_lo,
+        |    r.dhash_hi AS hb_hi, r.dhash_lo AS hb_lo
+        |  FROM ch l JOIN ch r
+        |    ON l.chunk = r.chunk AND l.cv = r.cv AND l.rep < r.rep)
+        |SELECT rep_a, rep_b, hamming, weight FROM exact
+        |UNION ALL
+        |SELECT rep_a, rep_b,
+        |  (bit_count(xor(ha_hi, hb_hi)) + bit_count(xor(ha_lo, hb_lo)))::BIGINT
+        |    AS hamming,
+        |  (na * nb)::BIGINT AS weight
+        |FROM cand
+        |WHERE bit_count(xor(ha_hi, hb_hi)) + bit_count(xor(ha_lo, hb_lo)) <= 3""".stripMargin,
+
     // real audio decode: Spark writes a WAV whose sample t is
     // (doc_id*31 + t*7) % 65536 - 32768 over 64 + doc_id%33 mono 16-bit
     // frames at 8 kHz, decodes it with javax.sound.sampled, and reports

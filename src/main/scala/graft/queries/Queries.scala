@@ -1663,6 +1663,25 @@ object Queries {
         .toDF(),
       maxHamming = 3)
 
+  /** Collapsed image near-dup (M8): m6's scale path. Exact-dup clusters
+    * collapse to (rep, count) BEFORE pair enumeration, so output and
+    * candidate volume track DISTINCT image identities — linear where
+    * m6's pairwise contract is Ω(Σ n²) on duplicate-heavy corpora (the
+    * sf1 step-up measured m6 output-bound at 27.6×; this form stays
+    * flat). The e3→e12 pattern on the multimodal surface.
+    */
+  def m8_image_neardup_scaled(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.dHashNearDupScaled(
+      Multimodal.dHashBatch(
+        Multimodal.attachSynthPng(
+          t(spark, dir, "documents").select(col("doc_id"))
+            .withColumn("img_id", pmod(col("doc_id"), lit(97L))),
+          "img_id")
+          .select(col("doc_id"), col("payload")),
+        "doc_id")
+        .toDF(),
+      maxHamming = 3)
+
   /** Real audio decode end-to-end (M5): deterministic 16-bit PCM WAV per
     * document through the real `javax.sound.sampled` WAVE writer, decoded
     * by the same JDK stack, integer sample statistics of the DECODED

@@ -805,6 +805,35 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pairs.forall { case (a, b, _) => a < b }, "canonical pair order")
   }
 
+  test("collapsed image near-dup (m8): weighted reps; candidate volume independent of dup depth") {
+    import spark.implicits._
+    def hashesOf(ids: Seq[Long]) = Multimodal.dHashBatch(
+      Multimodal.attachSynthPng(
+        ids.map(Tuple1(_)).toDF("doc_id")
+          .withColumn("img_id", pmod(col("doc_id"), lit(97L))), "img_id")
+        .select("doc_id", "payload"),
+      "doc_id").toDF()
+    // 3 copies of image 10, 2 of image 5, lone 23
+    val rows = Multimodal.dHashNearDupScaled(hashesOf(Seq(10L, 107L, 204L, 5L, 102L, 23L)))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(rows.contains((10L, 10L, 0L, 3L)), s"3-cluster mass 3 pairs: $rows")
+    assert(rows.contains((5L, 5L, 0L, 1L)), s"2-cluster mass 1 pair: $rows")
+    assert(!rows.exists(r => r._1 == 23L && r._2 == 23L), "singletons emit no self row")
+    rows.filter(r => r._1 != r._2).foreach { case (a, b, h, w) =>
+      assert(a < b && h >= 1 && h <= 3 && w >= 1, s"cross row ($a,$b,$h,$w)")
+    }
+    // the scale contract: 10x deeper duplication changes WEIGHTS, not the
+    // number of relationship rows (candidates track distinct hashes)
+    val deepIds = (0 until 30).map(k => 10L + 97L * k) ++ Seq(5L, 102L, 23L)
+    val deep = Multimodal.dHashNearDupScaled(hashesOf(deepIds))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(deep.contains((10L, 10L, 0L, 30L * 29 / 2)), "pair mass rides the weight column")
+    assert(deep.size === rows.size, s"row count flat under 10x duplication: ${deep.size} vs ${rows.size}")
+    val plan = Multimodal.dHashNearDupScaled(hashesOf(Seq(10L, 5L)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("temperature mix: alpha<1 upweights rare sources; budget holds; deterministic") {
     import spark.implicits._
     // 1600 common : 100 rare (16:1)
