@@ -59,6 +59,7 @@ object Bench {
     "c12_epoch_upsample",
     "t13_token_estimate",
     "t14_bpe_pairs",
+    "t15_quality_classifier",
     "j7_salted_join",
     "t12_lm_perplexity",
     "d10_incremental_dedup",

@@ -102,6 +102,7 @@ object SparkEntry {
     "c11_split_assign" -> (Queries.c11_split_assign _),
     "c12_epoch_upsample" -> (Queries.c12_epoch_upsample _),
     "t14_bpe_pairs" -> (Queries.t14_bpe_pairs _),
+    "t15_quality_classifier" -> (Queries.t15_quality_classifier _),
     "j7_salted_join" -> (Queries.j7_salted_join _),
     "t12_lm_perplexity" -> (Queries.t12_lm_perplexity _),
     "d10_incremental_dedup" -> (Queries.d10_incremental_dedup _),

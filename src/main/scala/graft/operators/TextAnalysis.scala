@@ -304,4 +304,42 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair"))
       .limit(topK)
   }
+
+  /** fastText/CCNet-style quality classifier inference (T15): a linear
+    * model over hashed word uni+bigram features, the standard LLM-corpus
+    * quality-filter shape (score each document with a cheap text
+    * classifier, keep above threshold). Weights here are a deterministic
+    * closed form of the bucket index — the structure (tokenize → n-gram →
+    * hash-bucket → Σw → sigmoid → threshold) is exactly what a trained
+    * model plugs into; swap `weight` for a broadcast lookup of learned
+    * coefficients and nothing else changes.
+    *
+    * Determinism across engines: the feature sum is INTEGER-scaled
+    * (md5-60bit bucket → integer weight in [-1000, 1000], exact long
+    * sum), so the one floating-point op (the sigmoid) computes on a
+    * bit-identical operand in Spark and the DuckDB oracle. Pure Column
+    * expressions, no UDF, no shuffle — embarrassingly parallel per row.
+    */
+  def fasttextQualityScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024, scale: Double = 4000.0,
+      bias: Double = -0.1): org.apache.spark.sql.DataFrame = {
+    val ts = filter(
+      split(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +"),
+      t => t =!= "")
+    val withTs = df.select(col(idCol), ts.as("__ts"))
+    val bigrams = when(size(col("__ts")) >= 2,
+      transform(sequence(lit(1), size(col("__ts")) - 1),
+        i => concat(element_at(col("__ts"), i), lit("_"), element_at(col("__ts"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val withGrams = withTs.select(col(idCol), concat(col("__ts"), bigrams).as("__gs"))
+    def bucket(g: Column): Column =
+      pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(buckets.toLong))
+    def weight(b: Column): Column = b * lit(2654435761L) % lit(2001L) - lit(1000L)
+    val z = aggregate(col("__gs"), lit(0L), (acc, g) => acc + weight(bucket(g)))
+    withGrams
+      .select(col(idCol), size(col("__gs")).cast("long").as("n_features"), z.as("__z"))
+      .select(col(idCol), col("n_features"),
+        round(lit(1.0) / (lit(1.0) + exp(-(col("__z") / lit(scale) + lit(bias)))), 6).as("score"),
+        (col("__z") >= lit((-bias * scale).toLong)).as("keep"))
+  }
 }

@@ -1085,6 +1085,32 @@ object Oracles {
         |SELECT pair, sum(wc)::BIGINT AS n FROM pairs GROUP BY 1
         |ORDER BY n DESC, pair LIMIT 30""".stripMargin,
 
+    // quality-classifier inference: integer-exact hashed-ngram feature
+    // sum (md5-60bit bucket -> closed-form weight), so the sigmoid's
+    // operand is bit-identical across engines
+    "t15_quality_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+        |      t -> t <> '') AS ts
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, ts || CASE WHEN len(ts) >= 2
+        |      THEN list_transform(range(1, len(ts)), i -> ts[i] || '_' || ts[i+1])
+        |      ELSE []::VARCHAR[] END AS gs
+        |  FROM toks),
+        |scored AS (
+        |  SELECT doc_id, len(gs)::BIGINT AS n_features,
+        |    coalesce(list_sum(list_transform(gs, g ->
+        |      ((('0x' || substring(md5(g), 1, 15))::BIGINT % 1024)
+        |        * 2654435761) % 2001 - 1000)), 0)::BIGINT AS z
+        |  FROM grams)
+        |SELECT doc_id, n_features,
+        |  round(1/(1 + exp(-(z/4000.0 + (-0.1)))), 6) AS score,
+        |  (z >= 400) AS keep
+        |FROM scored""".stripMargin,
+
     // salted join == plain join: the salt is an internal spreading
     // device, so the closed form is the unsalted aggregation
     "j7_salted_join" ->

@@ -1295,6 +1295,15 @@ object Queries {
   def t14_bpe_pairs(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpePairCounts(t(spark, dir, "documents"), "text", topK = 30)
 
+  /** Quality-classifier inference (T15): fastText/CCNet-shape linear
+    * model over hashed word uni+bigrams — integer-exact feature sum,
+    * sigmoid score, keep threshold. The closed-form weights make it
+    * oracle-checkable; a trained model swaps in via the weight lookup.
+    */
+  def t15_quality_classifier(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fasttextQualityScore(
+      t(spark, dir, "documents"), "doc_id", "text")
+
   /** Salted equi-join: the static skew fallback, aggregated per key so
     * the result is the plain join's closed form.
     */

@@ -834,6 +834,45 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("quality classifier (t15): integer-exact hashed-ngram sum, closed-form score") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The quick brown fox jumps!"),
+      (2L, "a"),
+      (3L, ""),
+      (4L, "  MIXED   case,, text  ")).toDF("doc_id", "text")
+    val out = TextAnalysis.fasttextQualityScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    // replicate the closed form on the driver: md5-60bit bucket -> weight
+    def bucket(g: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 1024
+    }
+    def weight(b: Long): Long = b * 2654435761L % 2001L - 1000L
+    def expected(text: String): (Long, Double, Boolean) = {
+      val ts = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ").split(" +").filter(_.nonEmpty)
+      val gs = ts.toSeq ++ ts.sliding(2).filter(_.size == 2).map(_.mkString("_"))
+      val z = gs.map(g => weight(bucket(g))).sum
+      (gs.size.toLong,
+        BigDecimal(1.0 / (1.0 + math.exp(-(z / 4000.0 - 0.1))))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        z >= 400)
+    }
+    Seq((1L, "The quick brown fox jumps!"), (2L, "a"), (3L, ""),
+      (4L, "  MIXED   case,, text  ")).foreach { case (id, text) =>
+      val (n, score, keep) = expected(text)
+      assert(out(id)._2 === n, s"doc $id n_features")
+      assert(math.abs(out(id)._3 - score) < 2e-6, s"doc $id score ${out(id)._3} vs $score")
+      assert(out(id)._4 === keep, s"doc $id keep")
+    }
+    assert(out(3L)._2 === 0L, "empty text has zero features")
+    // no shuffle: per-row Column expressions only
+    val plan = TextAnalysis.fasttextQualityScore(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("temperature mix: alpha<1 upweights rare sources; budget holds; deterministic") {
     import spark.implicits._
     // 1600 common : 100 rare (16:1)
