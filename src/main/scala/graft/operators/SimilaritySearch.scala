@@ -21,9 +21,15 @@ object SimilaritySearch {
   def cosine(emb: Column, query: Array[Double]): Column =
     graft.functions.NativeExpressions.cosine_to_query(emb.cast("array<double>"), query)
 
-  /** Brute-force scoring of the whole corpus against one query vector. */
+  /** Brute-force scoring of the whole corpus against one query vector.
+    * `+ 0.0` collapses IEEE negative zero (a rounded tiny-negative
+    * cosine): engines disagree on the SIGN of a zero they agree on, and
+    * a `-0.0` sorts away from `0.0` in any text/byte-ordered compare —
+    * it misaligned the sf1 oracle leg's sorted diff for 10k rows over
+    * one value (PROFILE_r09).
+    */
   def scoreAll(df: DataFrame, idCol: String, embCol: String, query: Array[Double], scale: Int = 4): DataFrame =
-    df.select(col(idCol), round(cosine(col(embCol), query), scale).as("cos_sim"))
+    df.select(col(idCol), (round(cosine(col(embCol), query), scale) + lit(0.0)).as("cos_sim"))
 
   /** Exact top-k: brute-force score + ties broken by id. Spark plans a
     * TakeOrderedAndProject — per-partition top-k then a single-driver

@@ -103,7 +103,9 @@ object Oracles {
 
     "j3_bcast_equijoin" ->
       """SELECT p_brand, count(*) AS n_lines,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  round(sum(round(l_extendedprice * 100)::BIGINT
+        |            * (100 - round(l_discount * 100)::BIGINT))::BIGINT
+        |        / 10000.0, 2) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
 
@@ -350,7 +352,7 @@ object Oracles {
         |SELECT e.vec_id,
         |  round(list_dot_product(e.embedding::DOUBLE[], q.qv)
         |    / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-        |       * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+        |       * sqrt(list_dot_product(q.qv, q.qv))), 4) + 0.0 AS cos_sim
         |FROM embeddings e, q""".stripMargin,
 
     "ev1_time_window_agg" ->

@@ -141,11 +141,18 @@ object Queries {
   def j3_bcast_equijoin(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
     val part = t(spark, dir, "part").select("p_partkey", "p_brand")
+    // money as exact integers (cents x whole-percent), summed in LONG:
+    // a double sum over millions of rows is summation-order-dependent in
+    // its last ulp, and one .005-boundary row flipped the rounded total
+    // at sf1 (PROFILE_r09) — integer sums are bit-identical at any
+    // scale and under any partitioning
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val pct = lit(100L) - round(col("l_discount") * 100).cast("long")
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(
         count(lit(1)).as("n_lines"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        round(sum(cents * pct) / lit(10000.0), 2).as("revenue"))
   }
 
   def j4_semi_join(spark: SparkSession, dir: String): DataFrame = {
