@@ -138,12 +138,15 @@ object Oracles {
     "a3_wide_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(sum(l_extendedprice::DECIMAL(12,2)), 2)::DOUBLE AS sum_base,
+        |  round(sum(l_extendedprice::DECIMAL(12,2)
+        |            * (1 - l_discount::DECIMAL(3,2))), 2)::DOUBLE AS sum_disc_price,
+        |  round(sum(l_extendedprice::DECIMAL(12,2)
+        |            * (1 - l_discount::DECIMAL(3,2))
+        |            * (1 + l_tax::DECIMAL(3,2))), 2)::DOUBLE AS sum_charge,
         |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  round(sum(l_extendedprice::DECIMAL(12,2))::DOUBLE / count(*), 4) AS avg_price,
+        |  round(sum(l_discount::DECIMAL(3,2))::DOUBLE / count(*), 6) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-09-02'

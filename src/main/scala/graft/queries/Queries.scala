@@ -189,19 +189,37 @@ object Queries {
       .agg(count(lit(1)).as("n_obs"))
       .where(col("n_obs") >= 40)
 
-  def a3_wide_agg(spark: SparkSession, dir: String): DataFrame =
+  def a3_wide_agg(spark: SparkSession, dir: String): DataFrame = {
+    // money terms as exact decimals (the j3 lesson, applied before it
+    // bites): a double sum over millions of rows per group is
+    // summation-order-dependent in its last ulp, so a rounded total can
+    // flip at a .005 boundary under a different partitioning. Decimal
+    // sums are exact — bit-identical at any scale, any plan. Quantity
+    // is integral, its double sum is already exact.
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val discF = lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")
+    val taxF = lit(1).cast("decimal(3,2)") + col("l_tax").cast("decimal(3,2)")
     t(spark, dir, "lineitem")
       .where(col("l_shipdate") <= lit("2000-09-02"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        sum(col("l_quantity")).as("__sq"),
+        sum(price).as("__sb"),
+        sum(price * discF).as("__sdp"),
+        sum(price * discF * taxF).as("__sch"),
+        sum(col("l_discount").cast("decimal(3,2)")).as("__sd"),
         count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        round(col("__sq"), 2).as("sum_qty"),
+        round(col("__sb"), 2).cast("double").as("sum_base"),
+        round(col("__sdp"), 2).cast("double").as("sum_disc_price"),
+        round(col("__sch"), 2).cast("double").as("sum_charge"),
+        round(col("__sq") / col("count_order"), 4).as("avg_qty"),
+        round(col("__sb").cast("double") / col("count_order"), 4).as("avg_price"),
+        round(col("__sd").cast("double") / col("count_order"), 6).as("avg_disc"),
+        col("count_order"))
+  }
 
   def a4_dedup_keys(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
