@@ -101,6 +101,8 @@ object SparkEntry {
     "t13_token_estimate" -> (Queries.t13_token_estimate _),
     "c11_split_assign" -> (Queries.c11_split_assign _),
     "c12_epoch_upsample" -> (Queries.c12_epoch_upsample _),
+    "c13_cdc_upsert" -> (Queries.c13_cdc_upsert _),
+    "ev13_stream_cdc_upsert" -> (Queries.ev13_stream_cdc_upsert _),
     "t14_bpe_pairs" -> (Queries.t14_bpe_pairs _),
     "t15_quality_classifier" -> (Queries.t15_quality_classifier _),
     "j7_salted_join" -> (Queries.j7_salted_join _),

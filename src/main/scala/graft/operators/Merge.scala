@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC / upsert merge: apply a change batch to a base snapshot.
+  *
+  * The corpus-maintenance primitive a 100 TB training-data lake needs
+  * continuously: re-crawls update documents, takedown and opt-out
+  * requests delete them, new crawls insert them — and the base snapshot
+  * is petabytes while a day's change batch is a few gigabytes. The whole
+  * design follows from that asymmetry: the base side must never shuffle.
+  *
+  * Plan shape (two jobs' worth of work, one declarative plan):
+  *   1. collapse the batch to one WINNING change per key with one
+  *      partial+final `max_by(struct(changes), version)` aggregation —
+  *      a key that saw insert→update→delete inside the batch resolves
+  *      to its latest op, and a mega-touched key combines map-side
+  *      instead of landing on one window reducer;
+  *   2. anti-join the base against the winner KEY SET (deletes rows
+  *      that were updated or tombstoned), then union the non-tombstone
+  *      winners back in. The winner set inherits the batch's size, so
+  *      under AQE the anti-join broadcasts and the base is a pure
+  *      narrow scan→filter — zero exchange on the petabyte side. When
+  *      the batch outgrows broadcast, a base bucketed on the key (see
+  *      [[graft.sources.Bucketed]]) keeps its side exchange-free in the
+  *      sort-merge fallback.
+  *
+  * Semantics (SCD type 1, latest wins):
+  *   - ties on `versionCol` within a key are broken toward the LARGER
+  *     op string ("U" > "I" > "D" is NOT assumed — callers must supply
+  *     distinct versions per key; the struct tie-break on op then id
+  *     only makes the plan deterministic, it is not a contract);
+  *   - op "D" tombstones the key (row leaves the snapshot);
+  *   - any other op ("I" insert, "U" update/upsert) replaces the base
+  *     row wholesale — there is no column-level patching at this layer.
+  *
+  * Output columns = the base snapshot's columns, unchanged order.
+  */
+object Merge {
+
+  /** Collapse a change set to one WINNING change per key — the latest
+    * `(versionCol, opCol)` — keeping op AND version so the result can
+    * serve as a delta-log segment that later merges resolve against
+    * (merge-on-read). One partial+final `max_by` aggregation: skew-safe
+    * (a mega-touched key combines map-side), and idempotent under the
+    * at-least-once replay duplicates a streaming log append can leave
+    * behind. Output columns: `dataCols` (key first) + op + version.
+    */
+  def winners(
+      changes: DataFrame,
+      keyCol: String,
+      dataCols: Seq[String],
+      versionCol: String = "version",
+      opCol: String = "op"): DataFrame = {
+    val rest = dataCols.filterNot(_ == keyCol)
+    changes
+      .groupBy(col(keyCol))
+      .agg(max_by(
+        struct((rest.map(col) :+ col(opCol) :+ col(versionCol)): _*),
+        struct(col(versionCol), col(opCol))).as("w"))
+      .select(col(keyCol) +: (rest.map(c => col(s"w.$c").as(c)) :+
+        col(s"w.$opCol").as(opCol) :+ col(s"w.$versionCol").as(versionCol)): _*)
+  }
+
+  /** Merge `changes` (base columns + `opCol` + `versionCol`) into
+    * `base`. See object doc for semantics and the no-base-shuffle plan.
+    * `changes` may be a raw batch OR an accumulated delta log spanning
+    * many appended micro-batches ([[graft.streaming.StreamingOps
+    * .cdcUpsertStream]]): winner-picking is an argmax, so resolving the
+    * whole log at once gives the same snapshot as applying the batches
+    * one at a time (batch-boundary invariance — ev13's oracle rule).
+    */
+  def upsert(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      versionCol: String = "version",
+      opCol: String = "op"): DataFrame = {
+    val dataCols = base.columns.toSeq
+    require(dataCols.contains(keyCol), s"base lacks key column $keyCol")
+    val won = winners(changes, keyCol, dataCols, versionCol, opCol)
+
+    // untouched base rows + surviving winners. The winner key set is
+    // batch-sized: AQE turns the anti-join into a broadcast and the
+    // base never exchanges.
+    base
+      .join(won.select(keyCol), Seq(keyCol), "left_anti")
+      .unionByName(won.where(col(opCol) =!= "D").select(dataCols.map(col): _*))
+  }
+}

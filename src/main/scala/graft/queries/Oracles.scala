@@ -1076,6 +1076,13 @@ object Oracles {
         |SELECT doc_id, lang, unnest(generate_series(1, n))::BIGINT AS copy_idx
         |FROM n WHERE n >= 1""".stripMargin,
 
+    // CDC upsert merge: the derived change batch (U on even ids v1, D on
+    // %6 ids v2, I on %4==3 ids v1, re-U on %12==7 ids v2) collapsed to
+    // latest-(version, op) winners, applied SCD-1 onto the %4!=3 base.
+    // ev13 resolves the SAME snapshot through the streaming delta log.
+    "c13_cdc_upsert" -> cdcUpsertSql,
+    "ev13_stream_cdc_upsert" -> cdcUpsertSql,
+
     // first BPE merge statistics: word-frequency-weighted adjacent char
     // pairs over the distinct vocabulary, top 30 (total order: n desc, pair)
     "t14_bpe_pairs" ->
@@ -1751,6 +1758,37 @@ object Oracles {
     * invariant; multi-batch evidence in StreamingAnnSpec).
     */
   private def ev12Sql: String = batchAnnSql("vec_id % 100 = 7")
+
+  /** c13/ev13 CDC upsert: derived change batch → latest-(version, op)
+    * winner per key → SCD-1 merge onto the doc_id%4!=3 base. One SQL
+    * for both because the streaming path's log-wide resolve is
+    * batch-boundary invariant (argmax over appended winners).
+    */
+  private def cdcUpsertSql: String =
+    """WITH changes AS (
+      |  SELECT doc_id, upper(text) AS text, lang, source, n_chars,
+      |         'U' AS op, 1 AS version
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, text, lang, source, n_chars, 'D', 2
+      |  FROM documents WHERE doc_id % 6 = 0
+      |  UNION ALL
+      |  SELECT doc_id, text, lang, source, n_chars, 'I', 1
+      |  FROM documents WHERE doc_id % 4 = 3
+      |  UNION ALL
+      |  SELECT doc_id, text || ' v2', lang, source, n_chars + 3, 'U', 2
+      |  FROM documents WHERE doc_id % 12 = 7),
+      |winners AS (
+      |  SELECT * FROM changes
+      |  QUALIFY row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY version DESC, op DESC) = 1)
+      |SELECT doc_id, text, lang, source, n_chars
+      |FROM documents
+      |WHERE doc_id % 4 <> 3
+      |  AND doc_id NOT IN (SELECT doc_id FROM winners)
+      |UNION ALL
+      |SELECT doc_id, text, lang, source, n_chars FROM winners
+      |WHERE op <> 'D'""".stripMargin
 
   private def batchAnnSql(queryPred: String): String = {
     val planes = graft.operators.SimilaritySearch.hyperplanes(64, 4, 42)

@@ -3,7 +3,7 @@ package graft.queries
 import graft.genomics.{BiallelicGenotyper, DiscoverVariants, HardFilterGenotypes}
 import graft.model.{DiscoveredVariant, Order, Read}
 import graft.operators._
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1313,6 +1313,47 @@ object Queries {
       t(spark, dir, "documents").select("doc_id", "lang"),
       "doc_id", "lang", Map("en" -> 230, "zh" -> 50), defaultCentiEpochs = 100)
 
+  /** Deterministic CDC change batch derived from the documents table —
+    * shared by the batch (c13) and streaming (ev13) upsert paths so
+    * both resolve to the SAME snapshot (batch-boundary invariance).
+    * Per doc: doc_id%2==0 gets an update (text uppercased, v1);
+    * doc_id%6==0 additionally a tombstone (v2, overrides its v1
+    * update); doc_id%4==3 an insert of a key absent from the base;
+    * doc_id%12==7 additionally a v2 re-update (insert then update
+    * inside one batch). Versions are distinct per key by construction —
+    * Merge's tie-break is plan determinism, not a semantic crutch.
+    * Built with one array-of-structs explode so it stays a narrow plan
+    * on a streaming source.
+    */
+  private[graft] def docChanges(docs: DataFrame): DataFrame = {
+    def change(cond: Column, text: Column, nChars: Column, op: String, v: Long) =
+      when(cond, struct(text.as("text"), col("lang"), col("source"),
+        nChars.as("n_chars"), lit(op).as("op"), lit(v).as("version")))
+    val candidates = array(
+      change(col("doc_id") % 2 === 0, upper(col("text")), col("n_chars"), "U", 1L),
+      change(col("doc_id") % 6 === 0, col("text"), col("n_chars"), "D", 2L),
+      change(col("doc_id") % 4 === 3, col("text"), col("n_chars"), "I", 1L),
+      change(col("doc_id") % 12 === 7,
+        concat(col("text"), lit(" v2")), col("n_chars") + 3, "U", 2L))
+    docs
+      .select(col("doc_id"),
+        explode(filter(candidates, c => c.isNotNull)).as("c"))
+      .select(col("doc_id"), col("c.text").as("text"), col("c.lang").as("lang"),
+        col("c.source").as("source"), col("c.n_chars").as("n_chars"),
+        col("c.op").as("op"), col("c.version").as("version"))
+  }
+
+  /** CDC / upsert merge (SCD-1, latest version wins): the base corpus
+    * (doc_id % 4 != 3) absorbs a change batch of updates, tombstones
+    * and inserts, including intra-batch conflicts (update→delete,
+    * insert→update) resolved by one partial+final max_by — the base
+    * side never exchanges (AQE broadcast anti-join; PlanSpec-gated).
+    */
+  def c13_cdc_upsert(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Merge.upsert(docs.where(col("doc_id") % 4 =!= 3), docChanges(docs), "doc_id")
+  }
+
   /** First BPE merge statistics: corpus-wide adjacent-char-pair counts
     * weighted by word frequency, top 30 — the argmax is the first merge
     * a BPE vocabulary build applies.
@@ -1582,6 +1623,28 @@ object Queries {
         queries, "vec_id", "embedding", s"$tmp/corpus", s"$tmp/out",
         dim = 64, k = 10, nBits = 4, nProbes = 4)
       spark.read.parquet(s"$tmp/out")
+    }
+
+  /** Streaming CDC ingest (the merge-on-read twin of c13): the same
+    * change batch arrives as a stream; each micro-batch's per-key
+    * winners are appended to a delta log (the base is NEVER rewritten
+    * per batch), and the result is the read-time resolve
+    * `Merge.upsert(base, log)`. Winner-picking is an argmax, so the
+    * snapshot is identical whether the changes land in one micro-batch
+    * or fifty — ev13 shares c13's oracle; multi-batch state evidence
+    * lives in the spec.
+    */
+  def ev13_stream_cdc_upsert(spark: SparkSession, dir: String): DataFrame =
+    withStagedTable(dir, "documents.parquet", "ev13_stream") { staged =>
+      val tmp = java.nio.file.Files.createTempDirectory("ev13_log").toString
+      val changes = docChanges(
+        graft.streaming.StreamingOps.readDocuments(spark, staged))
+      graft.streaming.StreamingOps.cdcUpsertStream(
+        changes, "doc_id",
+        Seq("doc_id", "text", "lang", "source", "n_chars"), s"$tmp/log")
+      Merge.upsert(
+        t(spark, dir, "documents").where(col("doc_id") % 4 =!= 3),
+        spark.read.parquet(s"$tmp/log"), "doc_id")
     }
 
   // ---- multimodal plumbing (M1) ----------------------------------------

@@ -428,6 +428,40 @@ object StreamingOps {
     served.get()
   }
 
+  /** Streaming CDC ingest, merge-on-read layout: each micro-batch of
+    * change records (key + replacement columns + op I/U/D + version) is
+    * collapsed to its per-key winners ([[graft.operators.Merge.winners]],
+    * one partial+final max_by agg — the only shuffle, sized by the
+    * batch) and APPENDED to a delta log. The base snapshot is never
+    * rewritten per batch — at 100 TB rewriting the base on every
+    * micro-batch is the design that cannot ship; instead readers
+    * resolve `Merge.upsert(base, log)` at query time (winner-picking
+    * is an argmax, so one log-wide resolve == applying the batches one
+    * at a time), and maintenance folds the log into a new base with the
+    * same call. At-least-once replay may append a batch's winners
+    * twice; the resolve's max_by is idempotent to exact duplicates, so
+    * the snapshot is unaffected (same contract as the near-dup index
+    * appends above).
+    */
+  def cdcUpsertStream(
+      changes: DataFrame,
+      keyCol: String,
+      dataCols: Seq[String],
+      logDir: String,
+      versionCol: String = "version",
+      opCol: String = "op"): Unit = {
+    val q = changes.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Merge
+          .winners(batch.toDF, keyCol, dataCols, versionCol, opCol)
+          .write.mode("append").parquet(logDir)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Run a streaming query to completion against the (static) test
     * parquet via the memory sink; returns the collected result table.
     */

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC / upsert merge (c13, ev13): SCD-1 semantics on a hand-built
+  * change batch, replay idempotence (the streaming log's at-least-once
+  * contract), the no-base-shuffle plan shape, and the streaming delta
+  * log resolving to the batch snapshot across genuine micro-batch
+  * boundaries.
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base: DataFrame =
+    Seq((1L, "one", 3L), (2L, "two", 3L), (3L, "three", 5L), (4L, "four", 4L))
+      .toDF("k", "body", "n")
+
+  // k=2 update; k=3 update v1 then tombstone v2; k=4 untouched;
+  // k=5 plain insert; k=6 insert v1 then update v2
+  private def changes: DataFrame =
+    Seq(
+      (2L, "TWO", 3L, "U", 1L),
+      (3L, "THREE", 5L, "U", 1L),
+      (3L, "three", 5L, "D", 2L),
+      (5L, "five", 4L, "I", 1L),
+      (6L, "six", 3L, "I", 1L),
+      (6L, "six v2", 6L, "U", 2L))
+      .toDF("k", "body", "n", "op", "version")
+
+  private val expected = Set(
+    (1L, "one", 3L), (2L, "TWO", 3L), (4L, "four", 4L),
+    (5L, "five", 4L), (6L, "six v2", 6L))
+
+  private def snap(df: DataFrame): Set[(Long, String, Long)] =
+    df.select("k", "body", "n").as[(Long, String, Long)].collect().toSet
+
+  test("upsert: update, tombstone-over-update, insert, insert-then-update") {
+    assert(snap(Merge.upsert(base, changes, "k")) === expected)
+  }
+
+  test("upsert is idempotent to a replayed (duplicated) change log") {
+    // foreachBatch is at-least-once: a crashed epoch can append its
+    // winners twice. The resolve's argmax must not care.
+    assert(snap(Merge.upsert(base, changes.unionAll(changes), "k")) === expected)
+  }
+
+  test("winners keeps op AND version so logs can re-resolve later") {
+    val w = Merge.winners(changes, "k", Seq("k", "body", "n"))
+      .as[(Long, String, Long, String, Long)].collect().toSet
+    assert(w === Set(
+      (2L, "TWO", 3L, "U", 1L),
+      (3L, "three", 5L, "D", 2L),
+      (5L, "five", 4L, "I", 1L),
+      (6L, "six v2", 6L, "U", 2L)))
+  }
+
+  test("plan: base side never exchanges — broadcast anti-join, one batch agg") {
+    val plan = graft.queries.Queries.c13_cdc_upsert(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"anti-join against the batch-sized winner key set must broadcast:\n$plan")
+    // shuffles touch only the change batch: the winner max_by and the
+    // anti-join's key-set distinct (Catalyst plans the cheaper keys-only
+    // agg rather than reusing the max_by — both partial+final, both
+    // batch-sized). The base subtree is scan→filter straight into the
+    // broadcast join: no exchange carries base columns.
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"only the change batch may shuffle:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#")),
+      s"no exchange may carry base data columns:\n$plan")
+  }
+
+  test("streaming delta log == batch snapshot across >= 3 micro-batches") {
+    val docs = spark.read.parquet(s"${sf("0.001")}/documents.parquet")
+    // split the doc stream into 3 time-ordered files so winners arrive
+    // across genuine micro-batch boundaries (maxFilesPerTrigger=1)
+    val dir = java.nio.file.Files.createTempDirectory("merge_multi")
+    val rows = docs.orderBy(col("doc_id")).collect()
+    val per = math.max(1, math.ceil(rows.length / 3.0).toInt)
+    rows.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"mpart$i").resolve("out")
+      spark.createDataFrame(java.util.Arrays.asList(chunk: _*), docs.schema)
+        .coalesce(1).write.parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+      val dest = dir.resolve(f"f$i%02d.parquet")
+      java.nio.file.Files.move(f.toPath, dest)
+      assert(dest.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val log = java.nio.file.Files.createTempDirectory("merge_log").toString + "/log"
+    graft.streaming.StreamingOps.cdcUpsertStream(
+      graft.queries.Queries.docChanges(
+        graft.streaming.StreamingOps.readDocuments(
+          spark, s"$dir/*.parquet", maxFilesPerTrigger = Some(1))),
+      "doc_id", Seq("doc_id", "text", "lang", "source", "n_chars"), log)
+    // >= 3 appends happened (one per data micro-batch)
+    val segs = new java.io.File(log).listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(segs >= 3, s"expected >= 3 log segments, got $segs")
+    val streamed = Merge.upsert(
+      docs.where(col("doc_id") % 4 =!= 3), spark.read.parquet(log), "doc_id")
+    val batch = graft.queries.Queries.c13_cdc_upsert(spark, sf("0.001"))
+    assert(streamed.unionAll(batch).select("doc_id").distinct().count() ===
+      batch.count(), "streamed snapshot must equal the batch snapshot")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+}
