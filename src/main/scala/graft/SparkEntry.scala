@@ -105,6 +105,7 @@ object SparkEntry {
     "ev13_stream_cdc_upsert" -> (Queries.ev13_stream_cdc_upsert _),
     "t14_bpe_pairs" -> (Queries.t14_bpe_pairs _),
     "t15_quality_classifier" -> (Queries.t15_quality_classifier _),
+    "t16_subword_tokenize" -> (Queries.t16_subword_tokenize _),
     "j7_salted_join" -> (Queries.j7_salted_join _),
     "t12_lm_perplexity" -> (Queries.t12_lm_perplexity _),
     "d10_incremental_dedup" -> (Queries.d10_incremental_dedup _),

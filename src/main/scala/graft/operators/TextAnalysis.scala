@@ -342,4 +342,74 @@ object TextAnalysis {
         round(lit(1.0) / (lit(1.0) + exp(-(col("__z") / lit(scale) + lit(bias)))), 6).as("score"),
         (col("__z") >= lit((-bias * scale).toLong)).as("keep"))
   }
+
+  /** Subword tokenization (T16): greedy longest-match (MaxMatch — the
+    * WordPiece inference algorithm) against a corpus-derived vocabulary
+    * of the `vocabSize` most frequent character pieces of length
+    * 2..`maxPiece` (count = occurrences across all word positions,
+    * total order (n desc, piece asc)); a position no piece covers falls
+    * back to one character. Reports per document the word count and the
+    * subword count a tokenizer with that vocab would emit — the real
+    * "how many tokens is this corpus" measurement, where t13 only
+    * estimates by regex.
+    *
+    * Scale shape, the part that matters at 100 TB: the corpus
+    * contributes ONE (doc_id, word) pair aggregation (t6's cost
+    * class); everything downstream — piece counting, vocab ranking,
+    * and the greedy scan itself — runs over the DISTINCT vocabulary,
+    * which grows ~sublinearly (Heaps' law). The greedy scan is a
+    * per-row loop over a broadcast `vocabSize`-entry set, so it lives
+    * in a udf by design (same precedent as [[bpePairCounts]]'s pair
+    * explosion): its input is vocabulary-sized, never corpus-sized.
+    * The vocab collect is a query-parameter fetch (vocabSize strings).
+    */
+  def subwordTokenize(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocabSize: Int = 200, maxPiece: Int = 4)
+      : org.apache.spark.sql.DataFrame = {
+    val ws = filter(
+      split(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +"),
+      t => t =!= "")
+    // corpus-sized work ends here: one partial+final agg to (doc, word)
+    val docWords = df
+      .select(col(idCol), explode(ws).as("w"))
+      .groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val wc = docWords.groupBy("w").agg(sum(col("cnt")).as("wc"))
+
+    // piece counts over the distinct vocabulary, weighted by word
+    // frequency: every start position of every length 2..maxPiece
+    // (sequence(1, 0) DESCENDS in Spark — the when-guard keeps short
+    // words from generating phantom positions)
+    val pieceArr = flatten(transform(
+      sequence(lit(2), lit(maxPiece)),
+      l => when(length(col("w")) >= l,
+        transform(sequence(lit(1), length(col("w")) - l + 1),
+          i => col("w").substr(i, l)))
+        .otherwise(array().cast("array<string>"))))
+    val vocab = wc
+      .select(explode(pieceArr).as("piece"), col("wc"))
+      .where(length(col("piece")) >= 2)
+      .groupBy("piece").agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("piece"))
+      .limit(vocabSize)
+      .select("piece").collect().map(_.getString(0)).toSet
+
+    val bc = df.sparkSession.sparkContext.broadcast(vocab)
+    val maxP = maxPiece
+    val nTok = udf { (w: String) =>
+      val v = bc.value
+      var pos = 0; var n = 0
+      while (pos < w.length) {
+        var l = math.min(maxP, w.length - pos)
+        while (l >= 2 && !v.contains(w.substring(pos, pos + l))) l -= 1
+        pos += math.max(l, 1); n += 1
+      }
+      n.toLong
+    }
+    docWords
+      .join(wc.select(col("w"), nTok(col("w")).as("ntok")), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("ntok")).as("n_subwords"))
+  }
 }

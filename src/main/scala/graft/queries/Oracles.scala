@@ -1083,6 +1083,46 @@ object Oracles {
     "c13_cdc_upsert" -> cdcUpsertSql,
     "ev13_stream_cdc_upsert" -> cdcUpsertSql,
 
+    // subword MaxMatch tokenization: corpus-derived top-200 piece vocab
+    // (length 2..4, occurrence-weighted, total order n desc/piece asc),
+    // greedy longest-match walked per distinct word via a recursive CTE
+    // over the per-position jump table, then doc totals from (doc, word)
+    // counts. Mirrors TextAnalysis.subwordTokenize exactly.
+    "t16_subword_tokenize" ->
+      """WITH RECURSIVE dw AS (
+        |  SELECT doc_id, w, count(*) AS cnt FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(
+        |        regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +')) AS w
+        |    FROM documents) t
+        |  WHERE w <> '' GROUP BY doc_id, w),
+        |wc AS (SELECT w, sum(cnt)::BIGINT AS wc FROM dw GROUP BY w),
+        |pos AS (
+        |  SELECT w, wc, unnest(generate_series(1, length(w) - l + 1)) AS i, l
+        |  FROM wc, (VALUES (2), (3), (4)) AS ls(l)
+        |  WHERE length(w) >= l),
+        |vocab AS (
+        |  SELECT substr(w, i, l) AS piece, sum(wc) AS n
+        |  FROM pos GROUP BY 1 ORDER BY n DESC, piece LIMIT 200),
+        |apos AS (
+        |  SELECT w, unnest(generate_series(1, length(w))) AS i FROM wc),
+        |jumps AS (
+        |  SELECT a.w, a.i, coalesce(max(length(v.piece)), 1) AS l
+        |  FROM apos a LEFT JOIN vocab v
+        |    ON v.piece IN (substr(a.w, a.i, 2), substr(a.w, a.i, 3),
+        |                   substr(a.w, a.i, 4))
+        |  GROUP BY a.w, a.i),
+        |steps AS (
+        |  SELECT w, 1 AS p, 0 AS n FROM wc
+        |  UNION ALL
+        |  SELECT s.w, s.p + j.l, s.n + 1
+        |  FROM steps s JOIN jumps j ON j.w = s.w AND j.i = s.p
+        |  WHERE s.p <= length(s.w)),
+        |ntok AS (SELECT w, max(n) AS nt FROM steps WHERE p > length(w) GROUP BY w)
+        |SELECT dw.doc_id, sum(dw.cnt)::BIGINT AS n_words,
+        |  sum(dw.cnt * ntok.nt)::BIGINT AS n_subwords
+        |FROM dw JOIN ntok USING (w) GROUP BY dw.doc_id""".stripMargin,
+
     // first BPE merge statistics: word-frequency-weighted adjacent char
     // pairs over the distinct vocabulary, top 30 (total order: n desc, pair)
     "t14_bpe_pairs" ->

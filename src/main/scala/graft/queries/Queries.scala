@@ -1354,6 +1354,15 @@ object Queries {
     Merge.upsert(docs.where(col("doc_id") % 4 =!= 3), docChanges(docs), "doc_id")
   }
 
+  /** Subword tokenization (T16): greedy longest-match (MaxMatch /
+    * WordPiece inference) against the corpus's own top-200 piece vocab —
+    * per-document word and subword counts an actual tokenizer with that
+    * vocab would emit. Corpus contributes one (doc, word) agg; the
+    * greedy scan runs per DISTINCT word against a broadcast vocab.
+    */
+  def t16_subword_tokenize(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.subwordTokenize(t(spark, dir, "documents"), "doc_id", "text")
+
   /** First BPE merge statistics: corpus-wide adjacent-char-pair counts
     * weighted by word frequency, top 30 — the argmax is the first merge
     * a BPE vocabulary build applies.

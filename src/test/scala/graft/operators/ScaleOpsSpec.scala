@@ -873,6 +873,36 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("subword tokenize (t16): greedy MaxMatch against closed-form vocab") {
+    import spark.implicits._
+    // corpus engineered so the top-2 vocab is unambiguous: "abab" has
+    // corpus count 3, so pieces count ab=6 (2 positions x 3), then
+    // ba/aba/bab/abab = 3 each, cd=1, xq=1; vocabSize=2 with ties broken
+    // piece-asc gives vocab = {ab, aba}.
+    val docs = Seq(
+      (1L, "abab abab cd"),
+      (2L, "abab xq")).toDF("doc_id", "text")
+    val out = TextAnalysis.subwordTokenize(docs, "doc_id", "text", vocabSize = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // greedy with vocab {ab, aba} (maxPiece=4, no 4-piece in vocab):
+    //   "abab": pos0 tries abab(no), aba(yes) -> pos3; "b" fallback -> 2 tokens
+    //   "cd": no piece -> c, d -> 2 tokens
+    //   "xq": -> 2 tokens
+    assert(out(1L) === ((3L, 6L)), s"doc1 ${out(1L)}")   // abab,abab,cd -> 2+2+2
+    assert(out(2L) === ((2L, 4L)), s"doc2 ${out(2L)}")   // abab,xq -> 2+2
+    // compression property on real data: words <= subwords <= chars
+    val real = TextAnalysis.subwordTokenize(
+      spark.read.parquet(s"${sf("0.001")}/documents.parquet"), "doc_id", "text")
+    assert(real.where(col("n_subwords") < col("n_words")).isEmpty,
+      "a word is at least one subword")
+    // corpus-sized work is exactly one exchange: the (doc, word) agg —
+    // everything after runs on the distinct vocabulary / broadcast vocab
+    val plan = TextAnalysis.subwordTokenize(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("Exchange SinglePartition"), plan)
+  }
+
   test("temperature mix: alpha<1 upweights rare sources; budget holds; deterministic") {
     import spark.implicits._
     // 1600 common : 100 rare (16:1)
