@@ -131,6 +131,7 @@ object SparkEntry {
     "m6_image_neardup" -> (Queries.m6_image_neardup _),
     "m7_mp4_frames" -> (Queries.m7_mp4_frames _),
     "m8_image_neardup_scaled" -> (Queries.m8_image_neardup_scaled _),
+    "m9_audio_neardup" -> (Queries.m9_audio_neardup _),
     "e9_batch_ann" -> (Queries.e9_batch_ann _)
   )
 

@@ -595,6 +595,143 @@ object Multimodal {
     exact.unionByName(cross)
   }
 
+  case class AudioFp(doc_id: Long, fp: Long, n_windows: Long)
+
+  /** Deterministic WAV fixture for the audio near-dup query (M9): 640
+    * 16-bit mono frames whose samples are a closed-form integer mix of
+    * the content key (id % 97) and time, plus a variant perturbation
+    * (v = (id/97) % 4; v > 0 adds +1000 to the 16 samples of window
+    * 10·v). Same content key + variant ⇒ byte-identical audio; same key,
+    * different variant ⇒ a fingerprint within a couple of bits. All
+    * integer math so the DuckDB oracle rebuilds the decoded samples,
+    * energies, and fingerprints exactly.
+    */
+  def synthWavFp(id: Long): Array[Byte] = {
+    val key = java.lang.Math.floorMod(id, 97L)
+    val v = java.lang.Math.floorMod(id / 97, 4L).toInt
+    val n = 640
+    val data = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      var s = (java.lang.Math.floorMod(
+        key * 2654435761L + t * 40503L + key * t * 69069L, 60000L) - 30000L).toInt
+      if (v > 0 && t / 16 == 10 * v) s += 1000
+      data(2 * t) = (s & 0xff).toByte
+      data(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Fixture plumbing for M9 (as [[attachSynthWav]]). */
+  def attachSynthWavFp(df: DataFrame, idCol: String, binCol: String = "payload"): DataFrame = {
+    val mk = udf((id: Long) => synthWavFp(id))
+    df.withColumn(binCol, mk(col(idCol).cast("long")))
+  }
+
+  /** Acoustic fingerprint over the DECODED waveform — the energy-delta
+    * sketch underlying audio near-dup systems (Shazam/chromaprint
+    * shape, integer-exact): partition the PCM stream into fixed
+    * `window`-sample frames, per-frame energy Σs², and set bit (w−1)
+    * iff E_w > E_{w−1}. Re-encodes and global gain shifts that preserve
+    * the energy CONTOUR collide; a localized edit flips only the bits
+    * whose windows it touches. Same narrow mapPartitions + bad-payload
+    * accumulator contract as [[decodeAudioBatch]] — decode and
+    * fingerprint in one pass, zero shuffles.
+    */
+  def audioFingerprint(df: DataFrame, idCol: String,
+      binCol: String = "payload", window: Int = 16): Dataset[AudioFp] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val badAcc = spark.sparkContext.longAccumulator("multimodal.audiofp.badPayloads")
+    lastBadPayloads = Some(badAcc)
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          try {
+            if (bytes == null) { badAcc.add(1); None }
+            else {
+              val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) {
+                badAcc.add(1); None
+              } else {
+                val pcm = ais.readAllBytes()
+                val big = fmt.isBigEndian
+                val nW = pcm.length / (2 * window)
+                val en = new Array[Long](math.max(nW, 0))
+                var t = 0
+                while (t < nW * window) {
+                  val i = 2 * t
+                  val lo = pcm(if (big) i + 1 else i) & 0xff
+                  val hiB = pcm(if (big) i else i + 1).toInt
+                  val s = ((hiB << 8) | lo).toLong
+                  en(t / window) += s * s
+                  t += 1
+                }
+                var fp = 0L
+                var w = 1
+                while (w < nW) {
+                  if (en(w) > en(w - 1)) fp |= 1L << (w - 1)
+                  w += 1
+                }
+                Some(AudioFp(id, fp, nW.toLong))
+              }
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => badAcc.add(1); None
+          }
+        }
+      }
+  }
+
+  /** Audio near-dup in COLLAPSED form (the m8 contract, applied from
+    * day 1 — a fixture keyed mod 97 makes the pairwise output Ω(Σn²) at
+    * scale, so the pairwise flavor is never the contract here): one
+    * weighted row per duplicate relationship between DISTINCT
+    * fingerprints. `(rep, rep, 0, n(n−1)/2)` for a collapsed
+    * exact-cluster; `(rep_a, rep_b, h, n_a·n_b)` for a cross pair at
+    * Hamming h ≤ maxHamming. Candidates via 5×8-bit pigeonhole chunks
+    * of the ≤40-bit fingerprint (distance ≤4 guarantees a shared
+    * chunk), exact bit_count verify after distinct — candidate volume
+    * tracks chunk-bucket occupancy over distinct fingerprints, never
+    * raw row count.
+    */
+  def audioNearDupCollapsed(fps: DataFrame, maxHamming: Int = 4): DataFrame = {
+    require(maxHamming <= 4, "chunking scheme assumes <= 4 for 5 chunks")
+    val grp = fps.groupBy("fp")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
+    val exact = grp.where(col("n") >= 2)
+      .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
+        lit(0L).as("hamming"), expr("(n * (n - 1)) DIV 2").as("weight"))
+    val chunkStructs = array(
+      (0 until 5).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("fp"), c * 8).bitwiseAND(lit(0xffL)).as("cv"))
+      }: _*)
+    val chunked = grp
+      .select(col("rep"), col("n"), col("fp"), explode(chunkStructs).as("c"))
+      .select(col("rep"), col("n"), col("fp"), col("c.chunk"), col("c.cv"))
+    val l = chunked.alias("l")
+    val r = chunked.alias("r")
+    val cross = l.join(r, col("l.chunk") === col("r.chunk") &&
+        col("l.cv") === col("r.cv") && col("l.rep") < col("r.rep"))
+      .select(col("l.rep").as("rep_a"), col("r.rep").as("rep_b"),
+        col("l.n").as("na"), col("r.n").as("nb"),
+        col("l.fp").as("fa"), col("r.fp").as("fb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+      .where(col("hamming") <= maxHamming) // distinct fps ⇒ hamming ≥ 1
+      .select(col("rep_a"), col("rep_b"), col("hamming"),
+        (col("na") * col("nb")).as("weight"))
+    exact.unionByName(cross)
+  }
+
   /** Accumulator from the most recent decodeBatch plan (test hook /
     * post-run observability): rows whose payload failed to decode.
     * Caveats shared with every accumulator-in-transformation: task

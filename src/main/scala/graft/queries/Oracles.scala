@@ -1454,6 +1454,40 @@ object Oracles {
         |FROM cand
         |WHERE bit_count(xor(ha_hi, hb_hi)) + bit_count(xor(ha_lo, hb_lo)) <= 3""".stripMargin,
 
+    // audio near-dup (m9): closed-form rebuild of the decoded samples
+    // (key mod 97 content, variant v perturbing window 10v), per-window
+    // energies, energy-delta fingerprint, then the collapsed weighted
+    // contract brute-forced over distinct fingerprints
+    "m9_audio_neardup" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 97 AS key, (doc_id // 97) % 4 AS v
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, t.range // 16 AS w,
+        |    (key * 2654435761 + t.range * 40503 + key * t.range * 69069)
+        |      % 60000 - 30000
+        |    + CASE WHEN v > 0 AND t.range // 16 = 10 * v THEN 1000 ELSE 0 END
+        |      AS smp
+        |  FROM p CROSS JOIN range(0, 640) t),
+        |e AS (SELECT doc_id, w, sum(smp * smp) AS en FROM s GROUP BY 1, 2),
+        |b AS (SELECT doc_id, w,
+        |    CASE WHEN en > lag(en) OVER (PARTITION BY doc_id ORDER BY w)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM e),
+        |f AS (SELECT doc_id,
+        |    sum(CASE WHEN w >= 1 AND bit = 1 THEN 1::BIGINT << (w - 1)
+        |             ELSE 0 END)::BIGINT AS fp
+        |  FROM b GROUP BY doc_id),
+        |g AS (SELECT fp, min(doc_id) AS rep, count(*) AS n FROM f GROUP BY fp)
+        |SELECT rep AS rep_a, rep AS rep_b, 0::BIGINT AS hamming,
+        |  ((n * (n - 1)) // 2)::BIGINT AS weight
+        |FROM g WHERE n >= 2
+        |UNION ALL
+        |SELECT a.rep, b.rep, bit_count(xor(a.fp, b.fp))::BIGINT,
+        |  (a.n * b.n)::BIGINT
+        |FROM g a JOIN g b ON a.rep < b.rep
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 4""".stripMargin,
+
     // collapsed image near-dup (m6's scale path): exact-dup clusters
     // shrink to (rep, n) before the pigeonhole pair join, weights carry
     // the underlying pair mass

@@ -1656,6 +1656,22 @@ object Queries {
         spark.read.parquet(s"$tmp/log"), "doc_id")
     }
 
+  /** Audio near-dup via acoustic fingerprint (M9): decode the WAV
+    * corpus (97 content keys × 4 variants; a variant perturbs one
+    * energy window), energy-delta fingerprint per doc, then the
+    * COLLAPSED near-dup contract (m8's lesson applied from day 1):
+    * weighted rows per distinct-fingerprint relationship, pigeonhole
+    * chunk candidates, exact Hamming verify. The oracle rebuilds
+    * samples → energies → fingerprints closed-form, then brute-forces
+    * pairs over the ~400 distinct fingerprints.
+    */
+  def m9_audio_neardup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioNearDupCollapsed(
+      Multimodal.audioFingerprint(
+        Multimodal.attachSynthWavFp(
+          t(spark, dir, "documents").select("doc_id"), "doc_id"),
+        "doc_id").toDF())
+
   // ---- multimodal plumbing (M1) ----------------------------------------
 
   /** Real header-parse metadata (M1): a mixed binary corpus — a quarter

@@ -753,6 +753,46 @@ class ScaleOpsSpec extends SparkSpec {
       "both corrupt payloads counted, job did not fail")
   }
 
+  test("audio fingerprint (m9): closed-form energy-delta bits; variants within 2 bits") {
+    import spark.implicits._
+    // ids 22 and 119 share key=22: id 22 is variant 0, id 119 variant 1
+    // (119/97=1) — same content, one perturbed window (key chosen so the
+    // energy bump actually crosses an adjacent-window ordering)
+    val docs = Seq(0L, 22L, 119L, 216L).map(Tuple1(_)).toDF("doc_id")
+    val out = Multimodal.audioFingerprint(
+      Multimodal.attachSynthWavFp(docs, "doc_id"), "doc_id").collect()
+      .map(f => f.doc_id -> f).toMap
+    // driver replica of samples -> energies -> bits
+    def fpOf(id: Long): Long = {
+      val key = id % 97; val v = (id / 97) % 4
+      val s = (0 until 640).map { t =>
+        val base = java.lang.Math.floorMod(
+          key * 2654435761L + t * 40503L + key * t * 69069L, 60000L) - 30000L
+        if (v > 0 && t / 16 == 10 * v) base + 1000 else base
+      }
+      val en = s.grouped(16).map(w => w.map(x => x * x).sum).toArray
+      (1 until en.length).foldLeft(0L)((acc, w) =>
+        if (en(w) > en(w - 1)) acc | (1L << (w - 1)) else acc)
+    }
+    Seq(0L, 22L, 119L, 216L).foreach { id =>
+      assert(out(id).n_windows === 40L)
+      assert(out(id).fp === fpOf(id), s"fingerprint of $id: decode chain is real")
+    }
+    val d = java.lang.Long.bitCount(out(22L).fp ^ out(119L).fp)
+    assert(d >= 1 && d <= 2, s"one perturbed window flips 1-2 bits, got $d")
+
+    // collapsed contract: 3 copies of one fp + 1 near at distance <= 2
+    val fps = Seq((1L, 10L), (2L, 10L), (7L, 10L), (9L, 11L), (20L, 0x5555555L))
+      .toDF("doc_id", "fp")
+    val rel = Multimodal.audioNearDupCollapsed(fps, maxHamming = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(rel === Set((1L, 1L, 0L, 3L), (1L, 9L, 1L, 3L)),
+      s"cluster weight 3C2=3 and cross weight 3x1, isolate excluded: $rel")
+    val plan = Multimodal.audioNearDupCollapsed(fps).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("image dHash: decoded-raster hash matches closed form; identical images collide") {
     import spark.implicits._
     // ids 3 and 100 share id%97=3 -> byte-identical PNGs -> equal hashes
