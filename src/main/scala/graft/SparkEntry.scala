@@ -113,6 +113,7 @@ object SparkEntry {
     "d12_cluster_keepers" -> (Queries.d12_cluster_keepers _),
     "d13_semantic_prune" -> (Queries.d13_semantic_prune _),
     "d14_contamination_score" -> (Queries.d14_contamination_score _),
+    "d15_containment_pairs" -> (Queries.d15_containment_pairs _),
     "ev10_stream_incremental_dedup" -> (Queries.ev10_stream_incremental_dedup _),
     "ev11_stream_neardup" -> (Queries.ev11_stream_neardup _),
     "ev12_stream_ann" -> (Queries.ev12_stream_ann _),

@@ -208,6 +208,61 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
   }
 
+  /** ASYMMETRIC near-dup: n-gram containment C(A,B) = |A∩B| / |A| ≥
+    * threshold — "A is (mostly) inside B". Jaccard misses exactly this
+    * case: a paragraph quoted whole inside a 100× larger document has
+    * J ≈ 0.01 but C = 1.0, and subsumed docs (quotes, excerpts,
+    * versioned supersets, boilerplate-wrapped copies) are what a corpus
+    * cleaner wants to drop while KEEPING the container. Output is
+    * directed: (doc_a contained-in doc_b, containment), both directions
+    * possible, a ≠ b.
+    *
+    * Scale shape — the asymmetric AllPairs prefix bound (Agrawal et al.
+    * sketch-free flavor): C ≥ t ⇒ |A∖B| ≤ (1−t)·|A|, so ANY
+    * ⌊(1−t)·|A|⌋+1 grams of A must hit B — index the PROBE side by only
+    * its rarest-first prefix of that size, join against the FULL gram
+    * index of potential containers, verify exactly on the shingle
+    * arrays with the candidate side broadcast (the
+    * [[ngramJaccardPairsPrefix]] verification pattern). At t=0.8 the
+    * probe index is 5× smaller than the d2 inverted index, and no
+    * length filter applies (a tiny doc CAN be contained in a huge one —
+    * that asymmetry is the point).
+    */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n)
+    val ex = sets.select(col("doc_id"), explode(col("shingles")).as("gs"))
+      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+    // rarest-first prefix of the probe side (same 8-byte-key, ride-the-
+    // window-shuffle layout as the symmetric prefix filter)
+    val freq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("g"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val probe = ex.join(freq, "g")
+      .withColumn("rank", row_number().over(w))
+      .withColumn("n_sh", count(lit(1)).over(wAll))
+      .where(col("rank") <= floor(col("n_sh") * (1.0 - threshold)) + 1)
+      .select(col("doc_id").as("doc_a"), col("g"))
+    val cand = probe
+      .join(ex.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val sa = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("containment_raw",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") / size(col("sa")))
+      .where(col("containment_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment_raw"), 4).as("containment"))
+  }
+
   /** Cross-document duplicated n-gram report — the contamination /
     * substring-dedup check run over training corpora (find every n-token
     * window that appears in more than one document, so those spans can be

@@ -350,6 +350,19 @@ object Oracles {
         |GROUP BY a.doc_id, b.doc_id
         |HAVING count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.5""".stripMargin,
 
+    // asymmetric n-gram containment: directed pairs, C(A,B) = |A∩B|/|A|
+    "d15_containment_pairs" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(count(*)::DOUBLE / any_value(a.n), 4) AS containment
+        |FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*)::DOUBLE / any_value(a.n) >= 0.8""".stripMargin,
+
     "e1_cosine_score" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,

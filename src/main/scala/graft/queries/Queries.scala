@@ -1495,6 +1495,16 @@ object Queries {
       hashFamily = hashFamily)
   }
 
+  /** Asymmetric containment near-dup (D15): directed pairs where ≥80%
+    * of doc_a's 3-gram shingles appear in doc_b — the subsumed-document
+    * case (quotes, excerpts, supersets) symmetric Jaccard can't see.
+    * Probe-side rarest-first prefix bound keeps the index at
+    * (1−t)·|A|+1 grams per probe doc.
+    */
+  def d15_containment_pairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairs(t(spark, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.8)
+
   /** Composed cleaning pipeline: exact dedup -> contamination cut ->
     * quality gate -> language gate, one declarative plan.
     */

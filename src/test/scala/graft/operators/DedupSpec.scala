@@ -72,6 +72,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment pairs: directed, catches subsumption Jaccard misses, == brute force") {
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 50).map(i =>
+      (i.toLong, Seq.fill(12 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))))
+    // the asymmetric case: a short doc whose every shingle lives inside a
+    // 7x longer container — C(short, long) = 1.0, J ≈ 0.12
+    val shortToks = Seq.fill(15)(vocab(rnd.nextInt(vocab.size)))
+    val longToks = shortToks ++ Seq.fill(90)(vocab(rnd.nextInt(vocab.size)))
+    val corpus = (base ++ Seq((9000L, shortToks), (9001L, longToks)))
+      .map { case (id, toks) => (id, toks.mkString(" ")) }.toDF("doc_id", "text")
+    val got = Dedup.ngramContainmentPairs(corpus, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.exists(p => p._1 == 9000L && p._2 == 9001L && p._3 === 1.0),
+      s"short doc is fully contained in its container: $got")
+    assert(!got.exists(p => p._1 == 9001L && p._2 == 9000L),
+      "containment is DIRECTED: the container is not contained")
+    // brute force over the driver: same shingling, same threshold
+    def sh(toks: Seq[String]) = toks.sliding(3).map(_.mkString(" ")).toSeq.distinct.toSet
+    val all = (base ++ Seq((9000L, shortToks), (9001L, longToks)))
+      .filter(_._2.size >= 3).map { case (id, t) => id -> sh(t) }
+    val truth = (for {
+      (ia, sa) <- all; (ib, sb) <- all if ia != ib
+      c = sa.intersect(sb).size.toDouble / sa.size if c >= 0.8
+    } yield (ia, ib, BigDecimal(c).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(got === truth, "prefix-pruned candidates lose no true pair")
+    // jaccard at the same threshold does NOT see the subsumption
+    val j = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(!j.exists(p => Set(p._1, p._2) == Set(9000L, 9001L)),
+      "symmetric jaccard is blind to the contained doc")
+  }
+
   test("minhash signature agreement tracks jaccard similarity") {
     import spark.implicits._
     val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", n = 3, k = 64)
