@@ -173,10 +173,18 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("g"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    // ceil(t·n) with a −1e-7 guard: at t where t·n is an exact integer
+    // under real arithmetic, binary rounding can land a hair HIGH
+    // (5·0.8 → 4.000000000000001, ceil 5) and shrink the prefix below
+    // the AllPairs bound — a J = t exactly pair then has no guaranteed
+    // prefix collision (same float-boundary family as the containment
+    // probe fix; catalog's t=0.5 is exact in binary, other thresholds
+    // are not). Guarded-low ceil only lengthens the prefix: more
+    // candidates, identical verified output.
     val prefix = ex.join(freq, "g")
       .withColumn("rank", row_number().over(w))
       .withColumn("n_sh", count(lit(1)).over(wAll))
-      .where(col("rank") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .where(col("rank") <= col("n_sh") - ceil(col("n_sh") * threshold - 1e-7) + 1)
       .select(col("doc_id"), col("g"), col("n_sh"))
 
     // candidates: prefix-to-prefix collisions, pruned by the AllPairs
@@ -189,7 +197,9 @@ object Dedup {
       .join(prefix.alias("pb"),
         col("pa.g") === col("pb.g") && col("pa.doc_id") < col("pb.doc_id") &&
           least(col("pa.n_sh"), col("pb.n_sh")) >=
-            lit(threshold) * greatest(col("pa.n_sh"), col("pb.n_sh")))
+            // −1e-7: min = t·max exactly is a VALID pair (|A|=4, |B|=5,
+            // t=0.8, common=4 ⇒ J=0.8) and 0.8·5 rounds to 4.0000…04
+            lit(threshold) * greatest(col("pa.n_sh"), col("pb.n_sh")) - 1e-7)
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
 
@@ -243,10 +253,17 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("g"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    // prefix size = |A∖B|max + 1 = floor((1−t)·|A|) + 1, computed with a
+    // +1e-7 guard: (1−0.8) is 0.19999999999999996 in binary, so
+    // floor(5·(1−t)) = 0 instead of 1 — one prefix gram too few, and a
+    // C = t exactly pair loses its only guaranteed collision (surfaced
+    // by the sf0.1 oracle leg as a missing row). Overshooting the
+    // prefix by the guard only adds candidates; the exact verify keeps
+    // the output identical.
     val probe = ex.join(freq, "g")
       .withColumn("rank", row_number().over(w))
       .withColumn("n_sh", count(lit(1)).over(wAll))
-      .where(col("rank") <= floor(col("n_sh") * (1.0 - threshold)) + 1)
+      .where(col("rank") <= floor(col("n_sh") * (1.0 - threshold) + 1e-7) + 1)
       .select(col("doc_id").as("doc_a"), col("g"))
     val cand = probe
       .join(ex.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))

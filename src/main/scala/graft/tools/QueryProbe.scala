@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Generic per-query step-up prober (dev tool, not part of the driver
+  * contract): times named catalog queries on one or more data legs —
+  * warm run first (JIT + plan cache), then the measured run — through
+  * the same noop sink Bench uses so Catalyst cannot prune the measured
+  * work. One line per (leg, query); feeds the PROFILE step-up tables.
+  *
+  * Usage:
+  *   sbt "runMain graft.tools.QueryProbe c13_cdc_upsert,t16_subword_tokenize \
+  *        /root/testdata/sf0.1 /tmp/sf1"
+  */
+object QueryProbe {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").toSeq
+    val legs = args.drop(1).toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-query-probe")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (leg <- legs; name <- names) {
+      val fn = graft.SparkEntry.queries(name)
+      def run(): Unit =
+        fn(spark, leg).write.format("noop").mode("overwrite").save()
+      run()
+      val t0 = System.nanoTime()
+      run()
+      println(f"[query-probe] $leg $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    spark.stop()
+  }
+}

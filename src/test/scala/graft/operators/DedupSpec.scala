@@ -107,6 +107,29 @@ class DedupSpec extends SparkSpec {
       "symmetric jaccard is blind to the contained doc")
   }
 
+  test("prefix bounds survive the exact-threshold float boundary") {
+    import spark.implicits._
+    // C(A,B) = 4/5 = t exactly with (1-t)|A| = 1 an exact integer: the
+    // unguarded floor(5 * 0.1999...) = 0 gave a 1-gram prefix and lost
+    // this pair (surfaced by the sf0.1 oracle leg, rows 511 != 512)
+    val a = "a b c d e f g"                   // 5 shingles
+    val b = "a b c d e f x p q r s t u v w"   // shares exactly 4 of them
+    val got = Dedup.ngramContainmentPairs(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"), "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.contains((1L, 2L, 0.8)), s"C = t exactly must survive: $got")
+
+    // J(A,B) = 4/5 = t exactly with |A|=4, |B|=5 (A ⊆ B): both the
+    // ceil(t*n) prefix and the min >= t*max length filter sit on the
+    // same boundary
+    val ja = "a b c d e f"       // 4 shingles
+    val jb = "a b c d e f g"     // 5 shingles, superset
+    val jg = Dedup.ngramJaccardPairsPrefix(
+      Seq((1L, ja), (2L, jb)).toDF("doc_id", "text"), "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(jg.contains((1L, 2L, 0.8)), s"J = t exactly must survive: $jg")
+  }
+
   test("minhash signature agreement tracks jaccard similarity") {
     import spark.implicits._
     val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", n = 3, k = 64)
