@@ -49,7 +49,10 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
-        if Path(p).exists():
+        if Path(p).is_dir():  # Spark directory layout (ScaleUp legs)
+            p = f"{p}/*.parquet"
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        elif Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.loads(Path(f"{OUT_DIR}/oracle_sql.json").read_text())
     # Lint: DuckDB widens sum(BIGINT) to HUGEINT (and may produce DECIMAL),
