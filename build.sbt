@@ -35,4 +35,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the 128 GiB box keeps headroom for the page cache while removing
   // the cliff.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // A 115-query suite in one JVM generates thousands of Janino/JIT
+  // classes; the JDK-17 default 240 MB code cache overflows mid-suite
+  // and late plan-heavy queries (most codegen units) degrade 3-6x —
+  // c13 measured 9.6-11.7s in-suite vs 2.1s solo with identical plans,
+  // and the inflation tracked SUITE LENGTH, not any particular
+  // predecessor family. A long-lived production driver/executor would
+  // tune this the same way.
+  "-XX:ReservedCodeCacheSize=1g",
 )

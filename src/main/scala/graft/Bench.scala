@@ -57,9 +57,11 @@ object Bench {
     "c10_chunk_documents",
     "c11_split_assign",
     "c12_epoch_upsample",
+    "c13_cdc_upsert",
     "t13_token_estimate",
     "t14_bpe_pairs",
     "t15_quality_classifier",
+    "t16_subword_tokenize",
     "j7_salted_join",
     "t12_lm_perplexity",
     "d10_incremental_dedup",
@@ -68,6 +70,7 @@ object Bench {
     "ev10_stream_incremental_dedup",
     "ev11_stream_neardup",
     "ev12_stream_ann",
+    "ev13_stream_cdc_upsert",
     "e10_kmeans_train",
     "e11_pq_topk",
     "e12_lsh_neardup",
@@ -79,12 +82,14 @@ object Bench {
     "e9_batch_ann",
     "d13_semantic_prune",
     "d14_contamination_score",
+    "d15_containment_pairs",
     "m3_image_decode",
     "m4_image_dhash",
     "m5_audio_decode",
     "m6_image_neardup",
     "m7_mp4_frames",
     "m8_image_neardup_scaled",
+    "m9_audio_neardup",
     "g1_discover_variants",
     "g2_genotype_calls",
     "g3_realign",

@@ -28,12 +28,14 @@ object QueryProbe {
     spark.sparkContext.setLogLevel("ERROR")
     for (leg <- legs; name <- names) {
       val fn = graft.SparkEntry.queries(name)
-      def run(): Unit =
+      def run(): Double = {
+        val t0 = System.nanoTime()
         fn(spark, leg).write.format("noop").mode("overwrite").save()
-      run()
-      val t0 = System.nanoTime()
-      run()
-      println(f"[query-probe] $leg $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = run() // first execution: plan compile + JIT included
+      val warm = run()
+      println(f"[query-probe] $leg $name%-28s cold $cold%8.2f s  warm $warm%8.2f s")
     }
     spark.stop()
   }

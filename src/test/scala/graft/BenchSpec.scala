@@ -47,6 +47,17 @@ class BenchSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(dir.resolve("bench_out.json")))
   }
 
+  test("headline list covers EVERY catalog query (the round-8 coverage policy)") {
+    // the bench enumerates an explicit ordered list, not the map — a new
+    // catalog query that never lands in `headline` silently ships with
+    // no perf record (it happened: the first r10 continuation bench ran
+    // 110 of 115). This pins list == registry.
+    val missing = SparkEntry.queries.keySet -- Bench.headline.toSet
+    val stale = Bench.headline.toSet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"queries missing from Bench.headline: $missing")
+    assert(stale.isEmpty, s"Bench.headline names unknown queries: $stale")
+  }
+
   test("accepted run writes bench_out.json") {
     val dir = java.nio.file.Files.createTempDirectory("bench_spec")
     val written = Bench.writeArtifact("""{"rejected":false}""",
