@@ -58,6 +58,7 @@ object Bench {
     "c11_split_assign",
     "c12_epoch_upsample",
     "c13_cdc_upsert",
+    "c14_snapshot_diff",
     "t13_token_estimate",
     "t14_bpe_pairs",
     "t15_quality_classifier",

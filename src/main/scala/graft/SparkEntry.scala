@@ -102,6 +102,7 @@ object SparkEntry {
     "c11_split_assign" -> (Queries.c11_split_assign _),
     "c12_epoch_upsample" -> (Queries.c12_epoch_upsample _),
     "c13_cdc_upsert" -> (Queries.c13_cdc_upsert _),
+    "c14_snapshot_diff" -> (Queries.c14_snapshot_diff _),
     "ev13_stream_cdc_upsert" -> (Queries.ev13_stream_cdc_upsert _),
     "t14_bpe_pairs" -> (Queries.t14_bpe_pairs _),
     "t15_quality_classifier" -> (Queries.t15_quality_classifier _),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** CDC / upsert merge: apply a change batch to a base snapshot.
@@ -88,4 +88,32 @@ object Merge {
       .join(won.select(keyCol), Seq(keyCol), "left_anti")
       .unionByName(won.where(col(opCol) =!= "D").select(dataCols.map(col): _*))
   }
+
+  /** Corpus snapshot diff — the audit side of CDC: given two snapshot
+    * versions and a content fingerprint, emit one row per CHANGED key
+    * (`added` / `removed` / `modified`), nothing for unchanged keys.
+    * What a data-versioning layer shows between corpus releases, and
+    * the consistency check a merge pipeline runs after the fact:
+    * `snapshotDiff(base, upsert(base, changes), k, fp)` must recover
+    * exactly the changes that were applied (spec-gated round trip).
+    *
+    * Plan: project each side to (key, fp) FIRST — the full-outer join
+    * shuffles two narrow columns, never document bodies — then one
+    * co-partitioned join. Snapshots bucketed on the key
+    * ([[graft.sources.Bucketed]]) plan the join with zero exchanges;
+    * output is change-sized.
+    */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      keyCol: String,
+      fp: Column): DataFrame =
+    oldSnap.select(col(keyCol), fp.as("old_fp"))
+      .join(newSnap.select(col(keyCol), fp.as("new_fp")), Seq(keyCol), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "modified"))
+      .where(col("status").isNotNull)
+      .select(col(keyCol), col("status"), col("old_fp"), col("new_fp"))
 }

@@ -1136,6 +1136,22 @@ object Oracles {
         |  sum(dw.cnt * ntok.nt)::BIGINT AS n_subwords
         |FROM dw JOIN ntok USING (w) GROUP BY dw.doc_id""".stripMargin,
 
+    // corpus snapshot diff: base vs the c13-merged snapshot recovers the
+    // applied changes (added/removed/modified by md5 fingerprint)
+    "c14_snapshot_diff" -> (
+      """WITH o AS (SELECT doc_id, md5(text) AS old_fp
+        |           FROM documents WHERE doc_id % 4 <> 3),
+        |n AS (SELECT doc_id, md5(text) AS new_fp FROM (
+        |""".stripMargin + cdcUpsertSql + """
+        |) s)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN old_fp <> new_fp THEN 'modified' END AS status,
+        |  old_fp, new_fp
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR old_fp <> new_fp""".stripMargin),
+
     // first BPE merge statistics: word-frequency-weighted adjacent char
     // pairs over the distinct vocabulary, top 30 (total order: n desc, pair)
     "t14_bpe_pairs" ->

@@ -1364,6 +1364,17 @@ object Queries {
   def t16_subword_tokenize(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.subwordTokenize(t(spark, dir, "documents"), "doc_id", "text")
 
+  /** Corpus snapshot diff (C14): audit the c13 merge — diff the base
+    * snapshot against the merged result and recover exactly the
+    * changes that were applied (added = surviving inserts, removed =
+    * tombstones, modified = updates whose text actually changed).
+    * Fingerprints are md5(text); the join carries (key, fp) only.
+    */
+  def c14_snapshot_diff(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "documents").where(col("doc_id") % 4 =!= 3)
+    Merge.snapshotDiff(base, c13_cdc_upsert(spark, dir), "doc_id", md5(col("text")))
+  }
+
   /** First BPE merge statistics: corpus-wide adjacent-char-pair counts
     * weighted by word frequency, top 30 — the argmax is the first merge
     * a BPE vocabulary build applies.

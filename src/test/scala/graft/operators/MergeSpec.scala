@@ -73,6 +73,18 @@ class MergeSpec extends SparkSpec {
       s"no exchange may carry base data columns:\n$plan")
   }
 
+  test("snapshotDiff(base, upsert(base, changes)) recovers the applied changes") {
+    val merged = Merge.upsert(base, changes, "k")
+    val diff = Merge.snapshotDiff(base, merged, "k",
+      md5(concat_ws("|", col("body"), col("n"))))
+      .select("k", "status").as[(Long, String)].collect().toMap
+    // k=1 untouched -> absent; k=2 updated; k=3 tombstoned; k=5/6 inserted
+    assert(diff === Map(2L -> "modified", 3L -> "removed",
+      5L -> "added", 6L -> "added"), s"diff: $diff")
+    // self-diff is empty (no false positives from the fingerprint)
+    assert(Merge.snapshotDiff(base, base, "k", md5(col("body"))).isEmpty)
+  }
+
   test("streaming delta log == batch snapshot across >= 3 micro-batches") {
     val docs = spark.read.parquet(s"${sf("0.001")}/documents.parquet")
     // split the doc stream into 3 time-ordered files so winners arrive
