@@ -893,7 +893,16 @@ object Queries {
       concat(lit("s"), col("l_linestatus")).as("sampleId"),
       lit(null).cast("string").as("mateContigName"),
       lit(null).cast("long").as("mateStart"),
-      lit(false).as("mateMapped")).as[Read]
+      lit(false).as("mateMapped"))
+      // the fixture parquet has 3 row groups, so WITHOUT this the whole
+      // per-read observation kernel chain runs map-side in 3 tasks on a
+      // 32-thread box (stage-listener measured: the two 3-task kernel
+      // stages dominate g4's wall). One cheap shuffle of the raw reads
+      // (~10 MB/sample) unlocks full kernel parallelism — and mirrors
+      // the real cluster, where a 100 TB scan yields thousands of tasks
+      // and the kernel is never scan-bound.
+      .repartition(col("contigName"), col("start"))
+      .as[Read]
   }
 
   def g4_joint_recall(spark: SparkSession, dir: String): DataFrame = {
@@ -904,12 +913,15 @@ object Queries {
       .discover(rds, minPhred = 20, minObservations = 2)
       .select("contigName", "start", "referenceAllele", "alternateAllele")
       .as[DiscoveredVariant]
-      // NOTE deliberately NOT checkpointed: the genotyper references the
-      // variant frame on the SNV and indel sides, but the duplicate
-      // discovery overlaps with other stages across the 32 local threads
-      // and a checkpoint barrier measured SLOWER (g2 4.8->6s, g4 6->7.5s
-      // at sf0.1). On a cluster where two cohort scans dominate, check-
-      // point here as g6 does.
+      // CHECKPOINTED since r10: the r8 measurement ("checkpoint costs
+      // 6->7.5s, thread-overlap hides the duplicate discovery") held
+      // only in the good scheduling draw — cold g4 is BIMODAL without
+      // it (6.5s when the SNV/indel discovery subtrees overlap, ~12s
+      // when they serialize; five of seven r10 full-suite draws hit the
+      // bad mode). The barrier buys a deterministic ~7s: worse than the
+      // best draw, far better than the expected value — and on a real
+      // cluster two cohort scans dominate anyway (the g6 rationale).
+      .localCheckpoint()
     val called = BiallelicGenotyper.call(rds, variants, ploidy = 2, binSize = 20.0)
       .withColumn("end", col("start") + 1)
     graft.genomics.JointAnnotatorCaller(called)

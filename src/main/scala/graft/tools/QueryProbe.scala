@@ -16,7 +16,7 @@ object QueryProbe {
   def main(args: Array[String]): Unit = {
     val names = args(0).split(",").toSeq
     val legs = args.drop(1).toSeq
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -24,7 +24,26 @@ object QueryProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .appName("graft-query-probe")
-      .getOrCreate()
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — A/B a conf without editing code
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); b.config(k, v)
+    })
+    val spark = b.getOrCreate()
+    // SPARK_GRAFT_STAGES=1: per-stage wall/max-task report after each run
+    if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val wall = (for {s <- si.submissionTime; c <- si.completionTime}
+              yield (c - s) / 1e3).getOrElse(-1.0)
+            if (wall > 0.5)
+              println(f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%3d " +
+                f"wall=$wall%6.2fs  ${si.name.take(70)}")
+          }
+        })
+    }
     spark.sparkContext.setLogLevel("ERROR")
     for (leg <- legs; name <- names) {
       val fn = graft.SparkEntry.queries(name)
