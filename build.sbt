@@ -43,4 +43,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // predecessor family. A long-lived production driver/executor would
   // tune this the same way.
   "-XX:ReservedCodeCacheSize=1g",
-)
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))

@@ -72,6 +72,7 @@ object Bench {
     "ev11_stream_neardup",
     "ev12_stream_ann",
     "ev13_stream_cdc_upsert",
+    "ev14_stream_quality_gate",
     "e10_kmeans_train",
     "e11_pq_topk",
     "e12_lsh_neardup",

@@ -104,6 +104,7 @@ object SparkEntry {
     "c13_cdc_upsert" -> (Queries.c13_cdc_upsert _),
     "c14_snapshot_diff" -> (Queries.c14_snapshot_diff _),
     "ev13_stream_cdc_upsert" -> (Queries.ev13_stream_cdc_upsert _),
+    "ev14_stream_quality_gate" -> (Queries.ev14_stream_quality_gate _),
     "t14_bpe_pairs" -> (Queries.t14_bpe_pairs _),
     "t15_quality_classifier" -> (Queries.t15_quality_classifier _),
     "t16_subword_tokenize" -> (Queries.t16_subword_tokenize _),

@@ -1096,6 +1096,31 @@ object Oracles {
     "c13_cdc_upsert" -> cdcUpsertSql,
     "ev13_stream_cdc_upsert" -> cdcUpsertSql,
 
+    // streaming ingest quality gate: c1's per-document gates + lang tag,
+    // stateless -> plain batch SQL (no dedup/contamination legs)
+    "ev14_stream_quality_gate" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |    round(length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+        |      / len(regexp_extract_all(text, '\S+')), 4) AS avg_tok_len,
+        |    round(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of')))::DOUBLE
+        |      / len(regexp_extract_all(text, '\S+')), 4) AS stop_ratio,
+        |    len(list_filter(string_split(text, ' '), t -> t = 'the')) AS c_en,
+        |    len(list_filter(string_split(text, ' '), t -> t = 'der')) AS c_de,
+        |    len(list_filter(string_split(text, ' '), t -> t = 'el')) AS c_es,
+        |    len(list_filter(string_split(text, ' '), t -> t = 'le')) AS c_fr,
+        |    len(list_filter(string_split(text, ' '), t -> t = '的')) AS c_zh
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+        |       WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+        |       WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+        |       WHEN c_fr >= c_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM q
+        |WHERE n_tokens >= 10 AND avg_tok_len >= 2.0 AND stop_ratio <= 0.15""".stripMargin,
+
     // subword MaxMatch tokenization: corpus-derived top-200 piece vocab
     // (length 2..4, occurrence-weighted, total order n desc/piece asc),
     // greedy longest-match walked per distinct word via a recursive CTE

@@ -1706,6 +1706,23 @@ object Queries {
           t(spark, dir, "documents").select("doc_id"), "doc_id"),
         "doc_id").toDF())
 
+  /** Streaming ingest quality gate (EV14): c1's per-document quality
+    * gates + language tag applied at the door of a document stream —
+    * stateless narrow Columns, so output is batch-boundary invariant
+    * and the oracle is the plain batch SQL of the same gates.
+    */
+  def ev14_stream_quality_gate(spark: SparkSession, dir: String): DataFrame =
+    withStagedTable(dir, "documents.parquet", "ev14_stream") { staged =>
+      val gated = graft.streaming.StreamingOps.qualityGateStream(
+        graft.streaming.StreamingOps.readDocuments(spark, staged))
+      val name = "ev14_" + java.lang.Long.toHexString(System.nanoTime())
+      val q = gated.writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name)
+    }
+
   // ---- multimodal plumbing (M1) ----------------------------------------
 
   /** Real header-parse metadata (M1): a mixed binary corpus — a quarter

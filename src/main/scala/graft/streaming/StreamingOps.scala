@@ -462,6 +462,39 @@ object StreamingOps {
     q.stop()
   }
 
+  /** Ingest-time quality gate + language tag (stateless): the c1
+    * pipeline's per-document gates — token count, mean token length,
+    * stopword ratio, heuristic lang-id — applied AT THE DOOR, before a
+    * document ever lands in the lake, the way production corpus ingest
+    * filters junk. Pure codegen'd Column expressions, so the SAME call
+    * runs on a batch frame or a micro-batch stream with zero state,
+    * zero shuffles, and batch-boundary-invariant output (per-row
+    * decisions). Stateful concerns stay where they live: exact dedup at
+    * ingest is [[incrementalDedupStream]], near-dup is
+    * [[incrementalNearDupStream]] — this is the cheap narrow gate that
+    * runs FIRST so they never see junk.
+    */
+  def qualityGateStream(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      stopwords: Seq[String] = Seq("the", "a", "of"),
+      minTokens: Int = 10,
+      minAvgTokLen: Double = 2.0,
+      maxStopRatio: Double = 0.15): DataFrame = {
+    import graft.operators.TextAnalysis
+    val txt = col(textCol)
+    docs
+      .select(col(idCol),
+        TextAnalysis.tokenCount(txt).as("n_tokens"),
+        TextAnalysis.avgTokenLen(txt).as("avg_tok_len"),
+        TextAnalysis.stopwordRatio(txt, stopwords).as("stop_ratio"),
+        TextAnalysis.langId(txt).as("pred_lang"))
+      .where(col("n_tokens") >= minTokens && col("avg_tok_len") >= minAvgTokLen &&
+        col("stop_ratio") <= maxStopRatio)
+      .select(col(idCol), col("n_tokens"), col("pred_lang"))
+  }
+
   /** Run a streaming query to completion against the (static) test
     * parquet via the memory sink; returns the collected result table.
     */

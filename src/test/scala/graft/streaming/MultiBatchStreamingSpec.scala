@@ -159,6 +159,24 @@ class MultiBatchStreamingSpec extends SparkSpec {
       .collect().toSet === Set(100L, 10L, 20L, 30L, 40L))
   }
 
+  test("quality gate: multi-batch streamed output equals the batch gates") {
+    val docs = spark.read.parquet(s"${sf("0.001")}/documents.parquet")
+    val dir = stageSplitParquet(docs, parts = 3, sortCol = "doc_id")
+    val (streamed, progress) = StreamingOps.runToMemorySinkWithProgress(
+      StreamingOps.qualityGateStream(
+        StreamingOps.readDocuments(spark, s"$dir/*.parquet", maxFilesPerTrigger = Some(1))),
+      "quality_gate_multi", OutputMode.Append())
+    assert(dataBatches(progress) >= 3,
+      s"fixture must span >= 3 data micro-batches, got ${dataBatches(progress)}")
+    // stateless per-row gate => streamed set == the same gate run in batch
+    val batch = StreamingOps.qualityGateStream(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val s = streamed.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(s === batch, "per-row gate must be batch-boundary invariant")
+    assert(s.nonEmpty && s.size < docs.count(),
+      "the gate must actually drop some documents on the fixture")
+  }
+
   test("ANN serving: multi-batch streamed top-k equals the one-shot batch rule") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
