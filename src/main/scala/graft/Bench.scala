@@ -85,6 +85,8 @@ object Bench {
     "d13_semantic_prune",
     "d14_contamination_score",
     "d15_containment_pairs",
+    "d16_dupgraph_rank",
+    "t17_hll_distinct",
     "m3_image_decode",
     "m4_image_dhash",
     "m5_audio_decode",
@@ -293,6 +295,7 @@ object Bench {
       Map(
         "d3_minhash_lsh_pairs" -> (queries.Queries.d3_minhash_lsh_pairs_prod _),
         "d7_dup_clusters" -> (queries.Queries.d7_dup_clusters_prod _),
+        "d16_dupgraph_rank" -> (queries.Queries.d16_dupgraph_rank_prod _),
         "d11_incremental_minhash" -> (queries.Queries.d11_incremental_minhash_prod _),
         "d12_cluster_keepers" -> (queries.Queries.d12_cluster_keepers_prod _))
 

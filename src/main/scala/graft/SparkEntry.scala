@@ -116,6 +116,8 @@ object SparkEntry {
     "d13_semantic_prune" -> (Queries.d13_semantic_prune _),
     "d14_contamination_score" -> (Queries.d14_contamination_score _),
     "d15_containment_pairs" -> (Queries.d15_containment_pairs _),
+    "d16_dupgraph_rank" -> (Queries.d16_dupgraph_rank _),
+    "t17_hll_distinct" -> (Queries.t17_hll_distinct _),
     "ev10_stream_incremental_dedup" -> (Queries.ev10_stream_incremental_dedup _),
     "ev11_stream_neardup" -> (Queries.ev11_stream_neardup _),
     "ev12_stream_ann" -> (Queries.ev12_stream_ann _),

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cardinality sketches — the primitive a 100 TB corpus runs instead of
+  * `count(distinct ...)`: per-group state is a fixed register table
+  * (here 256 longs) regardless of input size, aggregated partial+final,
+  * where the exact form shuffles every distinct value.
+  *
+  * Engine-exact determinism (the repo's oracle contract): the entire
+  * register pipeline is integer arithmetic on the shared md5-60-bit
+  * hash — register index by modulus, leading-zero rank via the
+  * length of the binary string (`bin`, identical in Spark and DuckDB),
+  * register sum as exact long `1 << (53 - M)` terms — so the ONE
+  * floating-point op (the final alpha·m²·2⁵³ / denom division, or the
+  * linear-counting `m·ln(m/zeros)`) computes on bit-identical operands
+  * in both engines. The alpha numerator is computed once on the driver
+  * and interpolated into the oracle SQL as its shortest round-trip
+  * decimal, so both engines parse the same double.
+  */
+object Sketch {
+
+  /** Register count m = 2^8. 256 registers give ~6.5% standard error —
+    * the coarse-but-tiny configuration; the fixture corpus exercises
+    * BOTH estimator branches with it (HLL raw estimate above 2.5m,
+    * linear counting below).
+    */
+  val HllM = 256
+  /** Bits left of the register index in the 60-bit hash: 60 - 8 = 52,
+    * so rho ranges 1..53 and the largest register term 2^(53-1) fits a
+    * long with 256-fold headroom.
+    */
+  private val HllBits = 52
+
+  /** alpha_256 * m^2 * 2^53 — the HLL bias-corrected numerator, one
+    * driver-side double so both engines divide the identical value.
+    */
+  val hllAlphaNum: Double =
+    0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM * 9007199254740992.0
+
+  /** The 60-bit md5 hash shared with the DuckDB oracles. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** HyperLogLog register table: one row per (group, register) with the
+    * max leading-zero rank. Input: one row per (group, value) — values
+    * need not be pre-deduplicated (the register max IS the dedup).
+    * Output is at most |groups| * 256 rows however large the input —
+    * this is the only shuffle the sketch pays, and it is partial+final
+    * (map-side combine collapses each partition to <= 256 rows per
+    * group before the exchange).
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val h = h60(col(valueCol))
+    df.select(col(groupCol), h.as("__h"))
+      .select(col(groupCol),
+        (col("__h") % HllM).as("__idx"),
+        expr(s"__h div $HllM").as("__w"))
+      .select(col(groupCol), col("__idx"),
+        when(col("__w") === 0, lit(HllBits + 1))
+          .otherwise(lit(HllBits + 1) - length(bin(col("__w")))).as("__rho"))
+      .groupBy(col(groupCol), col("__idx"))
+      .agg(max(col("__rho")).as("m_j"))
+  }
+
+  /** Collapse a register table to the per-group estimate. The register
+    * sum is exact long arithmetic (`1 << (53 - M)`); empty registers
+    * contribute 2^53 each via the occupancy count. Applies the standard
+    * small-range linear-counting correction (E <= 2.5m with empty
+    * registers); the large-range correction is unnecessary against a
+    * 60-bit hash space. Estimate rounded to 4 decimals — the repo-wide
+    * cross-engine float contract.
+    */
+  def hllEstimate(registers: DataFrame, groupCol: String): DataFrame = {
+    val twoP53 = 9007199254740992L // 2^53
+    val grouped = registers.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("occupied"),
+      sum(expr(s"shiftleft(1L, ${HllBits + 1} - m_j)")).as("__s"))
+    val zeros = lit(HllM.toLong) - col("occupied")
+    val denom = (col("__s") + zeros * lit(twoP53)).cast("double")
+    val eRaw = lit(hllAlphaNum) / denom
+    val est = when(eRaw <= lit(2.5 * HllM) && zeros > 0,
+      lit(HllM.toDouble) * log(lit(HllM.toDouble) / zeros.cast("double")))
+      .otherwise(eRaw)
+    grouped.select(col(groupCol), col("occupied"),
+      round(est, 4).as("est_distinct"))
+  }
+
+  /** Distinct 3-token shingles per document (d3's shingle definition),
+    * exploded — the value stream both the sketch and the exact side
+    * consume.
+    */
+  def docShingles(textCol: String = "text"): Column = {
+    val t = split(col(textCol), " ")
+    array_distinct(
+      when(size(t) >= 3,
+        transform(sequence(lit(1), size(t) - 2), i =>
+          concat_ws(" ",
+            element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+        .otherwise(array().cast("array<string>")))
+  }
+}

@@ -1669,6 +1669,8 @@ object Oracles {
     "d3_minhash_lsh_pairs" -> d3Sql,
     "d4_simhash_pairs" -> d4Sql,
     "d7_dup_clusters" -> d7Sql,
+    "d16_dupgraph_rank" -> d16Sql,
+    "t17_hll_distinct" -> t17Sql,
     "e2_ann_topk" -> e2Sql,
     "e12_lsh_neardup" -> e12Sql,
     "e6_ann_recall" -> e6Sql,
@@ -1781,6 +1783,65 @@ object Oracles {
        |  min(m.doc_id)::BIGINT AS keeper_id, g.kt::BIGINT AS keeper_tokens
        |FROM g JOIN mem m ON m.cluster_id = g.cluster_id AND m.nt = g.kt
        |GROUP BY g.cluster_id, g.n_members, g.kt""".stripMargin
+
+  /** Oracle for d16: the d3 pair graph symmetrized, then 3 unrolled
+    * PageRank rounds in integer parts-per-million — every op is BIGINT
+    * arithmetic (`//` here, `div` in Spark), so there is no float
+    * accumulation to disagree about. The sum is cast back from DuckDB's
+    * HUGEINT widening before the damping division.
+    */
+  private def d16Sql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+         |  (SELECT (3 * 1000000) // (20 * c) FROM n)
+         |    + (17 * (sum(r${i - 1}.r // d.deg)::BIGINT)) // 20 AS r
+         |  FROM edges e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |  JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM (${d3Sql.replace("\n", "\n  ")}) dp),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |n AS (SELECT count(*) AS c FROM deg),
+       |r0 AS (SELECT src AS node, (1000000 // c)::BIGINT AS r FROM deg, n),
+       |$rounds
+       |SELECT node AS doc_id, r::BIGINT AS rank_ppm FROM r3""".stripMargin
+  }
+
+  /** Oracle for t17: the HLL register pipeline replayed in SQL — same
+    * 60-bit hash, register index by modulus, rho from the binary-string
+    * length (`bin` renders without leading zeros in both engines),
+    * exact long register terms via `<<`. The alpha numerator literal is
+    * interpolated from the Spark constant so both engines divide the
+    * identical double.
+    */
+  private def t17Sql: String = {
+    val aN = graft.operators.Sketch.hllAlphaNum.toString
+    val denom = "((s + (256 - occupied) * 9007199254740992)::DOUBLE)"
+    s"""WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT lang, unnest(list_distinct(
+       |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)])) AS sh
+       |  FROM tok WHERE len(t) >= 3),
+       |h AS (SELECT lang, sh, ${h60("sh")} AS h FROM sh),
+       |reg AS (SELECT lang, h % 256 AS idx,
+       |    CASE WHEN h // 256 = 0 THEN 53 ELSE 53 - length(bin(h // 256)) END AS rho
+       |  FROM h),
+       |mj AS (SELECT lang, idx, max(rho) AS m_j FROM reg GROUP BY lang, idx),
+       |gr AS (SELECT lang, count(*) AS occupied,
+       |    sum((1::BIGINT << (53 - m_j)))::BIGINT AS s
+       |  FROM mj GROUP BY lang),
+       |ex AS (SELECT lang, count(DISTINCT sh) AS exact_distinct FROM h GROUP BY lang),
+       |est AS (SELECT lang, occupied,
+       |    round(CASE WHEN $aN / $denom <= 640.0 AND occupied < 256
+       |               THEN 256.0 * ln(256.0 / ((256 - occupied)::DOUBLE))
+       |               ELSE $aN / $denom END, 4) AS est_distinct
+       |  FROM gr)
+       |SELECT est.lang, occupied::BIGINT AS occupied, est_distinct,
+       |  exact_distinct::BIGINT AS exact_distinct,
+       |  floor(abs(est_distinct - exact_distinct) / exact_distinct * 10000)::BIGINT AS err_bp
+       |FROM est JOIN ex ON est.lang = ex.lang""".stripMargin
+  }
 
   /** Oracle for d7: the d3 pair graph (nested as a subquery — DuckDB
     * allows WITH inside a derived table) closed transitively with a

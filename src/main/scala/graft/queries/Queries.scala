@@ -1529,6 +1529,47 @@ object Queries {
     Dedup.ngramContainmentPairs(t(spark, dir, "documents"), "doc_id", "text",
       n = 3, threshold = 0.8)
 
+  /** Duplicate-graph centrality (D16): fixed-3-iteration PageRank over
+    * the verified minhash near-dup pair graph (d3's edges) — rank
+    * identifies the HUB documents of the duplication structure
+    * (template/boilerplate content that many distinct docs echo), a
+    * different signal from d7's flat components: a chain and a star
+    * with the same member set get the same clusters but very different
+    * centrality. Integer parts-per-million rank, engine-exact (see
+    * [[Graph.pageRankFixed]]).
+    */
+  def d16_dupgraph_rank(spark: SparkSession, dir: String): DataFrame =
+    Graph.pageRankFixed(
+      d3_minhash_lsh_pairs(spark, dir).select("doc_a", "doc_b"),
+      "doc_a", "doc_b", iters = 3)
+      .select(col("node").as("doc_id"), col("rank_ppm"))
+
+  /** Production flavor of d16 (xx64 pair graph) — what Bench times. */
+  def d16_dupgraph_rank_prod(spark: SparkSession, dir: String): DataFrame =
+    Graph.pageRankFixed(
+      d3_minhash_lsh_pairs_prod(spark, dir).select("doc_a", "doc_b"),
+      "doc_a", "doc_b", iters = 3)
+      .select(col("node").as("doc_id"), col("rank_ppm"))
+
+  /** HyperLogLog distinct-shingle cardinality per language (T17), with
+    * the exact count alongside — the e6-style accuracy artifact for the
+    * sketch family. The sketch side's only shuffle emits <= 256 rows
+    * per language however large the corpus; the exact side (here only
+    * to measure the sketch) shuffles every distinct shingle. err_bp is
+    * the estimate's error in basis points.
+    */
+  def t17_hll_distinct(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val vals = docs.select(col("lang"), explode(Sketch.docShingles()).as("sh"))
+    val est = Sketch.hllEstimate(Sketch.hllRegisters(vals, "lang", "sh"), "lang")
+    val exact = vals.groupBy("lang").agg(countDistinct(col("sh")).as("exact_distinct"))
+    est.join(exact, "lang")
+      .select(col("lang"), col("occupied"), col("est_distinct"),
+        col("exact_distinct"),
+        floor(abs(col("est_distinct") - col("exact_distinct")) /
+          col("exact_distinct") * 10000).cast("long").as("err_bp"))
+  }
+
   /** Composed cleaning pipeline: exact dedup -> contamination cut ->
     * quality gate -> language gate, one declarative plan.
     */
