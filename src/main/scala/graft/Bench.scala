@@ -87,6 +87,9 @@ object Bench {
     "d15_containment_pairs",
     "d16_dupgraph_rank",
     "t17_hll_distinct",
+    "t18_hll_merge",
+    "ev15_stream_hll_users",
+    "m10_video_neardup",
     "m3_image_decode",
     "m4_image_dhash",
     "m5_audio_decode",

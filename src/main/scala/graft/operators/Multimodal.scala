@@ -732,6 +732,42 @@ object Multimodal {
     exact.unionByName(cross)
   }
 
+  /** Video near-dup via sampled-frame fingerprints (M10) — the
+    * content-ID shape: a video IS its set of frame fingerprints, two
+    * videos are near-dups when they share frames. Input is a
+    * [[mp4FrameTable]] frame table; the pipeline collapses byte-exact
+    * videos FIRST (canonical content key = md5 of the sorted frame-fp
+    * list — m8's weighted-representative lesson, so exact-dup classes
+    * never pairwise-enumerate), then joins the surviving distinct
+    * videos through the frame-fp inverted index and counts distinct
+    * shared frames per pair. Candidate volume tracks fp-bucket
+    * occupancy over DISTINCT videos: with real content hashes a frame
+    * fp is shared only by actual reuse, so the join output is the true
+    * overlap structure, never |videos|².
+    */
+  def videoNearDupCollapsed(frames: DataFrame, minShared: Int = 2): DataFrame = {
+    val vids = frames.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("frame_fp"))).as("fps"))
+      .select(col("doc_id"), col("fps"), size(col("fps")).as("nf"),
+        md5(concat_ws(",", col("fps"))).as("vkey"))
+    val grp = vids.groupBy("vkey")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n"),
+        first("nf").as("nf"), first("fps").as("fps"))
+    val exact = grp.where(col("n") >= 2)
+      .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
+        col("nf").cast("long").as("shared"),
+        expr("(n * (n - 1)) DIV 2").as("weight"))
+    val inv = grp.select(col("rep"), col("n"), explode(col("fps")).as("fp"))
+    val l = inv.alias("l")
+    val r = inv.alias("r")
+    val cross = l.join(r, col("l.fp") === col("r.fp") && col("l.rep") < col("r.rep"))
+      .groupBy(col("l.rep").as("rep_a"), col("r.rep").as("rep_b"))
+      .agg(count(lit(1)).as("shared"), first(col("l.n") * col("r.n")).as("weight"))
+      .where(col("shared") >= minShared)
+    exact.unionByName(cross.select(col("rep_a"), col("rep_b"),
+      col("shared"), col("weight")))
+  }
+
   /** Accumulator from the most recent decodeBatch plan (test hook /
     * post-run observability): rows whose payload failed to decode.
     * Caveats shared with every accumulator-in-transformation: task

@@ -87,6 +87,17 @@ object Sketch {
       round(est, 4).as("est_distinct"))
   }
 
+  /** Merge register tables ACROSS groups into one labeled sketch — the
+    * algebraic property that makes HLL the 100 TB tool: registers built
+    * per partition / per day / per source combine by elementwise max
+    * into exactly the sketch of the union (spec-asserted equality), so
+    * a union cardinality never re-reads the inputs. Inclusion-exclusion
+    * on merged estimates then bounds overlaps between corpora.
+    */
+  def hllMerge(registers: DataFrame, groupCol: String, label: String): DataFrame =
+    registers.groupBy(col("__idx")).agg(max(col("m_j")).as("m_j"))
+      .select(lit(label).as(groupCol), col("__idx"), col("m_j"))
+
   /** Distinct 3-token shingles per document (d3's shingle definition),
     * exploded — the value stream both the sketch and the exact side
     * consume.

@@ -1671,6 +1671,9 @@ object Oracles {
     "d7_dup_clusters" -> d7Sql,
     "d16_dupgraph_rank" -> d16Sql,
     "t17_hll_distinct" -> t17Sql,
+    "t18_hll_merge" -> t18Sql,
+    "ev15_stream_hll_users" -> ev15Sql,
+    "m10_video_neardup" -> m10Sql,
     "e2_ann_topk" -> e2Sql,
     "e12_lsh_neardup" -> e12Sql,
     "e6_ann_recall" -> e6Sql,
@@ -1842,6 +1845,98 @@ object Oracles {
        |  floor(abs(est_distinct - exact_distinct) / exact_distinct * 10000)::BIGINT AS err_bp
        |FROM est JOIN ex ON est.lang = ex.lang""".stripMargin
   }
+
+  /** The HLL estimate arithmetic shared by t17/t18/ev15 oracles: raw
+    * bias-corrected estimate with the linear-counting small-range
+    * branch, numerator interpolated from the Spark-side constant.
+    */
+  private def hllEstCase: String = {
+    val aN = graft.operators.Sketch.hllAlphaNum.toString
+    val denom = "((s + (256 - occupied) * 9007199254740992)::DOUBLE)"
+    s"""round(CASE WHEN $aN / $denom <= 640.0 AND occupied < 256
+       |      THEN 256.0 * ln(256.0 / ((256 - occupied)::DOUBLE))
+       |      ELSE $aN / $denom END, 4)""".stripMargin
+  }
+
+  /** Oracle for t18: per-source registers, their '__union' max-merge
+    * (identical to the union's own registers by max associativity),
+    * estimates + exact counts per scope.
+    */
+  private def t18Sql: String =
+    s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT source, unnest(list_distinct(
+       |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)])) AS sh
+       |  FROM tok WHERE len(t) >= 3),
+       |h AS (SELECT source, sh, ${h60("sh")} AS h FROM sh),
+       |reg AS (SELECT source, h % 256 AS idx,
+       |    CASE WHEN h // 256 = 0 THEN 53 ELSE 53 - length(bin(h // 256)) END AS rho
+       |  FROM h),
+       |mj AS (SELECT source, idx, max(rho) AS m_j FROM reg GROUP BY source, idx),
+       |mju AS (SELECT '__union' AS source, idx, max(m_j) AS m_j FROM mj GROUP BY idx),
+       |m2 AS (SELECT * FROM mj UNION ALL SELECT * FROM mju),
+       |gr AS (SELECT source, count(*) AS occupied,
+       |    sum((1::BIGINT << (53 - m_j)))::BIGINT AS s
+       |  FROM m2 GROUP BY source),
+       |exs AS (SELECT source, count(DISTINCT sh) AS exact_distinct FROM h GROUP BY source
+       |  UNION ALL SELECT '__union', count(DISTINCT sh) FROM h),
+       |est AS (SELECT source, occupied, $hllEstCase AS est_distinct FROM gr)
+       |SELECT est.source, occupied::BIGINT AS occupied, est_distinct,
+       |  exact_distinct::BIGINT AS exact_distinct,
+       |  floor(abs(est_distinct - exact_distinct) / exact_distinct * 10000)::BIGINT AS err_bp
+       |FROM est JOIN exs ON est.source = exs.source""".stripMargin
+
+  /** Oracle for ev15: the register pipeline per hour window over the
+    * batch table — valid for the stream because register max is
+    * associative (merge-on-read resolve == batch sketch).
+    */
+  private def ev15Sql: String =
+    s"""WITH ev AS (SELECT (epoch_ms(ts) // 3600000) * 3600 AS w,
+       |    user_id::VARCHAR AS u FROM events),
+       |h AS (SELECT w, u, ${h60("u")} AS h FROM ev),
+       |reg AS (SELECT w, h % 256 AS idx,
+       |    CASE WHEN h // 256 = 0 THEN 53 ELSE 53 - length(bin(h // 256)) END AS rho
+       |  FROM h),
+       |mj AS (SELECT w, idx, max(rho) AS m_j FROM reg GROUP BY w, idx),
+       |gr AS (SELECT w, count(*) AS occupied,
+       |    sum((1::BIGINT << (53 - m_j)))::BIGINT AS s
+       |  FROM mj GROUP BY w),
+       |ex AS (SELECT w, count(DISTINCT u) AS exact_users FROM ev GROUP BY w),
+       |est AS (SELECT w, occupied, $hllEstCase AS est_users FROM gr)
+       |SELECT est.w AS window_start, occupied::BIGINT AS occupied, est_users,
+       |  exact_users::BIGINT AS exact_users,
+       |  floor(abs(est_users - exact_users) / exact_users * 10000)::BIGINT AS err_bp
+       |FROM est JOIN ex ON est.w = ex.w""".stripMargin
+
+  /** Oracle for m10: rebuild the frame fingerprints closed-form from
+    * the synthetic generator (m7's oracle with the planted `% 97`
+    * content key), then the collapsed video-near-dup contract: exact
+    * classes by canonical fp-list key, frame-fp inverted-index join
+    * over distinct videos, distinct-shared-frame count per pair.
+    */
+  private def m10Sql: String =
+    """WITH f AS (SELECT doc_id, doc_id % 97 AS k,
+      |    3 + (doc_id % 97) % 5 AS n FROM documents),
+      |fr AS (SELECT doc_id, k, n, unnest(range(0, n)) AS i FROM f),
+      |fp AS (SELECT doc_id,
+      |    md5(list_aggregate([chr((97 + (k * 31 + i * 7 + p) % 26)::INT)
+      |      FOR p IN range(0, 16 + (k * 7 + i * 3) % 17)], 'string_agg', '')) AS fp
+      |  FROM fr),
+      |vids AS (SELECT doc_id, list_sort(list_distinct(list(fp))) AS fps
+      |  FROM fp GROUP BY doc_id),
+      |v2 AS (SELECT doc_id, fps, len(fps) AS nf,
+      |    md5(array_to_string(fps, ',')) AS vkey FROM vids),
+      |grp AS (SELECT vkey, min(doc_id) AS rep, count(*) AS n,
+      |    any_value(nf) AS nf, any_value(fps) AS fps
+      |  FROM v2 GROUP BY vkey),
+      |ex AS (SELECT rep AS rep_a, rep AS rep_b, nf::BIGINT AS shared,
+      |    ((n * (n - 1)) // 2)::BIGINT AS weight FROM grp WHERE n >= 2),
+      |inv AS (SELECT rep, n, unnest(fps) AS fp FROM grp),
+      |cr AS (SELECT a.rep AS rep_a, b.rep AS rep_b, count(*)::BIGINT AS shared,
+      |    any_value(a.n * b.n)::BIGINT AS weight
+      |  FROM inv a JOIN inv b ON a.fp = b.fp AND a.rep < b.rep
+      |  GROUP BY a.rep, b.rep
+      |  HAVING count(*) >= 2)
+      |SELECT * FROM ex UNION ALL SELECT * FROM cr""".stripMargin
 
   /** Oracle for d7: the d3 pair graph (nested as a subquery — DuckDB
     * allows WITH inside a derived table) closed transitively with a

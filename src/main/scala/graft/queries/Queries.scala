@@ -1570,6 +1570,51 @@ object Queries {
           col("exact_distinct") * 10000).cast("long").as("err_bp"))
   }
 
+  /** Sketch mergeability (T18): per-source HLL registers plus their
+    * max-merge into a '__union' sketch — the property that makes
+    * sketches THE cardinality tool at 100 TB: per-day / per-source
+    * registers combine by elementwise max into exactly the union's
+    * sketch without re-reading any input (spec asserts the equality
+    * exactly; this row records the estimates against exact counts).
+    */
+  def t18_hll_merge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val vals = docs.select(col("source"), explode(Sketch.docShingles()).as("sh"))
+    val regs = Sketch.hllRegisters(vals, "source", "sh").localCheckpoint(true)
+    val est = Sketch.hllEstimate(
+      regs.union(Sketch.hllMerge(regs, "source", "__union")), "source")
+    val exact = vals.groupBy("source").agg(countDistinct(col("sh")).as("exact_distinct"))
+      .union(vals.agg(countDistinct(col("sh")).as("exact_distinct"))
+        .select(lit("__union").as("source"), col("exact_distinct")))
+    est.join(exact, "source")
+      .select(col("source"), col("occupied"), col("est_distinct"),
+        col("exact_distinct"),
+        floor(abs(col("est_distinct") - col("exact_distinct")) /
+          col("exact_distinct") * 10000).cast("long").as("err_bp"))
+  }
+
+  /** Streaming windowed distinct-user sketch (EV15): per-micro-batch
+    * HLL registers appended to a log (merge-on-read, ev13's shape),
+    * resolved by elementwise max at read — batch-boundary invariant
+    * because register max is associative, so the oracle is the plain
+    * batch register pipeline per hour window. Exact counts alongside.
+    */
+  def ev15_stream_hll_users(spark: SparkSession, dir: String): DataFrame =
+    withStagedTable(dir, "events.parquet", "ev15_stream") { staged =>
+      val tmp = java.nio.file.Files.createTempDirectory("ev15_log").toString
+      graft.streaming.StreamingOps.hllWindowStream(
+        graft.streaming.StreamingOps.readEvents(spark, staged), s"$tmp/log")
+      val est = graft.streaming.StreamingOps.hllWindowResolve(spark, s"$tmp/log")
+      val exact = t(spark, dir, "events")
+        .select((expr("ts div 3600000000000") * 3600).as("window_start"), col("user_id"))
+        .groupBy("window_start").agg(countDistinct(col("user_id")).as("exact_users"))
+      est.join(exact, "window_start")
+        .select(col("window_start"), col("occupied"),
+          col("est_distinct").as("est_users"), col("exact_users"),
+          floor(abs(col("est_distinct") - col("exact_users")) /
+            col("exact_users") * 10000).cast("long").as("err_bp"))
+    }
+
   /** Composed cleaning pipeline: exact dedup -> contamination cut ->
     * quality gate -> language gate, one declarative plan.
     */
@@ -1826,6 +1871,22 @@ object Queries {
     Multimodal.mp4FrameTable(
       t(spark, dir, "documents").select(col("doc_id"))
         .withColumn("payload", mk(col("doc_id").cast("long"))))
+  }
+
+  /** Video near-dup via sampled-frame fingerprints (M10): the m4/m8
+    * planted-duplicate scheme on the video surface — docs sharing
+    * `doc_id % 97` carry byte-identical MP4s, so exact classes collapse
+    * to one representative before the frame-fp inverted-index join;
+    * cross-class pairs arise where the synthetic frame generator's
+    * modular structure makes distinct videos genuinely share >= 2
+    * frames. Real container parse (m7's stsz/stco walk) feeds it.
+    */
+  def m10_video_neardup(spark: SparkSession, dir: String): DataFrame = {
+    val mk = udf((id: Long) => Multimodal.synthMp4(id))
+    Multimodal.videoNearDupCollapsed(
+      Multimodal.mp4FrameTable(
+        t(spark, dir, "documents").select(col("doc_id"))
+          .withColumn("payload", mk(pmod(col("doc_id"), lit(97L))))))
   }
 
   /** Real image decode end-to-end (M3): synthesize a deterministic PNG

@@ -462,6 +462,44 @@ object StreamingOps {
     q.stop()
   }
 
+  /** Streaming windowed cardinality sketch (EV15): per micro-batch,
+    * build the HLL register table of (hour window -> distinct users)
+    * over just that batch and APPEND it to a register log — the ev13
+    * merge-on-read shape applied to sketches, which is how production
+    * keeps "distinct users per hour" over an unbounded stream without
+    * per-user state: register max is associative and commutative, so
+    * appended per-batch registers resolve at read time to EXACTLY the
+    * batch-computed sketch whatever the batch boundaries (spec-gated),
+    * and the log compacts with the same groupBy-max that resolves it.
+    * State per window is <= 256 longs regardless of user cardinality —
+    * compare dropDuplicates-based exact counting whose state grows with
+    * distinct users.
+    */
+  def hllWindowStream(events: DataFrame, logDir: String): Unit = {
+    val q = events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Sketch.hllRegisters(
+          batch.toDF.select(
+            (expr("ts div 3600000000000") * 3600).as("window_start"),
+            col("user_id").cast("string").as("u")),
+          "window_start", "u")
+          .write.mode("append").parquet(logDir)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Read-time resolve of [[hllWindowStream]]'s register log: fold the
+    * per-batch registers with elementwise max, then estimate.
+    */
+  def hllWindowResolve(spark: SparkSession, logDir: String): DataFrame =
+    graft.operators.Sketch.hllEstimate(
+      spark.read.parquet(logDir)
+        .groupBy("window_start", "__idx").agg(max("m_j").as("m_j")),
+      "window_start")
+
   /** Ingest-time quality gate + language tag (stateless): the c1
     * pipeline's per-document gates — token count, mean token length,
     * stopword ratio, heuristic lang-id — applied AT THE DOOR, before a

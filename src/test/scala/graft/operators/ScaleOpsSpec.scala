@@ -874,6 +874,39 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("video near-dup (m10): exact classes collapse; cross pairs count shared frames") {
+    import spark.implicits._
+    def framesOf(pairs: Seq[(Long, Long)]) = { // (doc_id, content key)
+      val mk = udf((id: Long) => Multimodal.synthMp4(id))
+      Multimodal.mp4FrameTable(
+        pairs.toDF("doc_id", "vid").withColumn("payload", mk(col("vid"))))
+    }
+    // 3 byte-identical copies of video 10, 2 of video 5, lone video 23
+    val rows = Multimodal.videoNearDupCollapsed(
+      framesOf(Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 5L), (5L, 5L), (6L, 23L))))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val exactRows = rows.filter(r => r._1 == r._2)
+    assert(exactRows.exists(r => r._1 == 1L && r._4 == 3L),
+      s"3-copy class: rep 1, weight 3 pairs: $rows")
+    assert(exactRows.exists(r => r._1 == 4L && r._4 == 1L),
+      s"2-copy class: rep 4, weight 1 pair: $rows")
+    assert(!rows.exists(r => r._1 == 6L && r._2 == 6L), "singleton emits no self row")
+    // a video always shares ALL its frames with itself: exact rows carry
+    // the full distinct-frame count
+    val nf10 = framesOf(Seq((1L, 10L))).select(countDistinct("frame_fp")).head().getLong(0)
+    assert(exactRows.find(_._1 == 1L).get._3 === nf10)
+    // duplication depth changes weights, not relationship rows
+    val deep = Multimodal.videoNearDupCollapsed(
+      framesOf((1L to 30L).map(i => (i, 10L)) ++ Seq((31L, 5L), (32L, 5L), (33L, 23L))))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(deep.exists(r => r._1 == 1L && r._2 == 1L && r._4 == 30L * 29 / 2))
+    assert(deep.size === rows.size,
+      s"row count flat under 10x duplication: ${deep.size} vs ${rows.size}")
+    val plan = Multimodal.videoNearDupCollapsed(framesOf(Seq((1L, 10L), (2L, 5L))))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("quality classifier (t15): integer-exact hashed-ngram sum, closed-form score") {
     import spark.implicits._
     val docs = Seq(

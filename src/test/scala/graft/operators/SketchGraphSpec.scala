@@ -49,6 +49,19 @@ class SketchGraphSpec extends SparkSpec {
       s"expected map-side combine in:\n$plan")
   }
 
+  test("HLL merge across groups equals the sketch of the union, exactly") {
+    val a = spark.range(5000).select(lit("a").as("grp"), concat(lit("v"), col("id")).as("v"))
+    val b = spark.range(3000, 9000).select(lit("b").as("grp"), concat(lit("v"), col("id")).as("v"))
+    val both = a.union(b)
+    val merged = Sketch.hllMerge(Sketch.hllRegisters(both, "grp", "v"), "grp", "u")
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    val direct = Sketch.hllRegisters(
+      both.select(lit("u").as("grp"), col("v")), "grp", "v")
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    assert(merged === direct,
+      "per-group registers max-merged must BE the union's registers")
+  }
+
   // ---- PageRank --------------------------------------------------------
 
   test("pageRank: star hub outranks leaves, path center outranks ends") {

@@ -177,6 +177,30 @@ class MultiBatchStreamingSpec extends SparkSpec {
       "the gate must actually drop some documents on the fixture")
   }
 
+  test("windowed HLL register log resolves to the batch sketch across >= 3 batches") {
+    val events = StreamingOps.readEventsBatch(spark, s"${sf("0.001")}/events.parquet")
+    val dir = stageSplitParquet(events, parts = 3, sortCol = "ts")
+    val tmp = java.nio.file.Files.createTempDirectory("hll_log").toString
+    StreamingOps.hllWindowStream(
+      StreamingOps.readEvents(spark, s"$dir/*.parquet", maxFilesPerTrigger = Some(1)),
+      s"$tmp/log")
+    // >= 3 data micro-batches actually wrote register segments
+    val segs = new java.io.File(s"$tmp/log").listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(segs >= 3, s"expected >= 3 register segments, got $segs")
+    val resolved = StreamingOps.hllWindowResolve(spark, s"$tmp/log")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.Sketch.hllEstimate(
+      graft.operators.Sketch.hllRegisters(
+        events.select((expr("ts div 3600000000000") * 3600).as("window_start"),
+          col("user_id").cast("string").as("u")),
+        "window_start", "u"),
+      "window_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(resolved === batch,
+      "register max is associative: merge-on-read must equal the batch sketch")
+  }
+
   test("ANN serving: multi-batch streamed top-k equals the one-shot batch rule") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
