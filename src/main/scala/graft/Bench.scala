@@ -90,6 +90,7 @@ object Bench {
     "t18_hll_merge",
     "ev15_stream_hll_users",
     "m10_video_neardup",
+    "t19_bigram_ppl",
     "m3_image_decode",
     "m4_image_dhash",
     "m5_audio_decode",

@@ -277,6 +277,48 @@ object TextAnalysis {
           4).as("bits_per_token"))
   }
 
+  /** Interpolated bigram LM perplexity (T19) — the next modeling step
+    * up from [[unigramLogPpl]], the CCNet/KenLM filtering shape with
+    * context: p(w|prev) = 0.75·p_bigram + 0.25·p_unigram (Jelinek-
+    * Mercer interpolation), document-initial tokens score under the
+    * unigram alone. Self-scoring the corpus means every observed bigram
+    * has a count, so the bigram leg is an equi-join, not a backoff
+    * search.
+    *
+    * Scale: the corpus pays the pair explosion (narrow) and the final
+    * doc-keyed agg; every count table is a (sub)vocabulary — unigrams
+    * (Heaps-sublinear), observed bigram types, and contexts — so the
+    * three count joins build on vocabulary-sized sides, with the 1-row
+    * total explicitly broadcast. The pair kernel is a UDF on purpose
+    * (the documented explode-over-inline-array pathology).
+    */
+  def bigramLogPpl(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val mkPairs = udf((ts: Seq[String]) =>
+      if (ts == null) Seq.empty[(String, String)]
+      else ts.zipWithIndex.map { case (w, i) => (if (i > 0) ts(i - 1) else null, w) })
+    val pairs = df.select(col(idCol).as("doc_id"),
+        explode(mkPairs(split(col(textCol), " "))).as("p"))
+      .select(col("doc_id"), col("p._1").as("prev"), col("p._2").as("w"))
+    val uni = pairs.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).cast("double").as("t"))
+    val bi = pairs.where(col("prev").isNotNull)
+      .groupBy("prev", "w").agg(count(lit(1)).as("cb"))
+    val ctx = bi.groupBy("prev").agg(sum(col("cb")).as("cc"))
+    val pUni = col("c").cast("double") / col("t")
+    val p = when(col("prev").isNull, pUni)
+      .otherwise(lit(0.75) * (col("cb").cast("double") / col("cc").cast("double")) +
+        lit(0.25) * pUni)
+    pairs.join(uni, "w")
+      .join(bi, Seq("prev", "w"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(sum(-log(p) / log(lit(2.0))) / count(lit(1)), 4).as("bits_per_token"))
+  }
+
   /** First-iteration BPE statistics: corpus-wide counts of adjacent
     * character pairs within words, weighted by word frequency — the
     * argmax is the first merge a BPE vocabulary build would apply

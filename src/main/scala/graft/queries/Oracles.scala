@@ -1317,6 +1317,31 @@ object Oracles {
         |FROM tok JOIN cnt USING (w), tot
         |GROUP BY doc_id""".stripMargin,
 
+    // interpolated bigram LM: parallel unnests zip positionally, so the
+    // (prev, w) pair stream is the same the Spark UDF kernel emits;
+    // every observed bigram self-scores, so the bigram legs left-join
+    // but only doc-initial rows fall to the unigram branch
+    "t19_bigram_ppl" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |pr AS (SELECT doc_id,
+        |    unnest([CASE WHEN i > 1 THEN ts[i-1] END FOR i IN range(1, len(ts) + 1)]) AS prev,
+        |    unnest([ts[i] FOR i IN range(1, len(ts) + 1)]) AS w
+        |  FROM tok),
+        |uni AS (SELECT w, count(*) AS c FROM pr GROUP BY w),
+        |tot AS (SELECT sum(c)::DOUBLE AS t FROM uni),
+        |bi AS (SELECT prev, w, count(*) AS cb FROM pr
+        |  WHERE prev IS NOT NULL GROUP BY prev, w),
+        |ctx AS (SELECT prev, sum(cb) AS cc FROM bi GROUP BY prev)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  round(sum(-ln(CASE WHEN pr.prev IS NULL THEN uni.c::DOUBLE / t
+        |      ELSE 0.75 * (bi.cb::DOUBLE / ctx.cc::DOUBLE)
+        |        + 0.25 * (uni.c::DOUBLE / t) END) / ln(2.0)) / count(*), 4)
+        |    AS bits_per_token
+        |FROM pr JOIN uni USING (w)
+        |LEFT JOIN bi ON pr.prev = bi.prev AND pr.w = bi.w
+        |LEFT JOIN ctx ON pr.prev = ctx.prev, tot
+        |GROUP BY doc_id""".stripMargin,
+
     // the closed form IS the single-window query the operator avoids:
     // total order (md5 ticket, doc_id), 0-based
     "c7_training_order" ->

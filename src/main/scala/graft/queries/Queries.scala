@@ -1428,6 +1428,13 @@ object Queries {
   def t12_lm_perplexity(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLogPpl(t(spark, dir, "documents"), "doc_id", "text")
 
+  /** Interpolated bigram LM perplexity (T19): t12 with context — the
+    * Jelinek-Mercer 0.75/0.25 mix of bigram and unigram probabilities,
+    * document-initial tokens under the unigram alone.
+    */
+  def t19_bigram_ppl(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogPpl(t(spark, dir, "documents"), "doc_id", "text")
+
   /** Streaming ingest dedup: the same split as d10, run through
     * Structured Streaming — history is the static anti-join side,
     * within-stream repeats drop via watermark-bounded fingerprint

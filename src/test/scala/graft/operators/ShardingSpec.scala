@@ -79,6 +79,46 @@ class ShardingSpec extends SparkSpec {
     assert(math.abs(s(1L) - 1.0) < 1e-9)
   }
 
+  test("bigram LM: context drops bits below unigram; closed form on a planted doc") {
+    import spark.implicits._
+    // doc 1's bigrams are fully deterministic (a b a b ...): with context
+    // it must score FAR below its unigram bits; doc 2 breaks the pattern
+    val d = Seq(
+      (1L, "a b a b a b a b a b a b"),
+      (2L, "a a b b a b b a a b a b")
+    ).toDF("doc_id", "text")
+    val bi = TextAnalysis.bigramLogPpl(d, "doc_id", "text")
+      .select("doc_id", "bits_per_token").as[(Long, Double)].collect().toMap
+    val un = TextAnalysis.unigramLogPpl(d, "doc_id", "text")
+      .select("doc_id", "bits_per_token").as[(Long, Double)].collect().toMap
+    assert(bi(1L) < un(1L), s"context must help the periodic doc: $bi vs $un")
+    assert(bi(1L) < bi(2L), "the pattern-breaking doc scores more bits")
+    // closed form for doc 1: 11 interior tokens, each with
+    // p = 0.75 * cb/cc + 0.25 * 12/24; cb/cc: after 'a' (cc=11 contexts,
+    // a->b 6+4=10... compute directly from corpus pair counts instead:
+    val pairs = d.as[(Long, String)].collect().flatMap { case (_, t) =>
+      val ts = t.split(" ")
+      ts.zipWithIndex.map { case (w, i) => (if (i > 0) ts(i - 1) else null, w) }
+    }
+    val uni = pairs.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val tot = uni.values.sum.toDouble
+    val biC = pairs.filter(_._1 != null).groupBy(identity).map { case (k, v) => k -> v.size }
+    val ctx = pairs.filter(_._1 != null).groupBy(_._1).map { case (k, v) => k -> v.size }
+    def bits(text: String): Double = {
+      val ts = text.split(" ")
+      val terms = ts.zipWithIndex.map { case (w, i) =>
+        val pu = uni(w) / tot
+        val p = if (i == 0) pu
+        else 0.75 * (biC((ts(i - 1), w)).toDouble / ctx(ts(i - 1))) + 0.25 * pu
+        -math.log(p) / math.log(2.0)
+      }
+      BigDecimal(terms.sum / ts.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(math.abs(bi(1L) - bits("a b a b a b a b a b a b")) < 2e-4)
+    assert(math.abs(bi(2L) - bits("a a b b a b b a a b a b")) < 2e-4)
+  }
+
   test("quality rule mask packs exactly the failing rule bits") {
     import spark.implicits._
     val d = Seq(
