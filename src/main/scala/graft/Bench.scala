@@ -91,6 +91,7 @@ object Bench {
     "ev15_stream_hll_users",
     "m10_video_neardup",
     "t19_bigram_ppl",
+    "ev16_user_funnel",
     "m3_image_decode",
     "m4_image_dhash",
     "m5_audio_decode",

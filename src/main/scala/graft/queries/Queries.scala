@@ -1435,6 +1435,15 @@ object Queries {
   def t19_bigram_ppl(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramLogPpl(t(spark, dir, "documents"), "doc_id", "text")
 
+  /** Ordered-sequence funnel report (EV16): view -> click -> purchase
+    * conversion over the events table — strict-subsequence matching via
+    * chained per-step (filter, groupBy user, min(struct)) aggregations,
+    * no global-order window, conversion in integer basis points.
+    */
+  def ev16_user_funnel(spark: SparkSession, dir: String): DataFrame =
+    Funnel.funnelReport(t(spark, dir, "events"), "user_id", "event_type",
+      "ts", "event_id", Seq("view", "click", "purchase"))
+
   /** Streaming ingest dedup: the same split as d10, run through
     * Structured Streaming — history is the static anti-join side,
     * within-stream repeats drop via watermark-bounded fingerprint
