@@ -92,6 +92,7 @@ object Bench {
     "m10_video_neardup",
     "t19_bigram_ppl",
     "ev16_user_funnel",
+    "t20_cms_heavy_hitters",
     "m3_image_decode",
     "m4_image_dhash",
     "m5_audio_decode",

@@ -98,6 +98,72 @@ object Sketch {
     registers.groupBy(col("__idx")).agg(max(col("m_j")).as("m_j"))
       .select(lit(label).as(groupCol), col("__idx"), col("m_j"))
 
+  // ---- Count-Min sketch ----------------------------------------------
+
+  /** Count-Min depth (independent hash rows). */
+  val CmsD = 4
+  /** Count-Min width (counters per row). 4x512 = 2048 counters total —
+    * the frequency twin of the HLL register table: per-corpus state is
+    * a fixed 2048-long matrix however large the input, built
+    * partial+final, and point estimates only ever overestimate (min
+    * over rows caps the collision noise).
+    */
+  val CmsW = 512
+
+  /** Row-r hash index for a value: the shared md5-60-bit hash of
+    * "r value" mod the width — deterministic and replayable in the
+    * DuckDB oracle, no seeded RNG to ship across engines.
+    */
+  private def cmsIdx(r: Column, v: Column): Column =
+    h60(concat(r.cast("string"), lit(" "), v)) % CmsW
+
+  /** The d x w counter matrix from a weighted value stream: one row per
+    * (row, idx) with the collided weight sum. The input here is already
+    * (value, weight) — a raw stream aggregates to that first, so the
+    * sketch build costs one fan-out of d rows per DISTINCT value and a
+    * <= d*w-row shuffle (partial+final sum collapses each partition to
+    * <= 2048 rows before the exchange).
+    */
+  def cmsCounters(weighted: DataFrame, valueCol: String, weightCol: String): DataFrame =
+    weighted.select(col(valueCol).as("__v"), col(weightCol).as("__c"),
+        explode(sequence(lit(0), lit(CmsD - 1))).as("r"))
+      .select(col("r"), cmsIdx(col("r"), col("__v")).as("idx"), col("__c"))
+      .groupBy("r", "idx").agg(sum(col("__c")).as("c"))
+
+  /** Point estimates for a set of values: each value probes its d
+    * counters (the counter matrix rides a broadcast — it is at most
+    * 2048 rows by construction) and takes the min. Carries every other
+    * column of `values` through the groupBy so callers keep their
+    * exact-count column for error reporting.
+    */
+  def cmsEstimate(values: DataFrame, valueCol: String, counters: DataFrame): DataFrame = {
+    val carry = values.columns.map(col)
+    values.select(carry :+ explode(sequence(lit(0), lit(CmsD - 1))).as("r"): _*)
+      .withColumn("idx", cmsIdx(col("r"), col(valueCol)))
+      .join(broadcast(counters), Seq("r", "idx"))
+      .groupBy(values.columns.head, values.columns.tail: _*)
+      .agg(min(col("c")).as("est_cnt"))
+  }
+
+  /** Heavy hitters: top-k whitespace tokens of a text corpus by
+    * Count-Min estimate, with the exact count and overestimate error in
+    * basis points alongside — the e6-style accuracy artifact for the
+    * frequency sketch. The exact side exists only to measure the
+    * sketch; the sketch side's state is 2048 longs however large the
+    * corpus, and top-k selection is a TakeOrderedAndProject on the
+    * total (est desc, token) order, not a global sort.
+    */
+  def cmsHeavyHitters(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val exact = df.select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+    val counters = cmsCounters(exact, "token", "exact_cnt")
+    cmsEstimate(exact, "token", counters)
+      .orderBy(col("est_cnt").desc, col("token"))
+      .limit(k)
+      .select(col("token"), col("est_cnt"), col("exact_cnt"),
+        expr("(est_cnt - exact_cnt) * 10000 div exact_cnt").as("err_bp"))
+  }
+
   /** Distinct 3-token shingles per document (d3's shingle definition),
     * exploded — the value stream both the sketch and the exact side
     * consume.

@@ -1729,6 +1729,7 @@ object Oracles {
     "d16_dupgraph_rank" -> d16Sql,
     "t17_hll_distinct" -> t17Sql,
     "t18_hll_merge" -> t18Sql,
+    "t20_cms_heavy_hitters" -> t20Sql,
     "ev15_stream_hll_users" -> ev15Sql,
     "m10_video_neardup" -> m10Sql,
     "e2_ann_topk" -> e2Sql,
@@ -1778,6 +1779,27 @@ object Oracles {
     */
   private def h60(expr: String): String =
     s"('0x' || substring(md5($expr), 1, 15))::BIGINT"
+
+  /** Oracle for t20: the Count-Min pipeline replayed in SQL — exact
+    * token counts fan out to the same d=4 row hashes (md5-60 of
+    * "r token" mod 512), counters collide by integer sum, estimates
+    * take the row-min, top-20 by the total (est desc, token) order.
+    * All-integer arithmetic, so both engines agree bit-for-bit.
+    */
+  private def t20Sql: String = {
+    val (d, w) = (graft.operators.Sketch.CmsD, graft.operators.Sketch.CmsW)
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |ex AS (SELECT token, count(*)::BIGINT AS exact_cnt FROM tok GROUP BY token),
+       |fan AS (SELECT token, exact_cnt, r, ${h60("r::VARCHAR || ' ' || token")} % $w AS idx
+       |  FROM ex, range($d) t(r)),
+       |cnt AS (SELECT r, idx, sum(exact_cnt)::BIGINT AS c FROM fan GROUP BY r, idx),
+       |est AS (SELECT f.token, f.exact_cnt, min(c.c) AS est_cnt
+       |  FROM fan f JOIN cnt c ON f.r = c.r AND f.idx = c.idx
+       |  GROUP BY f.token, f.exact_cnt)
+       |SELECT token, est_cnt, exact_cnt,
+       |  ((est_cnt - exact_cnt) * 10000 // exact_cnt)::BIGINT AS err_bp
+       |FROM est ORDER BY est_cnt DESC, token LIMIT 20""".stripMargin
+  }
 
   /** Generated oracle for d3 (k=64, bands=32, rows/band=2, minAgree 0.5,
     * n=3): the minhash coefficient family comes from the SAME seeded

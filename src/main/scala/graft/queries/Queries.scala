@@ -1435,6 +1435,14 @@ object Queries {
   def t19_bigram_ppl(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramLogPpl(t(spark, dir, "documents"), "doc_id", "text")
 
+  /** Count-Min heavy hitters (T20): top-20 corpus tokens by sketch
+    * estimate with exact counts and overestimate error alongside — the
+    * frequency-sketch twin of t17's cardinality artifact. Sketch state
+    * is a fixed 4x512 counter matrix however large the corpus.
+    */
+  def t20_cms_heavy_hitters(spark: SparkSession, dir: String): DataFrame =
+    Sketch.cmsHeavyHitters(t(spark, dir, "documents"), "text", 20)
+
   /** Ordered-sequence funnel report (EV16): view -> click -> purchase
     * conversion over the events table — strict-subsequence matching via
     * chained per-step (filter, groupBy user, min(struct)) aggregations,

@@ -62,6 +62,51 @@ class SketchGraphSpec extends SparkSpec {
       "per-group registers max-merged must BE the union's registers")
   }
 
+  // ---- Count-Min -------------------------------------------------------
+
+  test("CMS estimates never underestimate and hit exactly on light load") {
+    // 2000 distinct tokens with zipf-ish weights — under 4x512 counters
+    // collisions exist but the min-over-rows estimate stays >= exact
+    val weighted = spark.range(2000)
+      .select(concat(lit("tok"), col("id")).as("v"),
+        (lit(2000) - col("id")).as("w"))
+    val counters = Sketch.cmsCounters(weighted, "v", "w")
+    val est = Sketch.cmsEstimate(weighted, "v", counters)
+      .select(col("v"), col("w"), col("est_cnt"))
+      .as[(String, Long, Long)].collect()
+    assert(est.length === 2000)
+    assert(est.forall { case (_, w, e) => e >= w },
+      "Count-Min must only ever overestimate")
+    // a 10-value stream under 2048 counters is collision-free: exact
+    val tiny = spark.range(10)
+      .select(concat(lit("t"), col("id")).as("v"), (col("id") + 1).as("w"))
+    val tinyEst = Sketch.cmsEstimate(tiny, "v", Sketch.cmsCounters(tiny, "v", "w"))
+      .select(col("w"), col("est_cnt")).as[(Long, Long)].collect()
+    assert(tinyEst.forall { case (w, e) => e === w })
+  }
+
+  test("CMS counter matrix is bounded by d*w and mass-preserving per row") {
+    val weighted = spark.range(50000)
+      .select(concat(lit("v"), col("id")).as("v"), lit(1L).as("w"))
+    val counters = Sketch.cmsCounters(weighted, "v", "w").cache()
+    assert(counters.count() <= Sketch.CmsD.toLong * Sketch.CmsW)
+    // every row of the sketch holds the full stream mass
+    val perRow = counters.groupBy("r").agg(sum("c").as("s"))
+      .select("s").as[Long].collect()
+    assert(perRow.length === Sketch.CmsD && perRow.forall(_ === 50000L))
+    counters.unpersist()
+  }
+
+  test("CMS heavy hitters ranks the true top token first on a skewed corpus") {
+    val docs = spark.range(100).select(col("id").as("doc_id"),
+      concat(lit("the quick fox jumps over dog" + " the" * 3),
+        lit(" w"), col("id")).as("text"))
+    val top = Sketch.cmsHeavyHitters(docs, "text", 5).collect()
+    assert(top.head.getString(0) === "the")
+    assert(top.head.getLong(1) >= 400L) // est >= exact = 4*100
+    assert(top.forall(r => r.getLong(3) >= 0L), "err_bp is an overestimate gap")
+  }
+
   // ---- PageRank --------------------------------------------------------
 
   test("pageRank: star hub outranks leaves, path center outranks ends") {
