@@ -93,6 +93,7 @@ object Bench {
     "t19_bigram_ppl",
     "ev16_user_funnel",
     "t20_cms_heavy_hitters",
+    "ev17_retention_cohorts",
     "m3_image_decode",
     "m4_image_dhash",
     "m5_audio_decode",

@@ -1443,6 +1443,14 @@ object Queries {
   def t20_cms_heavy_hitters(spark: SparkSession, dir: String): DataFrame =
     Sketch.cmsHeavyHitters(t(spark, dir, "documents"), "text", 20)
 
+  /** Cohort retention triangle (EV17): users cohorted by first-seen
+    * week, distinct returners per (cohort, week offset), retention in
+    * integer basis points vs the cohort size. The (cohort, offset)
+    * result cardinality is bounded by periods^2, not users or events.
+    */
+  def ev17_retention_cohorts(spark: SparkSession, dir: String): DataFrame =
+    Retention.cohortRetention(t(spark, dir, "events"), "user_id", "ts")
+
   /** Ordered-sequence funnel report (EV16): view -> click -> purchase
     * conversion over the events table — strict-subsequence matching via
     * chained per-step (filter, groupBy user, min(struct)) aggregations,
