@@ -94,6 +94,7 @@ object Bench {
     "ev16_user_funnel",
     "t20_cms_heavy_hitters",
     "ev17_retention_cohorts",
+    "ev18_stream_funnel",
     "m3_image_decode",
     "m4_image_dhash",
     "m5_audio_decode",

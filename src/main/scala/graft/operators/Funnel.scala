@@ -61,10 +61,22 @@ object Funnel {
       typeCol: String,
       orderCol: String,
       tiebreakCol: String,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String]): DataFrame =
+    reportFromSteps(
+      funnelSteps(events, userCol, typeCol, orderCol, tiebreakCol, steps),
+      events, userCol)
+
+  /** The report arithmetic alone, from an already-matched step table
+    * (one row per user per reached step) — shared by the batch matcher
+    * above and the streaming matcher's emitted step-reach log.
+    */
+  def reportFromSteps(
+      stepRows: DataFrame,
+      events: DataFrame,
+      userCol: String): DataFrame = {
     // 1-row distinct-user base rides a broadcast, not a driver count
     val base = events.agg(countDistinct(col(userCol)).as("__base"))
-    val counts = funnelSteps(events, userCol, typeCol, orderCol, tiebreakCol, steps)
+    val counts = stepRows
       .groupBy("step", "step_name").agg(count(lit(1)).as("n_users"))
     // prev-step counts via a self-join on step-1 (step 1 joins the base)
     val prev = counts.select((col("step") + 1).as("step"), col("n_users").as("__p"))

@@ -1337,33 +1337,9 @@ object Oracles {
     // strictly after the matched previous step (tuple comparison); a
     // step nobody reaches emits no row (matching the Spark side's
     // empty groupBy)
-    "ev16_user_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events),
-        |s1 AS (SELECT user_id, ts, event_id FROM (
-        |    SELECT user_id, ts, event_id,
-        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        |    FROM e WHERE event_type = 'view') WHERE rn = 1),
-        |s2 AS (SELECT user_id, ts, event_id FROM (
-        |    SELECT e.user_id, e.ts, e.event_id,
-        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
-        |    FROM e JOIN s1 ON e.user_id = s1.user_id
-        |    WHERE e.event_type = 'click' AND (e.ts, e.event_id) > (s1.ts, s1.event_id))
-        |  WHERE rn = 1),
-        |s3 AS (SELECT user_id, ts, event_id FROM (
-        |    SELECT e.user_id, e.ts, e.event_id,
-        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
-        |    FROM e JOIN s2 ON e.user_id = s2.user_id
-        |    WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (s2.ts, s2.event_id))
-        |  WHERE rn = 1),
-        |counts AS (SELECT 1 AS step, 'view' AS step_name, count(*) AS n FROM s1
-        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
-        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3),
-        |base AS (SELECT count(DISTINCT user_id) AS b FROM e),
-        |prev AS (SELECT step + 1 AS step, n AS p FROM counts)
-        |SELECT c.step::BIGINT AS step, c.step_name, c.n::BIGINT AS n_users,
-        |  ((c.n * 10000) // coalesce(p.p, b))::BIGINT AS conv_bp
-        |FROM counts c LEFT JOIN prev p ON c.step = p.step, base
-        |WHERE c.n > 0""".stripMargin,
+    "ev16_user_funnel" -> funnelSql,
+    // the streaming matcher must land on the identical report
+    "ev18_stream_funnel" -> funnelSql,
 
     // interpolated bigram LM: parallel unnests zip positionally, so the
     // (prev, w) pair stream is the same the Spark UDF kernel emits;
@@ -1795,6 +1771,40 @@ object Oracles {
     */
   private def h60(expr: String): String =
     s"('0x' || substring(md5($expr), 1, 15))::BIGINT"
+
+  /** Shared oracle for ev16 (batch funnel) and ev18 (streaming funnel):
+    * strict-subsequence matching — per step, the earliest (ts, event_id)
+    * strictly after the matched previous step (tuple comparison); a step
+    * nobody reaches emits no row (matching the Spark side's empty
+    * groupBy).
+    */
+  private def funnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events),
+      |s1 AS (SELECT user_id, ts, event_id FROM (
+      |    SELECT user_id, ts, event_id,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |    FROM e WHERE event_type = 'view') WHERE rn = 1),
+      |s2 AS (SELECT user_id, ts, event_id FROM (
+      |    SELECT e.user_id, e.ts, e.event_id,
+      |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+      |    FROM e JOIN s1 ON e.user_id = s1.user_id
+      |    WHERE e.event_type = 'click' AND (e.ts, e.event_id) > (s1.ts, s1.event_id))
+      |  WHERE rn = 1),
+      |s3 AS (SELECT user_id, ts, event_id FROM (
+      |    SELECT e.user_id, e.ts, e.event_id,
+      |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+      |    FROM e JOIN s2 ON e.user_id = s2.user_id
+      |    WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (s2.ts, s2.event_id))
+      |  WHERE rn = 1),
+      |counts AS (SELECT 1 AS step, 'view' AS step_name, count(*) AS n FROM s1
+      |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+      |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3),
+      |base AS (SELECT count(DISTINCT user_id) AS b FROM e),
+      |prev AS (SELECT step + 1 AS step, n AS p FROM counts)
+      |SELECT c.step::BIGINT AS step, c.step_name, c.n::BIGINT AS n_users,
+      |  ((c.n * 10000) // coalesce(p.p, b))::BIGINT AS conv_bp
+      |FROM counts c LEFT JOIN prev p ON c.step = p.step, base
+      |WHERE c.n > 0""".stripMargin
 
   /** Oracle for t20: the Count-Min pipeline replayed in SQL — exact
     * token counts fan out to the same d=4 row hashes (md5-60 of

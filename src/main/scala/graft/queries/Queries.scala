@@ -1460,6 +1460,27 @@ object Queries {
     Funnel.funnelReport(t(spark, dir, "events"), "user_id", "event_type",
       "ts", "event_id", Seq("view", "click", "purchase"))
 
+  /** Streaming funnel (EV18): the same view -> click -> purchase report
+    * as ev16, computed incrementally — per-user fixed-size cursor state,
+    * each (user, step) reach appended exactly once, report aggregated
+    * from the append log. Same oracle as ev16: the streaming matcher
+    * must land on the identical report.
+    */
+  def ev18_stream_funnel(spark: SparkSession, dir: String): DataFrame =
+    withStagedEvents(dir, "ev18_stream") { staged =>
+      val reaches = graft.streaming.StreamingOps.funnelStream(
+        graft.streaming.StreamingOps.readEvents(spark, staged),
+        Seq("view", "click", "purchase"))
+      val name = "ev18_" + java.lang.Long.toHexString(System.nanoTime())
+      val q = reaches.toDF().writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      // base denominator from the original table path — the staged dir
+      // is gone once this block returns, the memory sink is not
+      Funnel.reportFromSteps(spark.table(name), t(spark, dir, "events"), "user_id")
+    }
+
   /** Streaming ingest dedup: the same split as d10, run through
     * Structured Streaming — history is the static anti-join side,
     * within-stream repeats drop via watermark-bounded fingerprint

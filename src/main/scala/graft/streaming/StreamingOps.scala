@@ -171,6 +171,55 @@ object StreamingOps {
       }
   }
 
+  case class FunnelEvent(user_id: Long, ts: Long, event_id: Long, event_type: String)
+  /** Per-user funnel cursor: highest step reached (0 = none) and the
+    * (ts, event_id) of the event that matched it.
+    */
+  case class FunnelCursor(step: Int, ts: Long, event_id: Long)
+  case class StepReach(user_id: Long, step: Long, step_name: String)
+
+  /** Streaming strict-subsequence funnel (the incremental twin of
+    * [[graft.operators.Funnel.funnelSteps]]): per-user state is ONE
+    * fixed-size cursor however long the history — not an event buffer —
+    * and each (user, step) reach is emitted exactly once, so the
+    * downstream report is a plain aggregation of the append log.
+    *
+    * Greedy advancement equals the batch min-match PROVIDED events
+    * arrive in (ts, event_id) order across micro-batches (within a
+    * batch the group sorts itself): when processing order is event
+    * order, the first qualifying next-step event IS the earliest one.
+    * Out-of-order arrival degrades gracefully — a late-arriving earlier
+    * event cannot retract an already-emitted reach (funnel reaches are
+    * monotone), it can only have missed producing an earlier match.
+    */
+  def funnelStream(
+      events: DataFrame,
+      steps: Seq[String]): Dataset[StepReach] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelCursor, StepReach](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelCursor]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts, e.event_id))
+          var cur = state.getOption
+            .getOrElse(FunnelCursor(0, Long.MinValue, Long.MinValue))
+          val out = Seq.newBuilder[StepReach]
+          sorted.foreach { e =>
+            if (cur.step < steps.length && e.event_type == steps(cur.step) &&
+                (e.ts > cur.ts || (e.ts == cur.ts && e.event_id > cur.event_id))) {
+              cur = FunnelCursor(cur.step + 1, e.ts, e.event_id)
+              out += StepReach(uid, cur.step.toLong, steps(cur.step - 1))
+            }
+          }
+          state.update(cur)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup for a continuously-arriving corpus: state is
     * keyed on the content fingerprint, bounded by the watermark
     * (dropDuplicatesWithinWatermark — duplicates separated by more than

@@ -201,6 +201,47 @@ class MultiBatchStreamingSpec extends SparkSpec {
       "register max is associative: merge-on-read must equal the batch sketch")
   }
 
+  test("streaming funnel cursor survives batches: reaches equal the batch matcher") {
+    import spark.implicits._
+    // hand-built funnel corpus: steps deliberately split so every user's
+    // later steps arrive in LATER micro-batches than their view
+    // event_ids assigned in global (ts, event_id) order so splitting on
+    // event_id IS the in-order arrival the streaming matcher contracts
+    val rows = Seq(
+      // user 1 full funnel across three batches
+      (1L, 100L, 1L, "view", 0.0, "{}"), (1L, 200L, 6L, "click", 0.0, "{}"),
+      (1L, 300L, 8L, "purchase", 0.0, "{}"),
+      // user 2: purchase timestamped BEFORE its click never converts
+      (2L, 110L, 2L, "view", 0.0, "{}"), (2L, 130L, 5L, "purchase", 0.0, "{}"),
+      (2L, 210L, 7L, "click", 0.0, "{}"),
+      // user 3: same-ts tiebreak, view then click at ts 120
+      (3L, 120L, 3L, "view", 0.0, "{}"), (3L, 120L, 4L, "click", 0.0, "{}"),
+      (3L, 320L, 9L, "purchase", 0.0, "{}"))
+      .toDF("user_id", "ts", "event_id", "event_type", "value", "props")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = stageSplitParquet(rows, parts = 3, sortCol = "event_id")
+    val steps = Seq("view", "click", "purchase")
+    val (streamed, progress) = StreamingOps.runToMemorySinkWithProgress(
+      StreamingOps.funnelStream(
+        StreamingOps.readEvents(spark, s"$dir/*.parquet", maxFilesPerTrigger = Some(1)),
+        steps).toDF(),
+      "funnel_multi", OutputMode.Append())
+    assert(dataBatches(progress) >= 3,
+      s"fixture must span >= 3 data micro-batches, got ${dataBatches(progress)}")
+    val got = streamed.select("user_id", "step").as[(Long, Long)].collect().toSet
+    val batch = graft.operators.Funnel.funnelSteps(
+      StreamingOps.readEventsBatch(spark, s"$dir/*.parquet"),
+      "user_id", "event_type", "ts", "event_id", steps)
+      .select("user_id", "step").as[(Long, Long)].collect().toSet
+    assert(got === batch,
+      "in-order multi-batch arrival must reproduce the batch min-match exactly")
+    // and the fixture actually discriminates: user 2 stops at click
+    assert(batch === Set((1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L), (3L, 3L)))
+    // each (user, step) reach emitted exactly once across all batches
+    assert(streamed.count() === got.size.toLong)
+  }
+
   test("ANN serving: multi-batch streamed top-k equals the one-shot batch rule") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
