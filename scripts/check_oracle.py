@@ -51,9 +51,22 @@ def main():
         p = f"{SF_DIR}/{t}.parquet"
         if Path(p).is_dir():  # Spark directory layout (ScaleUp legs)
             p = f"{p}/*.parquet"
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-        elif Path(p).exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        elif not Path(p).exists():
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        # ScaleUp (Spark-written) events store ts as BIGINT epoch-nanos —
+        # Spark cannot write TIMESTAMP(NANOS). The graft side normalizes
+        # via tsToNanos; normalize the DuckDB side too by rebuilding the
+        # view with make_timestamp(ts // 1000), which reproduces exactly
+        # DuckDB's own nanos->micros truncation on the driver's originals.
+        if t == "events":
+            cols = con.execute("DESCRIBE events").fetchall()
+            if dict((c[0], c[1]) for c in cols).get("ts") == "BIGINT":
+                sel = ", ".join(
+                    "make_timestamp(ts // 1000) AS ts" if c[0] == "ts"
+                    else c[0] for c in cols)
+                con.execute("CREATE OR REPLACE VIEW events AS "
+                            f"SELECT {sel} FROM '{p}'")
     oracle = json.loads(Path(f"{OUT_DIR}/oracle_sql.json").read_text())
     # Lint: DuckDB widens sum(BIGINT) to HUGEINT (and may produce DECIMAL),
     # which Spark never emits — an uncast window/agg sum hash-mismatches even
