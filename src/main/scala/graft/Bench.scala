@@ -95,6 +95,7 @@ object Bench {
     "t20_cms_heavy_hitters",
     "ev17_retention_cohorts",
     "ev18_stream_funnel",
+    "t21_bm25_topk",
     "m3_image_decode",
     "m4_image_dhash",
     "m5_audio_decode",

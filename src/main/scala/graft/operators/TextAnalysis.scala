@@ -148,6 +148,58 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tfidf"), col("rk"))
   }
 
+  /** BM25 keyword retrieval: top-k documents for a bag-of-terms query —
+    * the sparse-retrieval complement to the dense ANN family (e1/e2):
+    * same serving job, inverted-frequency scoring instead of vector
+    * distance. k1 = 1.2, b = 0.75 (the standard Robertson constants).
+    *
+    * Scale shape: the token explode prunes to the query terms BEFORE
+    * the tf aggregation (a |query|-literal isin filter at the scan), so
+    * the per-doc state is bounded by |query|; doc lengths aggregate
+    * once; df and the corpus stats are broadcast scalars; top-k is
+    * TakeOrderedAndProject on the total (score, doc) order.
+    *
+    * Engine-exactness: per-term contributions are computed in an
+    * explicitly-ordered double expression (every int operand cast
+    * before the float op, matching the DuckDB oracle token for token),
+    * then fixed to integer 1e-4 units per TERM — summing longs is
+    * associative, so the per-doc score is independent of aggregation
+    * order, where a double sum would not be.
+    */
+  def bm25TopK(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      query: Seq[String],
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("term"))
+      .where(col("term") =!= "")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // 1-row corpus stats: N docs and summed length (avgdl = sl/nd)
+    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sl"))
+    val tf = toks.where(col("term").isin(query: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(((col("nd") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("tfp",
+        (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") /
+                (col("sl").cast("double") / col("nd").cast("double"))))))
+      .withColumn("c10k", round(col("idf") * col("tfp") * 10000, 0).cast("long"))
+    contrib.groupBy("doc_id")
+      .agg(sum(col("c10k")).as("score_x10k"), count(lit(1)).as("n_hit"))
+      .orderBy(col("score_x10k").desc, col("doc_id"))
+      .limit(k)
+  }
+
   // ---- PII detection / redaction ---------------------------------------
   // The scrub step every shareable training corpus needs. Patterns stay
   // in the regex subset Java and RE2 evaluate identically (no

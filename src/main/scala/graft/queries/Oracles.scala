@@ -1317,6 +1317,28 @@ object Oracles {
         |FROM tok JOIN cnt USING (w), tot
         |GROUP BY doc_id""".stripMargin,
 
+    // BM25: per-term contributions in explicitly-ordered double math
+    // (every int operand cast before the float op, token-for-token with
+    // the Spark expression), fixed to integer 1e-4 units per term so
+    // the per-doc sum is associative
+    "t21_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS nd, sum(dl)::BIGINT AS sl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
+        |  WHERE term IN ('spark', 'dup', 'window') GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |c AS (SELECT tf.doc_id,
+        |    ln(((nd - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0) AS idf,
+        |    (tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 *
+        |      (0.25 + 0.75 * (dl::DOUBLE / (sl::DOUBLE / nd::DOUBLE)))) AS tfp
+        |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats),
+        |s AS (SELECT doc_id, round(idf * tfp * 10000, 0)::BIGINT AS c10k FROM c)
+        |SELECT doc_id, sum(c10k)::BIGINT AS score_x10k, count(*)::BIGINT AS n_hit
+        |FROM s GROUP BY doc_id
+        |ORDER BY score_x10k DESC, doc_id LIMIT 20""".stripMargin,
+
     // cohort retention: epoch_ns floor-div week buckets (ts is always
     // positive, so // matches Spark's div), offset-0 rows are the
     // cohort denominators

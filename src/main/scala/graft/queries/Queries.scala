@@ -1443,6 +1443,14 @@ object Queries {
   def t20_cms_heavy_hitters(spark: SparkSession, dir: String): DataFrame =
     Sketch.cmsHeavyHitters(t(spark, dir, "documents"), "text", 20)
 
+  /** BM25 keyword retrieval (T21): top-20 documents for a mixed
+    * common/rare term query — the sparse-retrieval twin of the dense
+    * ANN top-k. Integer 1e-4-unit scores, so ranking is engine-exact.
+    */
+  def t21_bm25_topk(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(t(spark, dir, "documents"), "doc_id", "text",
+      Seq("spark", "dup", "window"), 20)
+
   /** Cohort retention triangle (EV17): users cohorted by first-seen
     * week, distinct returners per (cohort, week offset), retention in
     * integer basis points vs the cohort size. The (cohort, offset)
