@@ -96,6 +96,7 @@ object Bench {
     "ev17_retention_cohorts",
     "ev18_stream_funnel",
     "t21_bm25_topk",
+    "c15_weighted_sample",
     "m3_image_decode",
     "m4_image_dhash",
     "m5_audio_decode",

@@ -262,4 +262,40 @@ object Sampling {
     */
   @volatile private[graft] var lastMegaDocs:
       Option[org.apache.spark.util.LongAccumulator] = None
+
+  /** Weighted sampling WITHOUT replacement, n per stratum — the
+    * Efraimidis–Spirakis exponential-key rule: each row ranks by
+    * ln(u) / w for a uniform ticket u (higher weight → key closer to
+    * 0 → likelier into the sample), and the top-n keys per stratum ARE
+    * a weighted sample without replacement. u comes from the md5 of
+    * the id, not an RNG, so membership is deterministic, engine-
+    * replayable, and stable as the corpus grows — and selection runs
+    * as a bounded-buffer typed aggregation (partial+final, n-row state
+    * per stratum), not a window over the stratum: a 100 TB stratum
+    * never sorts.
+    */
+  def weightedSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      weightCol: String,
+      n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // u = (h60 + 1) / 2^60 in (0, 1]; es = ln(u) / w in (-inf, 0]
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val keyed = df.select(col(stratumCol).cast("string").as("stratum"),
+      col(idCol).cast("long").as("id"),
+      (log((h + lit(1L)).cast("double") / lit(1152921504606846976.0)) /
+        col(weightCol).cast("double")).as("es"))
+    val agg = new BoundedTopKByScoreAgg(n)
+    keyed.as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._3, t._2))
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (s, top) => top.map { case (k, id) => (s, id, k) } }
+      .toDF("stratum", "doc_id", "es_key")
+      .withColumn("es_key", round(col("es_key"), 6))
+  }
 }

@@ -1317,6 +1317,19 @@ object Oracles {
         |FROM tok JOIN cnt USING (w), tot
         |GROUP BY doc_id""".stripMargin,
 
+    // Efraimidis-Spirakis weighted sample: u = (h60+1)/2^60 in (0,1],
+    // key = ln(u)/w, top-50 per stratum on (key desc, doc_id) — the
+    // oracle ranks with a window; the engine uses a bounded typed agg
+    "c15_weighted_sample" ->
+      """WITH k AS (SELECT source AS stratum, doc_id,
+        |    ln((('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1)::DOUBLE
+        |        / 1152921504606846976.0) / n_chars::DOUBLE AS es
+        |  FROM documents),
+        |r AS (SELECT stratum, doc_id, es,
+        |    row_number() OVER (PARTITION BY stratum ORDER BY es DESC, doc_id) AS rn
+        |  FROM k)
+        |SELECT stratum, doc_id, round(es, 6) AS es_key FROM r WHERE rn <= 50""".stripMargin,
+
     // BM25: per-term contributions in explicitly-ordered double math
     // (every int operand cast before the float op, token-for-token with
     // the Spark expression), fixed to integer 1e-4 units per term so

@@ -1387,6 +1387,15 @@ object Queries {
     Merge.snapshotDiff(base, c13_cdc_upsert(spark, dir), "doc_id", md5(col("text")))
   }
 
+  /** Weighted sample without replacement (C15): 50 docs per source,
+    * n_chars-weighted, via the Efraimidis–Spirakis exponential key on
+    * the deterministic md5 ticket. Bounded typed aggregation — no
+    * per-stratum sort anywhere.
+    */
+  def c15_weighted_sample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(t(spark, dir, "documents"),
+      "source", "doc_id", "n_chars", 50)
+
   /** First BPE merge statistics: corpus-wide adjacent-char-pair counts
     * weighted by word frequency, top 30 — the argmax is the first merge
     * a BPE vocabulary build applies.

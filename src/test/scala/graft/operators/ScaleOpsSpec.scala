@@ -110,6 +110,42 @@ class ScaleOpsSpec extends SparkSpec {
     assert(none.count() === 0)
   }
 
+  test("weighted sample: equals window rule, bounds n, favors heavy weights") {
+    import spark.implicits._
+    val docs = spark.range(4000).select(
+      (col("id") % 2).cast("string").as("src"), col("id").as("doc_id"),
+      // stratum 0: uniform weight; stratum 1: doc 1..2000 weight = id
+      when(col("id") % 2 === 0, lit(10L)).otherwise(col("id")).as("w"))
+    val got = Sampling.weightedSample(docs, "src", "doc_id", "w", 100)
+    val rows = got.select("stratum", "doc_id").as[(String, Long)].collect()
+    assert(rows.groupBy(_._1).forall(_._2.length == 100))
+    // window-rule oracle on the same keys
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val keyed = docs.select(col("src"), col("doc_id"),
+      (log((h + lit(1L)).cast("double") / lit(1152921504606846976.0)) /
+        col("w").cast("double")).as("es"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("es").desc, col("doc_id"))
+    val ref = keyed.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 100)
+      .select("src", "doc_id").as[(String, Long)].collect().toSet
+    assert(rows.toSet === ref,
+      "bounded typed agg must select exactly the window rule's rows")
+    // E-S bias: in the weighted stratum, sampled ids skew far above the
+    // stratum median id (weights grow with id)
+    // under uniform sampling the above-median share is Binomial(100, .5):
+    // >60 is ~2.3 sigma out, while linear weights put ~3/4 of the mass up
+    // there — a robust one-sided separation for a deterministic fixture
+    val heavy = rows.filter(_._1 == "1").map(_._2)
+    assert(heavy.count(_ > 2000) > 60,
+      s"expected most weighted picks above the median, got ${heavy.count(_ > 2000)}")
+    // determinism: a second run is identical
+    val again = Sampling.weightedSample(docs, "src", "doc_id", "w", 100)
+      .select("stratum", "doc_id").as[(String, Long)].collect().toSet
+    assert(again === rows.toSet)
+  }
+
   test("epoch upsample: replication tracks centi-epochs; copies contiguous; deterministic") {
     import spark.implicits._
     val docs = (0 until 3000).map(i =>
