@@ -97,6 +97,8 @@ object Bench {
     "ev18_stream_funnel",
     "t21_bm25_topk",
     "c15_weighted_sample",
+    "ev19_windowed_funnel",
+    "d17_minhash_accuracy",
     "m3_image_decode",
     "m4_image_dhash",
     "m5_audio_decode",

@@ -636,6 +636,64 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("agree"), 4).as("sig_agreement"))
   }
 
+  /** MinHash estimate-vs-exact accuracy artifact — the e6/t17/t20-style
+    * accuracy row for the near-dup sketch family: for every verified LSH
+    * candidate pair, the signature-agreement Jaccard estimate against
+    * the exact shingle-set Jaccard, error in integer basis points. A
+    * sketch with a broken hash family would still agree with an oracle
+    * replaying the same family; this row is what catches it drifting
+    * from the TRUTH it estimates.
+    *
+    * Exact-side shingling is restricted (semi-join) to docs appearing
+    * in verified pairs, so the truth computation is bounded by the
+    * near-dup population, never the corpus. All-integer report
+    * arithmetic (agreement count, |∩|, |∪|), so both engines agree
+    * bit-for-bit.
+    */
+  def minHashAccuracy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 64,
+      bands: Int = 32,
+      minAgree: Double = 0.5,
+      hashFamily: String = "md5"): DataFrame = {
+    val sigs = minHashSignatures(df, idCol, textCol, n, k, hashFamily)
+    val bandKeys = bandKeysUdf(k, bands, hashFamily)
+    val banded = sigs.select(col("doc_id"), explode(bandKeys(col("sig"))).as("b"))
+      .select(col("doc_id"), col("b._1").as("band"), col("b._2").as("bh"))
+    val cand = banded.alias("l")
+      .join(banded.alias("r"), col("l.band") === col("r.band") &&
+        col("l.bh") === col("r.bh") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    // integer agreement threshold, epsilon-guarded like the prefix
+    // bounds (overshoot only admits candidates; report stays exact)
+    val mMin = math.ceil(minAgree * k - 1e-7).toLong
+    val withM = cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .withColumn("sig_agree",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          b => b)).cast("long"))
+      .where(col("sig_agree") >= mMin)
+      .select("doc_a", "doc_b", "sig_agree")
+    val pairDocs = withM.select(col("doc_a").as("doc_id"))
+      .union(withM.select(col("doc_b"))).distinct()
+    val sets = shingleSets(df, idCol, textCol, n).join(pairDocs, "doc_id")
+    withM
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("ga")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("gb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("un", size(col("ga")) + size(col("gb")) - col("inter"))
+      .select(col("doc_a"), col("doc_b"), col("sig_agree"),
+        expr(s"sig_agree * 10000 div $k").as("est_j_bp"),
+        expr("inter * 10000 div un").as("exact_j_bp"),
+        expr(s"abs(sig_agree * 10000 div $k - inter * 10000 div un)")
+          .as("err_bp"))
+  }
+
   /** Incremental NEAR-dup dedup — the minhash twin of [[incrementalExact]],
     * completing the dedup lifecycle for near-duplicates: a new batch is
     * checked against the EXISTING corpus via its two persistent index

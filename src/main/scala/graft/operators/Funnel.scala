@@ -24,13 +24,23 @@ object Funnel {
   /** Per-user matched step times: one row per user per reached step,
     * with the (order, tiebreak) struct of the matched event.
     */
+  /** `maxGapNs`: when set, step k (k >= 2) must also land within the
+    * gap of the matched step-k-1 event in `orderCol` units — the
+    * "conversion within N days" form every product funnel defaults to.
+    * The match rule stays first-occurrence greedy (each step anchors on
+    * the EARLIEST qualifying event): deterministic and what the major
+    * product-analytics funnels report, though not a maximal matching —
+    * a later step-k event could extend the step-k+1 window where the
+    * earliest one does not.
+    */
   def funnelSteps(
       events: DataFrame,
       userCol: String,
       typeCol: String,
       orderCol: String,
       tiebreakCol: String,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String],
+      maxGapNs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val e = events.select(col(userCol).as("user_id"), col(typeCol).as("et"),
       struct(col(orderCol), col(tiebreakCol)).as("o"))
@@ -40,9 +50,14 @@ object Funnel {
       val leg = e.where(col("et") === st)
       val matched =
         if (i == 0) leg.groupBy("user_id").agg(min(col("o")).as("o"))
-        else leg.join(reached.select(col("user_id"), col("o").as("__prev")), "user_id")
-          .where(col("o") > col("__prev"))
-          .groupBy("user_id").agg(min(col("o")).as("o"))
+        else {
+          val after = leg
+            .join(reached.select(col("user_id"), col("o").as("__prev")), "user_id")
+            .where(col("o") > col("__prev"))
+          val windowed = maxGapNs.fold(after)(g => after.where(
+            col(s"o.$orderCol") <= col(s"__prev.$orderCol") + lit(g)))
+          windowed.groupBy("user_id").agg(min(col("o")).as("o"))
+        }
       reached = matched
       val tagged = matched.select(col("user_id"), lit(i + 1L).as("step"),
         lit(st).as("step_name"))
@@ -61,9 +76,11 @@ object Funnel {
       typeCol: String,
       orderCol: String,
       tiebreakCol: String,
-      steps: Seq[String]): DataFrame =
+      steps: Seq[String],
+      maxGapNs: Option[Long] = None): DataFrame =
     reportFromSteps(
-      funnelSteps(events, userCol, typeCol, orderCol, tiebreakCol, steps),
+      funnelSteps(events, userCol, typeCol, orderCol, tiebreakCol, steps,
+        maxGapNs),
       events, userCol)
 
   /** The report arithmetic alone, from an already-matched step table

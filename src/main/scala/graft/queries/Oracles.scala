@@ -1375,6 +1375,8 @@ object Oracles {
     "ev16_user_funnel" -> funnelSql,
     // the streaming matcher must land on the identical report
     "ev18_stream_funnel" -> funnelSql,
+    // 7-day conversion window between consecutive matched steps
+    "ev19_windowed_funnel" -> funnelSqlWithGap(Some(604800000000000L)),
 
     // interpolated bigram LM: parallel unnests zip positionally, so the
     // (prev, w) pair stream is the same the Spark UDF kernel emits;
@@ -1751,6 +1753,7 @@ object Oracles {
         |FROM c GROUP BY user_id""".stripMargin
   ) ++ Map(
     "d3_minhash_lsh_pairs" -> d3Sql,
+    "d17_minhash_accuracy" -> d17Sql,
     "d4_simhash_pairs" -> d4Sql,
     "d7_dup_clusters" -> d7Sql,
     "d16_dupgraph_rank" -> d16Sql,
@@ -1807,14 +1810,19 @@ object Oracles {
   private def h60(expr: String): String =
     s"('0x' || substring(md5($expr), 1, 15))::BIGINT"
 
-  /** Shared oracle for ev16 (batch funnel) and ev18 (streaming funnel):
-    * strict-subsequence matching — per step, the earliest (ts, event_id)
-    * strictly after the matched previous step (tuple comparison); a step
+  /** Shared oracle for ev16 (batch funnel), ev18 (streaming funnel) and
+    * ev19 (windowed, gapNs set): strict-subsequence matching — per step,
+    * the earliest (ts, event_id) strictly after the matched previous
+    * step (tuple comparison), optionally within the gap of it; a step
     * nobody reaches emits no row (matching the Spark side's empty
     * groupBy).
     */
-  private def funnelSql: String =
-    """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events),
+  private def funnelSql: String = funnelSqlWithGap(None)
+
+  private def funnelSqlWithGap(gapNs: Option[Long]): String = {
+    val gap = gapNs.fold("")(g =>
+      s" AND epoch_ns(e.ts) - epoch_ns(p.ts) <= $g")
+    s"""WITH e AS (SELECT user_id, event_type, ts, event_id FROM events),
       |s1 AS (SELECT user_id, ts, event_id FROM (
       |    SELECT user_id, ts, event_id,
       |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
@@ -1822,14 +1830,14 @@ object Oracles {
       |s2 AS (SELECT user_id, ts, event_id FROM (
       |    SELECT e.user_id, e.ts, e.event_id,
       |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
-      |    FROM e JOIN s1 ON e.user_id = s1.user_id
-      |    WHERE e.event_type = 'click' AND (e.ts, e.event_id) > (s1.ts, s1.event_id))
+      |    FROM e JOIN s1 p ON e.user_id = p.user_id
+      |    WHERE e.event_type = 'click' AND (e.ts, e.event_id) > (p.ts, p.event_id)$gap)
       |  WHERE rn = 1),
       |s3 AS (SELECT user_id, ts, event_id FROM (
       |    SELECT e.user_id, e.ts, e.event_id,
       |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
-      |    FROM e JOIN s2 ON e.user_id = s2.user_id
-      |    WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (s2.ts, s2.event_id))
+      |    FROM e JOIN s2 p ON e.user_id = p.user_id
+      |    WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (p.ts, p.event_id)$gap)
       |  WHERE rn = 1),
       |counts AS (SELECT 1 AS step, 'view' AS step_name, count(*) AS n FROM s1
       |  UNION ALL SELECT 2, 'click', count(*) FROM s2
@@ -1840,6 +1848,7 @@ object Oracles {
       |  ((c.n * 10000) // coalesce(p.p, b))::BIGINT AS conv_bp
       |FROM counts c LEFT JOIN prev p ON c.step = p.step, base
       |WHERE c.n > 0""".stripMargin
+  }
 
   /** Oracle for t20: the Count-Min pipeline replayed in SQL — exact
     * token counts fan out to the same d=4 row hashes (md5-60 of
@@ -1892,6 +1901,47 @@ object Oracles {
        |       JOIN sig sb ON pr.doc_b = sb.doc_id)
        |SELECT doc_a, doc_b, round(agree, 4) AS sig_agreement
        |FROM ag WHERE agree >= 0.5""".stripMargin
+  }
+
+  /** Oracle for d17: the d3 signature/band machinery, integer agreement
+    * count, then exact shingle Jaccard per verified pair — all-integer
+    * report arithmetic, value-identical to the Spark kernel.
+    */
+  private def d17Sql: String = {
+    val p = 2147483647L
+    val coeffs = graft.operators.Dedup.minHashCoeffs(64)
+    val sigTerms = coeffs.map { case (a, b) =>
+      s"list_min([($a * x + $b) % $p FOR x IN xs])"
+    }.mkString("[\n  ", ",\n  ", "\n]")
+    val bandKeys = (0 until 32).map { bnd =>
+      h60(s"'${bnd}_' || sg[${bnd * 2 + 1}] || '_' || sg[${bnd * 2 + 2}]")
+    }.mkString("[\n  ", ",\n  ", "\n]")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]) AS s
+       |  FROM tok WHERE len(t) >= 3),
+       |hx AS (SELECT doc_id, [${h60("g")} % $p FOR g IN s] AS xs FROM sh),
+       |sig AS (SELECT doc_id, $sigTerms AS sg FROM hx),
+       |bnd AS (SELECT doc_id, sg, unnest($bandKeys) AS bh FROM sig),
+       |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |       FROM bnd a JOIN bnd b ON a.bh = b.bh AND a.doc_id < b.doc_id),
+       |ag AS (SELECT pr.doc_a, pr.doc_b,
+       |         len([i FOR i IN range(1, 65) IF sa.sg[i] = sb.sg[i]]) AS m
+       |       FROM pr
+       |       JOIN sig sa ON pr.doc_a = sa.doc_id
+       |       JOIN sig sb ON pr.doc_b = sb.doc_id),
+       |f AS (SELECT * FROM ag WHERE m >= 32),
+       |ex AS (SELECT f.doc_a, f.doc_b, f.m,
+       |         len(list_intersect(sha.s, shb.s)) AS inter,
+       |         len(sha.s) + len(shb.s) - len(list_intersect(sha.s, shb.s)) AS un
+       |       FROM f
+       |       JOIN sh sha ON f.doc_a = sha.doc_id
+       |       JOIN sh shb ON f.doc_b = shb.doc_id)
+       |SELECT doc_a, doc_b, m::BIGINT AS sig_agree,
+       |  (m * 10000 // 64)::BIGINT AS est_j_bp,
+       |  (inter * 10000 // un)::BIGINT AS exact_j_bp,
+       |  abs(m * 10000 // 64 - inter * 10000 // un)::BIGINT AS err_bp
+       |FROM ex""".stripMargin
   }
 
   /** Oracle for d11: the d3 signature/band/agreement machinery over the

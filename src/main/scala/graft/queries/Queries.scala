@@ -1070,6 +1070,15 @@ object Queries {
     Dedup.minHashLshPairs(t(spark, dir, "documents"), "doc_id", "text",
       n = 3, k = 64, bands = 32, minAgree = 0.5)
 
+  /** MinHash accuracy artifact (D17): per verified LSH pair, the
+    * signature-agreement Jaccard estimate vs the exact shingle Jaccard,
+    * error in basis points — the accuracy row completing the pattern
+    * across the sketch families (e6 for ANN, t17/t20 for HLL/CMS).
+    */
+  def d17_minhash_accuracy(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashAccuracy(t(spark, dir, "documents"), "doc_id", "text",
+      n = 3, k = 64, bands = 32, minAgree = 0.5, hashFamily = "md5")
+
   def d4_simhash_pairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(t(spark, dir, "documents"), "doc_id", "text",
       maxHamming = 3, hashFamily = "md5")
@@ -1476,6 +1485,16 @@ object Queries {
   def ev16_user_funnel(spark: SparkSession, dir: String): DataFrame =
     Funnel.funnelReport(t(spark, dir, "events"), "user_id", "event_type",
       "ts", "event_id", Seq("view", "click", "purchase"))
+
+  /** Windowed funnel (EV19): ev16's funnel with the "conversion within
+    * 7 days of the previous step" constraint — the form product
+    * funnels default to; first-occurrence anchoring, engine-exact
+    * integer nanos arithmetic.
+    */
+  def ev19_windowed_funnel(spark: SparkSession, dir: String): DataFrame =
+    Funnel.funnelReport(t(spark, dir, "events"), "user_id", "event_type",
+      "ts", "event_id", Seq("view", "click", "purchase"),
+      maxGapNs = Some(604800000000000L))
 
   /** Streaming funnel (EV18): the same view -> click -> purchase report
     * as ev16, computed incrementally — per-user fixed-size cursor state,

@@ -152,6 +152,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4L && p._1 <= 3L))
   }
 
+  test("minhash accuracy artifact: exact dup has zero error, bounds hold") {
+    import spark.implicits._
+    val acc = Dedup.minHashAccuracy(docs, "doc_id", "text")
+      .select("doc_a", "doc_b", "sig_agree", "est_j_bp", "exact_j_bp", "err_bp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(acc.nonEmpty)
+    // the exact duplicate pair: identical shingles => identical
+    // signatures => estimate 10000 == truth, zero error
+    val dup = acc.find(r => r._1 == 1L && r._2 == 2L).get
+    assert(dup._3 === 64L && dup._4 === 10000L && dup._5 === 10000L && dup._6 === 0L)
+    // invariants: bp values in range, err is the absolute gap
+    assert(acc.forall(r => r._4 >= 0 && r._4 <= 10000 &&
+      r._5 >= 0 && r._5 <= 10000 && r._6 === math.abs(r._4 - r._5)))
+    // every reported pair passed the agreement floor
+    assert(acc.forall(_._3 >= 32L))
+  }
+
   test("simhash: identical docs get identical hashes; near dups are close") {
     import spark.implicits._
     val hs = Dedup.simHash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap

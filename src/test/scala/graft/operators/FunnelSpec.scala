@@ -52,6 +52,27 @@ class FunnelSpec extends SparkSpec {
     assert(rows(3L) === ((1L, 5000L)), "1 of 2 clickers purchased")
   }
 
+  test("windowed funnel: conversion only within the gap of the previous step") {
+    val events = ev(
+      // user 1 converts fully inside the 50-unit window
+      (1L, 10L, 1L, "view"), (1L, 40L, 2L, "click"), (1L, 80L, 3L, "purchase"),
+      // user 2's click lands beyond the window of the first view
+      (2L, 10L, 4L, "view"), (2L, 100L, 5L, "click"),
+      // user 3: first-occurrence anchor — the SECOND click would put
+      // purchase in range, but matching anchors on the earliest click
+      (3L, 10L, 6L, "view"), (3L, 20L, 7L, "click"), (3L, 60L, 8L, "click"),
+      (3L, 100L, 9L, "purchase"))
+    val got = Funnel.funnelSteps(events, "user_id", "event_type", "ts", "event_id",
+      steps, maxGapNs = Some(50L))
+      .select("user_id", "step").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L), (3L, 2L)))
+    // and with no gap everyone converts as before
+    val open = Funnel.funnelSteps(events, "user_id", "event_type", "ts", "event_id", steps)
+      .select("user_id", "step").as[(Long, Long)].collect().toSet
+    assert(open === Set((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (3L, 3L)))
+  }
+
   test("a step nobody reaches emits no row") {
     val events = ev((1L, 10L, 1L, "view"), (2L, 20L, 2L, "view"))
     val rows = Funnel.funnelReport(events, "user_id", "event_type", "ts", "event_id", steps)
