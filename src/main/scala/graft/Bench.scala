@@ -99,6 +99,7 @@ object Bench {
     "c15_weighted_sample",
     "ev19_windowed_funnel",
     "d17_minhash_accuracy",
+    "t22_hist_quantiles",
     "m3_image_decode",
     "m4_image_dhash",
     "m5_audio_decode",

@@ -164,6 +164,72 @@ object Sketch {
         expr("(est_cnt - exact_cnt) * 10000 div exact_cnt").as("err_bp"))
   }
 
+  // ---- Log-histogram quantile sketch ---------------------------------
+
+  /** Quantile sketch as an HDR-style log-histogram — the fourth
+    * canonical sketch next to HLL (cardinality), Count-Min (frequency)
+    * and MinHash (similarity): per-scope state is one bounded bin table
+    * (octave × 8 sub-bins — ≤ 8·64 bins for any long), mergeable by
+    * plain count addition, with ≤ 2^-3 relative value error per bin.
+    * The exact alternative (t10's sort-based percentile) is a global
+    * sort; the sketch replaces it with one bounded groupBy.
+    *
+    * Binning is ALL-INTEGER (octave = length of the binary string, the
+    * HLL-rho trick; mantissa = 3 bits below the leading one), so unlike
+    * an ln-based bin there is no libm discretization to disagree
+    * across engines.
+    */
+  def histBins(df: DataFrame, scopeCol: String, valueCol: String): DataFrame =
+    df.select(col(scopeCol).as("scope"),
+        (col(valueCol).cast("long") + 1L).as("__v"))
+      .select(col("scope"), col("__v"),
+        (length(bin(col("__v"))) - 1).cast("long").as("__e"))
+      .select(col("scope"),
+        greatest(col("__e") - 3L, lit(0L)).as("__shift"),
+        col("__e"), col("__v"))
+      .select(col("scope"), col("__e"), col("__shift"),
+        expr("shiftright(__v, cast(__shift as int))").as("__m"))
+      .select(col("scope"),
+        (col("__e") * 8L + (col("__m") % 8L)).as("bin"),
+        // inclusive upper edge, back in value space (v = value + 1)
+        (expr("shiftleft(__m + 1, cast(__shift as int))") - 2L).as("edge"))
+      .groupBy("scope", "bin", "edge").agg(count(lit(1)).as("cnt"))
+
+  /** Merge per-scope histograms into one labeled scope — bin counts add
+    * (the mergeability that lets per-day / per-source histograms answer
+    * corpus-wide quantiles without re-reading data).
+    */
+  def histMerge(hist: DataFrame, label: String): DataFrame =
+    hist.groupBy("bin", "edge").agg(sum(col("cnt")).as("cnt"))
+      .select(lit(label).as("scope"), col("bin"), col("edge"), col("cnt"))
+
+  /** Quantile estimates from a histogram: for each q (integer percent),
+    * the smallest bin whose cumulative count covers q% of the scope,
+    * reported as the bin's inclusive upper edge with the ACHIEVED rank
+    * and the overshoot vs the target — the rank-error accuracy artifact,
+    * in integer basis points. The cumulative window runs over SKETCH
+    * state (≤ a few hundred bins per scope), never over data.
+    */
+  def histQuantiles(hist: DataFrame, qs: Seq[Int]): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("scope").orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("scope")))
+    val qdf = qs.map(_.toLong).toDF("q_pct")
+    val hit = cum.crossJoin(broadcast(qdf))
+      .where(col("cum") * 100 >= col("q_pct") * col("n"))
+      .groupBy("scope", "q_pct").agg(min(col("bin")).as("bin"))
+    hit.join(cum, Seq("scope", "bin"))
+      .select(col("scope"), col("q_pct"), col("edge").as("est_value"),
+        expr("cum * 10000 div n").as("rank_bp"),
+        expr("cum * 10000 div n - q_pct * 100").as("err_bp"))
+  }
+
   /** Distinct 3-token shingles per document (d3's shingle definition),
     * exploded — the value stream both the sketch and the exact side
     * consume.

@@ -1461,6 +1461,20 @@ object Queries {
   def t20_cms_heavy_hitters(spark: SparkSession, dir: String): DataFrame =
     Sketch.cmsHeavyHitters(t(spark, dir, "documents"), "text", 20)
 
+  /** Log-histogram quantile sketch (T22): per-source doc-length
+    * histograms (octave x 8 sub-bins, all-integer binning) plus their
+    * '__all' merge, quantile estimates as bin upper edges with the
+    * achieved rank and overshoot in basis points — the quantile member
+    * of the sketch family (t17 HLL, t20 CMS, d17 MinHash), replacing
+    * t10's sort-based exact path with one bounded groupBy.
+    */
+  def t22_hist_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Sketch.histBins(t(spark, dir, "documents"), "source", "n_chars")
+    Sketch.histQuantiles(
+      perSource.unionByName(Sketch.histMerge(perSource, "__all")),
+      Seq(10, 50, 90, 99))
+  }
+
   /** BM25 keyword retrieval (T21): top-20 documents for a mixed
     * common/rare term query — the sparse-retrieval twin of the dense
     * ANN top-k. Integer 1e-4-unit scores, so ranking is engine-exact.

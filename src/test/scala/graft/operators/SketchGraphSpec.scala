@@ -107,6 +107,70 @@ class SketchGraphSpec extends SparkSpec {
     assert(top.forall(r => r.getLong(3) >= 0L), "err_bp is an overestimate gap")
   }
 
+  // ---- Log-histogram quantile sketch ------------------------------------
+
+  test("hist bins: bounded state, edges cover their values within 12.5%") {
+    val n = 100000L
+    val vals = spark.range(1, n).select(lit("g").as("grp"), col("id").as("x"))
+    val bins = Sketch.histBins(vals, "grp", "x").cache()
+    // one bin per (octave, mantissa): 8 sub-bins per octave, 17 octaves
+    assert(bins.count() <= 8 * 17 + 8)
+    // mass is preserved and each bin's edge bounds its members: the
+    // per-bin max member recomputed directly must be <= edge, and the
+    // edge within 12.5% + 2 of the bin's max member (tight coverage)
+    assert(bins.agg(sum("cnt")).as[Long].head() === n - 1)
+    val withBin = Sketch.histBins(vals, "grp", "x")
+      .select(col("bin"), col("edge"))
+    val maxPerBin = vals.select(col("x"),
+        (col("x") + 1L).as("__v"))
+      .select(col("x"), (length(bin(col("__v"))) - 1).cast("long").as("__e"),
+        col("__v"))
+      .select(col("x"), col("__e"), greatest(col("__e") - 3L, lit(0L)).as("__s"),
+        col("__v"))
+      .select(col("x"),
+        (col("__e") * 8L + (expr("shiftright(__v, cast(__s as int))") % 8L)).as("bin"))
+      .groupBy("bin").agg(max(col("x")).as("mx"))
+    val chk = maxPerBin.join(withBin, "bin")
+      .select((col("edge") >= col("mx") &&
+        (col("edge") - col("mx")) * 8 <= col("mx") + 16).as("ok"))
+      .as[Boolean].collect()
+    assert(chk.nonEmpty && chk.forall(identity))
+    bins.unpersist()
+  }
+
+  test("hist merge: per-scope bin counts add to exactly the direct build") {
+    val vals = spark.range(5000).select(
+      (col("id") % 3).cast("string").as("grp"), (col("id") % 777).as("x"))
+    val per = Sketch.histBins(vals, "grp", "x")
+    val merged = Sketch.histMerge(per, "u")
+      .select("bin", "edge", "cnt").as[(Long, Long, Long)].collect().toSet
+    val direct = Sketch.histBins(vals.select(lit("u").as("grp"), col("x")), "grp", "x")
+      .select("bin", "edge", "cnt").as[(Long, Long, Long)].collect().toSet
+    assert(merged === direct,
+      "summed per-scope histograms must BE the union's histogram")
+  }
+
+  test("hist quantiles: rank coverage, minimality, and monotone estimates") {
+    val vals = spark.range(1, 10001)
+      .select(lit("g").as("grp"), col("id").as("x"))
+    val hist = Sketch.histBins(vals, "grp", "x")
+    val qs = Seq(10, 50, 90, 99)
+    val got = Sketch.histQuantiles(hist, qs)
+      .select("q_pct", "est_value", "rank_bp", "err_bp")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1) === qs.map(_.toLong).toArray)
+    // achieved rank covers the target; overshoot is the declared err
+    assert(got.forall { case (q, _, rank, err) =>
+      rank >= q * 100 && err === rank - q * 100 })
+    // estimates are monotone in q and within a bin (12.5%) of the truth
+    assert(got.map(_._2).toSeq === got.map(_._2).sorted.toSeq)
+    val truth = Map(10L -> 1000L, 50L -> 5000L, 90L -> 9000L, 99L -> 9900L)
+    got.foreach { case (q, est, _, _) =>
+      assert(est >= truth(q) && est <= truth(q) + truth(q) / 7 + 2,
+        s"q=$q est=$est truth=${truth(q)}")
+    }
+  }
+
   // ---- PageRank --------------------------------------------------------
 
   test("pageRank: star hub outranks leaves, path center outranks ends") {
