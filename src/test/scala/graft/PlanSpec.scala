@@ -300,6 +300,53 @@ class PlanSpec extends SparkSpec {
       "LM + manifest aggs must be partial+final")
   }
 
+  test("funnel: no window anywhere; per-step aggs partial+final; base broadcasts") {
+    for (q <- Seq(Queries.ev16_user_funnel _, Queries.ev19_windowed_funnel _)) {
+      val plan = planOf(q(spark, sf("0.001")))
+      assert(!plan.contains("Window"), "funnel must never sort a user history")
+      assert(plan.contains("partial_min") || plan.contains("partial_count"), plan)
+      assert(plan.contains("BroadcastExchange"),
+        "the 1-row base/prev sides must broadcast")
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+  }
+
+  test("ev17 retention: no window; offset-0 denominators broadcast") {
+    val plan = planOf(Queries.ev17_retention_cohorts(spark, sf("0.001")))
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("partial_min") || plan.contains("partial_count"), plan)
+  }
+
+  test("t20 CMS: counter matrix broadcasts to the probe; aggs partial+final") {
+    val plan = planOf(Queries.t20_cms_heavy_hitters(spark, sf("0.001")))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the <=2048-row counter table must broadcast, not shuffle")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must not global-sort")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"), plan)
+  }
+
+  test("t21 BM25: df/stats broadcast; top-k without global sort") {
+    val plan = planOf(Queries.t21_bm25_topk(spark, sf("0.001")))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      plan) // stats is a 1-row crossJoin broadcast; dfreq a broadcast hash
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("c15 weighted sample / t22 hist: no window over data-sized keys") {
+    val c15 = planOf(Queries.c15_weighted_sample(spark, sf("0.001")))
+    assert(!c15.contains("Window"),
+      "per-stratum selection must be the bounded typed agg, not a window")
+    assert(c15.contains("ObjectHashAggregate") || c15.contains("SortAggregate"), c15)
+    val t22 = planOf(Queries.t22_hist_quantiles(spark, sf("0.001")))
+    // t22's windows are over sketch state (bins per scope), keyed by
+    // scope — both cumulative and total windows partition on 'scope'
+    assert(t22.contains("Window"), t22)
+    assert(t22.contains("partial_count") || t22.contains("partial_sum"), t22)
+  }
+
   test("filter matrix is pure Column exprs: codegen stages, no UDF eval") {
     val df = Queries.p6b_filter_matrix(spark, sf("0.001"))
     val plan = planOf(df)
