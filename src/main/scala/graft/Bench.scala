@@ -100,6 +100,7 @@ object Bench {
     "ev19_windowed_funnel",
     "d17_minhash_accuracy",
     "t22_hist_quantiles",
+    "ev20_stream_heavy_hitters",
     "m3_image_decode",
     "m4_image_dhash",
     "m5_audio_decode",

@@ -145,6 +145,36 @@ object Sketch {
       .agg(min(col("c")).as("est_cnt"))
   }
 
+  /** Scoped counter matrices: one d x w matrix PER scope value (hour
+    * window, day, source...) — counters are additive, so per-batch
+    * matrices appended to a log resolve to exactly the batch matrix by
+    * a (scope, r, idx) sum, the same merge-on-read algebra as the HLL
+    * register log.
+    */
+  def cmsCountersBy(weighted: DataFrame, scopeCol: String, valueCol: String,
+      weightCol: String): DataFrame =
+    weighted.select(col(scopeCol).as("scope"), col(valueCol).as("__v"),
+        col(weightCol).as("__c"),
+        explode(sequence(lit(0), lit(CmsD - 1))).as("r"))
+      .select(col("scope"), col("r"), cmsIdx(col("r"), col("__v")).as("idx"),
+        col("__c"))
+      .groupBy("scope", "r", "idx").agg(sum(col("__c")).as("c"))
+
+  /** Scoped point estimates: like [[cmsEstimate]] but probing the
+    * matching scope's counters. The counter table is bounded by
+    * |scopes| * d * w rows and broadcasts.
+    */
+  def cmsEstimateBy(values: DataFrame, scopeCol: String, valueCol: String,
+      counters: DataFrame): DataFrame = {
+    val carry = values.columns.map(col)
+    values.select(carry :+ explode(sequence(lit(0), lit(CmsD - 1))).as("r"): _*)
+      .withColumn("idx", cmsIdx(col("r"), col(valueCol)))
+      .withColumn("scope", col(scopeCol))
+      .join(broadcast(counters), Seq("scope", "r", "idx"))
+      .groupBy(values.columns.head, values.columns.tail: _*)
+      .agg(min(col("c")).as("est_cnt"))
+  }
+
   /** Heavy hitters: top-k whitespace tokens of a text corpus by
     * Count-Min estimate, with the exact count and overestimate error in
     * basis points alongside — the e6-style accuracy artifact for the

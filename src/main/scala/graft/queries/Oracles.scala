@@ -1317,6 +1317,26 @@ object Oracles {
         |FROM tok JOIN cnt USING (w), tot
         |GROUP BY doc_id""".stripMargin,
 
+    // streaming windowed CMS: counter addition is associative, so the
+    // resolved log == the batch matrix per window; replay the whole
+    // pipeline per hour window, top-5 users on (est desc, user) order
+    "ev20_stream_heavy_hitters" ->
+      s"""WITH e AS (SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS w, user_id FROM events),
+        |ex AS (SELECT w, user_id, count(*) AS exact_cnt FROM e GROUP BY w, user_id),
+        |fan AS (SELECT w, user_id, exact_cnt, r,
+        |    ('0x' || substring(md5(r::VARCHAR || ' ' || user_id), 1, 15))::BIGINT % 512 AS idx
+        |  FROM ex, range(4) t(r)),
+        |cnt AS (SELECT w, r, idx, sum(exact_cnt)::BIGINT AS c FROM fan GROUP BY w, r, idx),
+        |est AS (SELECT f.w, f.user_id, f.exact_cnt, min(c.c) AS est
+        |  FROM fan f JOIN cnt c ON f.w = c.w AND f.r = c.r AND f.idx = c.idx
+        |  GROUP BY f.w, f.user_id, f.exact_cnt),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY w ORDER BY est DESC, user_id) AS rn
+        |  FROM est)
+        |SELECT w::BIGINT AS window_start, user_id, est::BIGINT AS est_cnt,
+        |  exact_cnt::BIGINT AS exact_cnt,
+        |  ((est - exact_cnt) * 10000 // exact_cnt)::BIGINT AS err_bp
+        |FROM rk WHERE rn <= 5""".stripMargin,
+
     // log-histogram quantile sketch: all-integer octave/mantissa bins
     // (binary-string length = the HLL-rho trick, so no libm
     // discretization can disagree across engines), '__all' = bin-count

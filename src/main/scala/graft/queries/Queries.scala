@@ -1718,6 +1718,22 @@ object Queries {
             col("exact_users") * 10000).cast("long").as("err_bp"))
     }
 
+  /** Streaming windowed heavy hitters (EV20): per-micro-batch Count-Min
+    * counter matrices appended to a log (the frequency twin of ev15's
+    * register log), resolved by addition at read — batch-boundary
+    * invariant because counter sum is associative, so the oracle is the
+    * plain batch CMS pipeline per hour window. Top-5 users per window
+    * with exact counts and the overestimate gap alongside.
+    */
+  def ev20_stream_heavy_hitters(spark: SparkSession, dir: String): DataFrame =
+    withStagedTable(dir, "events.parquet", "ev20_stream") { staged =>
+      val tmp = java.nio.file.Files.createTempDirectory("ev20_log").toString
+      graft.streaming.StreamingOps.cmsWindowStream(
+        graft.streaming.StreamingOps.readEvents(spark, staged), s"$tmp/log")
+      graft.streaming.StreamingOps.cmsWindowTopUsers(
+        spark, s"$tmp/log", t(spark, dir, "events"), k = 5)
+    }
+
   /** Composed cleaning pipeline: exact dedup -> contamination cut ->
     * quality gate -> language gate, one declarative plan.
     */

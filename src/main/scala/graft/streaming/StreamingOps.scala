@@ -549,6 +549,64 @@ object StreamingOps {
         .groupBy("window_start", "__idx").agg(max("m_j").as("m_j")),
       "window_start")
 
+  /** Streaming windowed frequency sketch — the Count-Min twin of
+    * [[hllWindowStream]], same merge-on-read shape: per micro-batch the
+    * batch's (hour window -> user) counts become a d x w counter
+    * matrix APPENDED to a log. Counters are additive, so read-time
+    * resolve (a (scope, r, idx) sum) is EXACTLY the batch-built matrix
+    * whatever the batch boundaries — state per window is <= 2048 longs
+    * however many users.
+    */
+  def cmsWindowStream(events: DataFrame, logDir: String): Unit = {
+    val q = events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Sketch.cmsCountersBy(
+          batch.toDF.select(
+            (expr("ts div 3600000000000") * 3600).as("window_start"),
+            col("user_id").cast("string").as("u"))
+            .groupBy("window_start", "u").agg(count(lit(1)).as("n")),
+          "window_start", "u", "n")
+          .write.mode("append").parquet(logDir)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Read-time resolve of [[cmsWindowStream]]'s counter log: fold by
+    * addition, then serve per-window top-k heavy-hitter users — the
+    * probe set (distinct (window, user)) and exact counts come from the
+    * batch events table, estimates from the resolved counters, ranking
+    * via the bounded typed top-k agg (no window over users).
+    */
+  def cmsWindowTopUsers(spark: SparkSession, logDir: String,
+      events: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val counters = spark.read.parquet(logDir)
+      .groupBy("scope", "r", "idx").agg(sum("c").as("c"))
+    val exact = events.select(
+        (expr("ts div 3600000000000") * 3600).as("window_start"),
+        col("user_id").cast("string").as("u"))
+      .groupBy("window_start", "u").agg(count(lit(1)).as("exact_cnt"))
+    val est = graft.operators.Sketch.cmsEstimateBy(
+      exact, "window_start", "u", counters)
+    val agg = new graft.operators.BoundedTopKByScoreAgg(k)
+    val top = est.select(col("window_start"), col("u").cast("long").as("uid"),
+        col("est_cnt"), col("exact_cnt"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._3.toDouble, t._2))
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (w, tops) => tops.map { case (e, uid) => (w, uid) } }
+      .toDF("window_start", "user_id")
+    top.join(est.select(col("window_start"), col("u").cast("long").as("user_id"),
+        col("est_cnt"), col("exact_cnt")), Seq("window_start", "user_id"))
+      .select(col("window_start"), col("user_id"),
+        col("est_cnt"), col("exact_cnt"),
+        expr("(est_cnt - exact_cnt) * 10000 div exact_cnt").as("err_bp"))
+  }
+
   /** Ingest-time quality gate + language tag (stateless): the c1
     * pipeline's per-document gates — token count, mean token length,
     * stopword ratio, heuristic lang-id — applied AT THE DOOR, before a

@@ -201,6 +201,38 @@ class MultiBatchStreamingSpec extends SparkSpec {
       "register max is associative: merge-on-read must equal the batch sketch")
   }
 
+  test("windowed CMS counter log resolves to the batch matrix across >= 3 batches") {
+    import spark.implicits._
+    val events = StreamingOps.readEventsBatch(spark, s"${sf("0.001")}/events.parquet")
+    val dir = stageSplitParquet(events, parts = 3, sortCol = "ts")
+    val tmp = java.nio.file.Files.createTempDirectory("cms_log").toString
+    StreamingOps.cmsWindowStream(
+      StreamingOps.readEvents(spark, s"$dir/*.parquet", maxFilesPerTrigger = Some(1)),
+      s"$tmp/log")
+    // >= 3 appended segments prove multi-batch (one parquet job each)
+    val segs = new java.io.File(s"$tmp/log").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(segs >= 3, s"expected >= 3 appended counter segments, got $segs")
+    // resolved log == the direct batch-built matrix, counter for counter
+    val resolved = spark.read.parquet(s"$tmp/log")
+      .groupBy("scope", "r", "idx").agg(sum("c").as("c"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val direct = graft.operators.Sketch.cmsCountersBy(
+      events.select((expr("ts div 3600000000000") * 3600).as("w"),
+        col("user_id").cast("string").as("u"))
+        .groupBy("w", "u").agg(count(lit(1)).as("n")),
+      "w", "u", "n")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(resolved === direct,
+      "summed per-batch counter matrices must BE the batch matrix")
+    // and the served report equals the all-batch rule
+    val report = StreamingOps.cmsWindowTopUsers(spark, s"$tmp/log", events, k = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(report.nonEmpty)
+    assert(report.forall { case (_, _, est, exact, err) =>
+      est >= exact && err === (est - exact) * 10000 / exact })
+  }
+
   test("streaming funnel cursor survives batches: reaches equal the batch matcher") {
     import spark.implicits._
     // hand-built funnel corpus: steps deliberately split so every user's
