@@ -101,6 +101,7 @@ object Bench {
     "d17_minhash_accuracy",
     "t22_hist_quantiles",
     "ev20_stream_heavy_hitters",
+    "j8_bloom_pruned_join",
     "m3_image_decode",
     "m4_image_dhash",
     "m5_audio_decode",

@@ -1317,6 +1317,16 @@ object Oracles {
         |FROM tok JOIN cnt USING (w), tot
         |GROUP BY doc_id""".stripMargin,
 
+    // bloom-pruned join: the sketch only prunes the probe-side
+    // exchange; false positives die in the join, so the oracle is the
+    // plain join (sum over integer-valued doubles is exact, cast BIGINT)
+    "j8_bloom_pruned_join" ->
+      """SELECT o_orderkey, count(*)::BIGINT AS n_lines,
+        |  sum(l_quantity)::BIGINT AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderkey""".stripMargin,
+
     // streaming windowed CMS: counter addition is associative, so the
     // resolved log == the batch matrix per window; replay the whole
     // pipeline per hour window, top-5 users on (est desc, user) order

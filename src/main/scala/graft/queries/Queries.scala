@@ -1421,6 +1421,23 @@ object Queries {
     TextAnalysis.fasttextQualityScore(
       t(spark, dir, "documents"), "doc_id", "text")
 
+  /** Bloom-pruned join (J8): lineitem probe pre-filtered by a Bloom
+    * sketch of the urgent-orders build keys before the join — the
+    * runtime-filter pattern as an explicit operator; false positives
+    * are discarded by the join, so the oracle is the plain join.
+    */
+  def j8_bloom_pruned_join(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = t(spark, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_totalprice")
+    BloomJoin.bloomPrunedJoin(
+      t(spark, dir, "lineitem").select("l_orderkey", "l_quantity"),
+      urgent, "l_orderkey", "o_orderkey")
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"))
+  }
+
   /** Salted equi-join: the static skew fallback, aggregated per key so
     * the result is the plain join's closed form.
     */
