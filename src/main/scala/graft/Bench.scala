@@ -102,6 +102,7 @@ object Bench {
     "t22_hist_quantiles",
     "ev20_stream_heavy_hitters",
     "j8_bloom_pruned_join",
+    "ev21_stream_retention",
     "m3_image_decode",
     "m4_image_dhash",
     "m5_audio_decode",

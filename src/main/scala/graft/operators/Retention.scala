@@ -33,9 +33,17 @@ object Retention {
       events: DataFrame,
       userCol: String,
       tsCol: String,
-      periodNs: Long = WeekNs): DataFrame = {
-    val e = events.select(col(userCol).as("user_id"),
-      expr(s"$tsCol div $periodNs").as("wk"))
+      periodNs: Long = WeekNs): DataFrame =
+    retentionFromActivity(events.select(col(userCol).as("user_id"),
+      expr(s"$tsCol div $periodNs").as("wk")))
+
+  /** The triangle from a raw (user_id, wk) activity stream — the entry
+    * point the streaming activity log shares with the batch path. Both
+    * aggregations are associative (set union for activity, min for the
+    * cohort), which is what makes the incremental form exact.
+    */
+  def retentionFromActivity(activity: DataFrame): DataFrame = {
+    val e = activity.select(col("user_id"), col("wk"))
     val cohorts = e.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
     // distinct (user, period): each user counts once per active period,
     // so the post-join count(*) IS the distinct-user count

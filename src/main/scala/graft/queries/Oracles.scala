@@ -1425,6 +1425,20 @@ object Oracles {
         |  (t.n * 10000 // b.b)::BIGINT AS retention_bp
         |FROM tri t JOIN base b USING (cohort_week)""".stripMargin,
 
+    // the streaming activity log must resolve to the identical triangle
+    "ev21_stream_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS wk FROM events),
+        |coh AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, wk FROM e),
+        |tri AS (SELECT cohort_week, wk - cohort_week AS week_offset,
+        |    count(*) AS n FROM act JOIN coh USING (user_id)
+        |  GROUP BY cohort_week, wk - cohort_week),
+        |base AS (SELECT cohort_week, n AS b FROM tri WHERE week_offset = 0)
+        |SELECT t.cohort_week::BIGINT AS cohort_week,
+        |  t.week_offset::BIGINT AS week_offset, t.n::BIGINT AS n_users,
+        |  (t.n * 10000 // b.b)::BIGINT AS retention_bp
+        |FROM tri t JOIN base b USING (cohort_week)""".stripMargin,
+
     // strict-subsequence funnel: per step, the earliest (ts, event_id)
     // strictly after the matched previous step (tuple comparison); a
     // step nobody reaches emits no row (matching the Spark side's

@@ -1735,6 +1735,20 @@ object Queries {
             col("exact_users") * 10000).cast("long").as("err_bp"))
     }
 
+  /** Streaming cohort retention (EV21): per-micro-batch distinct
+    * (user, week) pairs appended to an activity log (bounded by
+    * users x weeks, not events), resolved into ev17's triangle at read
+    * — exact under any batch boundaries because activity union and the
+    * cohort min are both associative. Shares ev17's oracle.
+    */
+  def ev21_stream_retention(spark: SparkSession, dir: String): DataFrame =
+    withStagedTable(dir, "events.parquet", "ev21_stream") { staged =>
+      val tmp = java.nio.file.Files.createTempDirectory("ev21_log").toString
+      graft.streaming.StreamingOps.retentionLogStream(
+        graft.streaming.StreamingOps.readEvents(spark, staged), s"$tmp/log")
+      graft.streaming.StreamingOps.retentionResolve(spark, s"$tmp/log")
+    }
+
   /** Streaming windowed heavy hitters (EV20): per-micro-batch Count-Min
     * counter matrices appended to a log (the frequency twin of ev15's
     * register log), resolved by addition at read — batch-boundary

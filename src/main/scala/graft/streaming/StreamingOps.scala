@@ -607,6 +607,36 @@ object StreamingOps {
         expr("(est_cnt - exact_cnt) * 10000 div exact_cnt").as("err_bp"))
   }
 
+  /** Streaming activity log for cohort retention — the merge-on-read
+    * member for the retention triangle: per micro-batch the batch's
+    * DISTINCT (user, week) pairs are appended. Both downstream
+    * aggregations are associative (activity = set union, cohort = min
+    * over weeks), so the resolved log computes EXACTLY the batch
+    * triangle whatever the batch boundaries — and the log is bounded by
+    * |users| x |weeks| pairs, not by events.
+    */
+  def retentionLogStream(events: DataFrame, logDir: String): Unit = {
+    val q = events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.toDF.select(col("user_id"),
+            expr(s"ts div ${graft.operators.Retention.WeekNs}").as("wk"))
+          .distinct()
+          .write.mode("append").parquet(logDir)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Read-time resolve of [[retentionLogStream]]'s activity log into
+    * the retention triangle (cross-batch repeats die in the triangle's
+    * own distinct).
+    */
+  def retentionResolve(spark: SparkSession, logDir: String): DataFrame =
+    graft.operators.Retention.retentionFromActivity(
+      spark.read.parquet(logDir))
+
   /** Ingest-time quality gate + language tag (stateless): the c1
     * pipeline's per-document gates — token count, mean token length,
     * stopword ratio, heuristic lang-id — applied AT THE DOOR, before a

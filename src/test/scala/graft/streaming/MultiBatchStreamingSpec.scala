@@ -201,6 +201,26 @@ class MultiBatchStreamingSpec extends SparkSpec {
       "register max is associative: merge-on-read must equal the batch sketch")
   }
 
+  test("retention activity log resolves to the batch triangle across >= 3 batches") {
+    import spark.implicits._
+    val events = StreamingOps.readEventsBatch(spark, s"${sf("0.001")}/events.parquet")
+    val dir = stageSplitParquet(events, parts = 3, sortCol = "ts")
+    val tmp = java.nio.file.Files.createTempDirectory("ret_log").toString
+    StreamingOps.retentionLogStream(
+      StreamingOps.readEvents(spark, s"$dir/*.parquet", maxFilesPerTrigger = Some(1)),
+      s"$tmp/log")
+    val segs = new java.io.File(s"$tmp/log").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(segs >= 3, s"expected >= 3 appended activity segments, got $segs")
+    val resolved = StreamingOps.retentionResolve(spark, s"$tmp/log")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = graft.operators.Retention.cohortRetention(events, "user_id", "ts")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(resolved === batch,
+      "min-merge cohorts + unioned activity must BE the batch triangle")
+    assert(resolved.nonEmpty)
+  }
+
   test("windowed CMS counter log resolves to the batch matrix across >= 3 batches") {
     import spark.implicits._
     val events = StreamingOps.readEventsBatch(spark, s"${sf("0.001")}/events.parquet")
