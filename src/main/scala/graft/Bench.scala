@@ -103,6 +103,7 @@ object Bench {
     "ev20_stream_heavy_hitters",
     "j8_bloom_pruned_join",
     "ev21_stream_retention",
+    "e16_bm25_batch",
     "m3_image_decode",
     "m4_image_dhash",
     "m5_audio_decode",

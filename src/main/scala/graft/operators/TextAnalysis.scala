@@ -171,17 +171,31 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       query: Seq[String],
-      k: Int): org.apache.spark.sql.DataFrame = {
+      k: Int): org.apache.spark.sql.DataFrame =
+    bm25Contribs(df, idCol, textCol, query)
+      .groupBy("doc_id")
+      .agg(sum(col("c10k")).as("score_x10k"), count(lit(1)).as("n_hit"))
+      .orderBy(col("score_x10k").desc, col("doc_id"))
+      .limit(k)
+
+  /** Per-(doc, term) integer contributions for the union of query
+    * terms — the shared kernel of the single-query and batched rankers.
+    */
+  private def bm25Contribs(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String]): org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("term"))
       .where(col("term") =!= "")
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     // 1-row corpus stats: N docs and summed length (avgdl = sl/nd)
     val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sl"))
-    val tf = toks.where(col("term").isin(query: _*))
+    val tf = toks.where(col("term").isin(terms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val contrib = tf.join(broadcast(dfreq), "term")
+    tf.join(broadcast(dfreq), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
@@ -194,10 +208,41 @@ object TextAnalysis {
               (col("dl").cast("double") /
                 (col("sl").cast("double") / col("nd").cast("double"))))))
       .withColumn("c10k", round(col("idf") * col("tfp") * 10000, 0).cast("long"))
-    contrib.groupBy("doc_id")
+      .select("doc_id", "term", "c10k")
+  }
+
+  /** Batched BM25 serving — the sparse twin of the batched dense ANN
+    * (e9): N queries answered in ONE corpus pass. The tf aggregation
+    * runs once over the UNION of all query terms (df stays per-term, so
+    * scores are identical to the one-query ranker); the tiny (qid,
+    * term) table broadcasts onto the contributions; per-query top-k via
+    * the bounded typed agg, never a window over docs.
+    */
+  def bm25BatchTopK(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: Seq[(Long, Seq[String])],
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val qdf = queries.flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
+      .toDF("qid", "term")
+    val scored = bm25Contribs(df, idCol, textCol, allTerms)
+      .join(broadcast(qdf), "term")
+      .groupBy("qid", "doc_id")
       .agg(sum(col("c10k")).as("score_x10k"), count(lit(1)).as("n_hit"))
-      .orderBy(col("score_x10k").desc, col("doc_id"))
-      .limit(k)
+    val agg = new BoundedTopKByScoreAgg(k)
+    val top = scored.select(col("qid"), col("doc_id"), col("score_x10k"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._3.toDouble, t._2))
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (qid, tops) => tops.map { case (_, d) => (qid, d) } }
+      .toDF("qid", "doc_id")
+    top.join(scored, Seq("qid", "doc_id"))
+      .select(col("qid"), col("doc_id"), col("score_x10k"), col("n_hit"))
   }
 
   // ---- PII detection / redaction ---------------------------------------

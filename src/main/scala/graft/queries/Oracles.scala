@@ -1825,6 +1825,7 @@ object Oracles {
   ) ++ Map(
     "d3_minhash_lsh_pairs" -> d3Sql,
     "d17_minhash_accuracy" -> d17Sql,
+    "e16_bm25_batch" -> e16Sql,
     "d4_simhash_pairs" -> d4Sql,
     "d7_dup_clusters" -> d7Sql,
     "d16_dupgraph_rank" -> d16Sql,
@@ -1972,6 +1973,39 @@ object Oracles {
        |       JOIN sig sb ON pr.doc_b = sb.doc_id)
        |SELECT doc_a, doc_b, round(agree, 4) AS sig_agreement
        |FROM ag WHERE agree >= 0.5""".stripMargin
+  }
+
+  /** Oracle for e16: the t21 BM25 pipeline over the UNION of the
+    * batch's terms (per-term df unchanged), scores per (qid, doc),
+    * per-query top-10 on the (score desc, doc_id) order. The query
+    * batch is interpolated from the Spark-side constant.
+    */
+  private def e16Sql: String = {
+    val vals = graft.queries.Queries.bm25BatchQueries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""WITH q AS (SELECT * FROM (VALUES $vals) v(qid, term)),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS nd, sum(dl)::BIGINT AS sl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
+       |  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |c AS (SELECT tf.doc_id, tf.term,
+       |    round(ln(((nd - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0) *
+       |      ((tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 *
+       |        (0.25 + 0.75 * (dl::DOUBLE / (sl::DOUBLE / nd::DOUBLE))))) * 10000,
+       |      0)::BIGINT AS c10k
+       |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats),
+       |s AS (SELECT q.qid, c.doc_id, sum(c10k)::BIGINT AS score_x10k,
+       |    count(*) AS n_hit
+       |  FROM c JOIN q USING (term) GROUP BY q.qid, c.doc_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY score_x10k DESC, doc_id) AS rn FROM s)
+       |SELECT qid::BIGINT AS qid, doc_id, score_x10k,
+       |  n_hit::BIGINT AS n_hit
+       |FROM rk WHERE rn <= 10""".stripMargin
   }
 
   /** Oracle for d17: the d3 signature/band machinery, integer agreement

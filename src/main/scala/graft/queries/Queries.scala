@@ -1478,6 +1478,23 @@ object Queries {
   def t20_cms_heavy_hitters(spark: SparkSession, dir: String): DataFrame =
     Sketch.cmsHeavyHitters(t(spark, dir, "documents"), "text", 20)
 
+  /** The e16 batch — mixed common/rare terms per query; shared with the
+    * oracle generator so both engines serve the identical batch.
+    */
+  val bm25BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "dup"),
+    1L -> Seq("window", "join", "hash"),
+    2L -> Seq("vector", "stream"))
+
+  /** Batched BM25 serving (E16): three keyword queries answered in one
+    * corpus pass — the sparse twin of e9's batched dense ANN. Per-term
+    * df is unchanged from the one-query ranker, so scores are
+    * identical; per-query top-10 via the bounded typed agg.
+    */
+  def e16_bm25_batch(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25BatchTopK(t(spark, dir, "documents"), "doc_id", "text",
+      bm25BatchQueries, 10)
+
   /** Log-histogram quantile sketch (T22): per-source doc-length
     * histograms (octave x 8 sub-bins, all-integer binning) plus their
     * '__all' merge, quantile estimates as bin upper edges with the

@@ -47,6 +47,23 @@ class Bm25Spec extends SparkSpec {
     assert(got(0)._2 > got(1)._2)
   }
 
+  test("batched serving equals the one-query ranker, per query") {
+    val corpus = docs(
+      (1L, "alpha beta gamma"), (2L, "alpha beta beta"), (3L, "gamma delta x"),
+      (4L, "delta delta beta"), (5L, "epsilon zeta x"))
+    val queries = Seq(0L -> Seq("alpha", "gamma"), 1L -> Seq("delta"), 2L -> Seq("beta"))
+    val batch = TextAnalysis.bm25BatchTopK(corpus, "doc_id", "text", queries, 3)
+      .select("qid", "doc_id", "score_x10k", "n_hit")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(r => (r._2, r._3, r._4)).toSet }
+    queries.foreach { case (qid, terms) =>
+      val single = TextAnalysis.bm25TopK(corpus, "doc_id", "text", terms, 3)
+        .select("doc_id", "score_x10k", "n_hit")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(batch(qid) === single, s"query $qid must score identically in batch")
+    }
+  }
+
   test("k bounds the result and the order is (score desc, doc_id)") {
     val corpus = docs((1L to 30L).map(i => i -> "term pad").toSeq: _*)
     val got = TextAnalysis.bm25TopK(corpus, "doc_id", "text", Seq("term"), 7)
