@@ -104,6 +104,7 @@ object Bench {
     "j8_bloom_pruned_join",
     "ev21_stream_retention",
     "e16_bm25_batch",
+    "ev22_stream_hist_quantiles",
     "m3_image_decode",
     "m4_image_dhash",
     "m5_audio_decode",

@@ -1347,6 +1347,30 @@ object Oracles {
         |  ((est - exact_cnt) * 10000 // exact_cnt)::BIGINT AS err_bp
         |FROM rk WHERE rn <= 5""".stripMargin,
 
+    // the streaming bin log must resolve to the identical t22 report
+    "ev22_stream_hist_quantiles" ->
+      """WITH b AS (SELECT source AS scope, n_chars + 1 AS v FROM documents),
+        |e AS (SELECT scope, v, length(bin(v)) - 1 AS e FROM b),
+        |s AS (SELECT scope, e, greatest(e - 3, 0) AS sh, v FROM e),
+        |m AS (SELECT scope, e, sh, v >> sh AS m FROM s),
+        |h0 AS (SELECT scope, e * 8 + (m % 8) AS bin, ((m + 1) << sh) - 2 AS edge,
+        |    count(*) AS cnt
+        |  FROM m GROUP BY 1, 2, 3),
+        |hall AS (SELECT '__all' AS scope, bin, edge, sum(cnt) AS cnt
+        |  FROM h0 GROUP BY bin, edge),
+        |h AS (SELECT * FROM h0 UNION ALL SELECT * FROM hall),
+        |c AS (SELECT scope, bin, edge, cnt,
+        |    sum(cnt) OVER (PARTITION BY scope ORDER BY bin) AS cum,
+        |    sum(cnt) OVER (PARTITION BY scope) AS n
+        |  FROM h),
+        |q AS (SELECT unnest([10, 50, 90, 99]) AS q_pct),
+        |hit AS (SELECT scope, q_pct, min(bin) AS bin FROM c, q
+        |  WHERE cum * 100 >= q_pct * n GROUP BY scope, q_pct)
+        |SELECT hit.scope, hit.q_pct::BIGINT AS q_pct, c.edge::BIGINT AS est_value,
+        |  (c.cum * 10000 // c.n)::BIGINT AS rank_bp,
+        |  (c.cum * 10000 // c.n - hit.q_pct * 100)::BIGINT AS err_bp
+        |FROM hit JOIN c ON hit.scope = c.scope AND hit.bin = c.bin""".stripMargin,
+
     // log-histogram quantile sketch: all-integer octave/mantissa bins
     // (binary-string length = the HLL-rho trick, so no libm
     // discretization can disagree across engines), '__all' = bin-count

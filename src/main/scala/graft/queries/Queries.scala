@@ -1782,6 +1782,21 @@ object Queries {
         spark, s"$tmp/log", t(spark, dir, "events"), k = 5)
     }
 
+  /** Streaming histogram quantiles (EV22): per-micro-batch log-histogram
+    * bins appended (the quantile member of the merge-on-read sketch
+    * family — registers max, counters add, bins add), resolved into
+    * t22's exact report at read. Shares t22's oracle.
+    */
+  def ev22_stream_hist_quantiles(spark: SparkSession, dir: String): DataFrame =
+    withStagedTable(dir, "documents.parquet", "ev22_stream") { staged =>
+      val tmp = java.nio.file.Files.createTempDirectory("ev22_log").toString
+      graft.streaming.StreamingOps.histLogStream(
+        graft.streaming.StreamingOps.readDocuments(
+          spark, s"$staged/documents.parquet"), s"$tmp/log")
+      graft.streaming.StreamingOps.histLogResolve(
+        spark, s"$tmp/log", Seq(10, 50, 90, 99))
+    }
+
   /** Composed cleaning pipeline: exact dedup -> contamination cut ->
     * quality gate -> language gate, one declarative plan.
     */

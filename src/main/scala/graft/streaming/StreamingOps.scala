@@ -607,6 +607,40 @@ object StreamingOps {
         expr("(est_cnt - exact_cnt) * 10000 div exact_cnt").as("err_bp"))
   }
 
+  /** Streaming histogram-bin log — the quantile member of the
+    * merge-on-read sketch family (registers: max; counters: add; bins:
+    * add): per micro-batch the batch's per-source log-histogram bins
+    * are appended; bin-count addition is associative, so the resolved
+    * log IS the batch histogram and downstream quantile estimates are
+    * batch-boundary invariant.
+    */
+  def histLogStream(docs: DataFrame, logDir: String): Unit = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Sketch.histBins(batch.toDF, "source", "n_chars")
+          .write.mode("append").parquet(logDir)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Read-time resolve of [[histLogStream]]: fold bins by addition,
+    * rebuild the '__all' merge, estimate quantiles — the same report
+    * t22 computes in batch.
+    */
+  def histLogResolve(spark: SparkSession, logDir: String,
+      qs: Seq[Int]): DataFrame = {
+    val perSource = spark.read.parquet(logDir)
+      .groupBy("scope", "bin", "edge")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+    graft.operators.Sketch.histQuantiles(
+      perSource.unionByName(
+        graft.operators.Sketch.histMerge(perSource, "__all")),
+      qs)
+  }
+
   /** Streaming activity log for cohort retention — the merge-on-read
     * member for the retention triangle: per micro-batch the batch's
     * DISTINCT (user, week) pairs are appended. Both downstream

@@ -201,6 +201,29 @@ class MultiBatchStreamingSpec extends SparkSpec {
       "register max is associative: merge-on-read must equal the batch sketch")
   }
 
+  test("histogram bin log resolves to the batch report across >= 3 batches") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${sf("0.001")}/documents.parquet")
+    val dir = stageSplitParquet(docs, parts = 3, sortCol = "doc_id")
+    val tmp = java.nio.file.Files.createTempDirectory("hist_log").toString
+    StreamingOps.histLogStream(
+      StreamingOps.readDocuments(spark, s"$dir/*.parquet", maxFilesPerTrigger = Some(1)),
+      s"$tmp/log")
+    val segs = new java.io.File(s"$tmp/log").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(segs >= 3, s"expected >= 3 appended bin segments, got $segs")
+    val qs = Seq(10, 50, 90, 99)
+    val resolved = StreamingOps.histLogResolve(spark, s"$tmp/log", qs)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val perSource = graft.operators.Sketch.histBins(docs, "source", "n_chars")
+    val batch = graft.operators.Sketch.histQuantiles(
+      perSource.unionByName(graft.operators.Sketch.histMerge(perSource, "__all")), qs)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(resolved === batch,
+      "summed per-batch bins must resolve to exactly the batch report")
+    assert(resolved.nonEmpty)
+  }
+
   test("retention activity log resolves to the batch triangle across >= 3 batches") {
     import spark.implicits._
     val events = StreamingOps.readEventsBatch(spark, s"${sf("0.001")}/events.parquet")
