@@ -1791,8 +1791,7 @@ object Queries {
     withStagedTable(dir, "documents.parquet", "ev22_stream") { staged =>
       val tmp = java.nio.file.Files.createTempDirectory("ev22_log").toString
       graft.streaming.StreamingOps.histLogStream(
-        graft.streaming.StreamingOps.readDocuments(
-          spark, s"$staged/documents.parquet"), s"$tmp/log")
+        graft.streaming.StreamingOps.readDocuments(spark, staged), s"$tmp/log")
       graft.streaming.StreamingOps.histLogResolve(
         spark, s"$tmp/log", Seq(10, 50, 90, 99))
     }
