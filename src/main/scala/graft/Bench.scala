@@ -105,6 +105,7 @@ object Bench {
     "ev21_stream_retention",
     "e16_bm25_batch",
     "ev22_stream_hist_quantiles",
+    "d18_source_overlap",
     "m3_image_decode",
     "m4_image_dhash",
     "m5_audio_decode",

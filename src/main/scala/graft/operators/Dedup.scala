@@ -694,6 +694,34 @@ object Dedup {
           .as("err_bp"))
   }
 
+  /** Cross-source shingle-overlap matrix — the corpus diversity report:
+    * exact Jaccard between every pair of sources over their DISTINCT
+    * 3-gram sets, in integer basis points. High overlap between two
+    * crawls means one is (near-)redundant; overlap against a benchmark
+    * source is contamination pressure. State is the distinct
+    * (source, gram) index (vocabulary-bounded, not corpus-bounded); the
+    * pair join runs on the gram key co-partitioned, and the result is
+    * |sources| choose 2 rows.
+    */
+  def sourceOverlap(
+      df: DataFrame,
+      srcCol: String,
+      textCol: String): DataFrame = {
+    val sg = df.select(col(srcCol).as("src"),
+        explode(Sketch.docShingles(textCol)).as("g"))
+      .distinct()
+    val sizes = sg.groupBy("src").agg(count(lit(1)).as("n"))
+    val pairs = sg.alias("a")
+      .join(sg.alias("b"), col("a.g") === col("b.g") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(broadcast(sizes.select(col("src").as("src_a"), col("n").as("__na"))), "src_a")
+      .join(broadcast(sizes.select(col("src").as("src_b"), col("n").as("__nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("common"),
+        expr("common * 10000 div (__na + __nb - common)").as("jaccard_bp"))
+  }
+
   /** Incremental NEAR-dup dedup — the minhash twin of [[incrementalExact]],
     * completing the dedup lifecycle for near-duplicates: a new batch is
     * checked against the EXISTING corpus via its two persistent index

@@ -1347,6 +1347,22 @@ object Oracles {
         |  ((est - exact_cnt) * 10000 // exact_cnt)::BIGINT AS err_bp
         |FROM rk WHERE rn <= 5""".stripMargin,
 
+    // cross-source shingle-overlap matrix: distinct (source, 3-gram)
+    // index, pair join on the gram key, exact Jaccard in integer bp
+    "d18_source_overlap" ->
+      """WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT source AS src, unnest(list_distinct(
+        |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)])) AS g
+        |  FROM tok WHERE len(t) >= 3),
+        |sz AS (SELECT src, count(*) AS n FROM sh GROUP BY src),
+        |pr AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.src < b.src
+        |  GROUP BY a.src, b.src)
+        |SELECT src_a, src_b, common::BIGINT AS common,
+        |  (common * 10000 // (sa.n + sb.n - common))::BIGINT AS jaccard_bp
+        |FROM pr JOIN sz sa ON pr.src_a = sa.src
+        |JOIN sz sb ON pr.src_b = sb.src""".stripMargin,
+
     // the streaming bin log must resolve to the identical t22 report
     "ev22_stream_hist_quantiles" ->
       """WITH b AS (SELECT source AS scope, n_chars + 1 AS v FROM documents),

@@ -1079,6 +1079,13 @@ object Queries {
     Dedup.minHashAccuracy(t(spark, dir, "documents"), "doc_id", "text",
       n = 3, k = 64, bands = 32, minAgree = 0.5, hashFamily = "md5")
 
+  /** Cross-source overlap matrix (D18): exact shingle Jaccard between
+    * every source pair in integer bp — redundancy between crawls,
+    * contamination pressure against benchmark sources.
+    */
+  def d18_source_overlap(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(t(spark, dir, "documents"), "source", "text")
+
   def d4_simhash_pairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(t(spark, dir, "documents"), "doc_id", "text",
       maxHamming = 3, hashFamily = "md5")

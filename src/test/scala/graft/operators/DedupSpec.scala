@@ -169,6 +169,23 @@ class DedupSpec extends SparkSpec {
     assert(acc.forall(_._3 >= 32L))
   }
 
+  test("source overlap: planted overlap measured exactly, pairs once, a < b") {
+    import spark.implicits._
+    val corpus = Seq(
+      // src A and B share exactly the 'x y z w' block (2 shingles);
+      // src C shares nothing with either
+      (1L, "A", "x y z w one two three"),
+      (2L, "B", "x y z w four five six"),
+      (3L, "C", "seven eight nine ten eleven")
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(corpus, "source", "text")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // A: 5 shingles, B: 5, common = {x y z, y z w} = 2; J = 2/8
+    assert(got(("A", "B")) === ((2L, 2500L)))
+    assert(got.size === 1, "disjoint pairs emit no row; each pair once")
+  }
+
   test("simhash: identical docs get identical hashes; near dups are close") {
     import spark.implicits._
     val hs = Dedup.simHash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
