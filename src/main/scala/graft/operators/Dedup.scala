@@ -63,6 +63,38 @@ object Dedup {
     case other  => throw new IllegalArgumentException(s"unknown hash family '$other'")
   }
 
+  /** Second independent 60-bit word of the SAME digest families, for the
+    * 120-bit simhash: md5 reuses one digest (hex chars 16-30 — DuckDB:
+    * ('0x' || substring(md5(s), 16, 15))::BIGINT), xx64 re-seeds.
+    */
+  private[graft] def md5Hash60Hi(s: String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes("UTF-8"))
+    // hex chars 16..30: the low nibble of byte 7, then bytes 8..14
+    var v = bytes(7) & 0x0fL
+    var i = 8
+    while (i < 15) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
+    v
+  }
+
+  private[graft] def xxHash60Hi(s: String): Long = {
+    val b = s.getBytes("UTF-8")
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 4242L) &
+      0x0fffffffffffffffL
+  }
+
+  /** (lo, hi) 60-bit hash pair per value — 120 independent bits for the
+    * wide simhash. One md5 digest serves both words; xx64 hashes twice
+    * (two seeds), still ~5x cheaper than the md5 digest.
+    */
+  private[graft] def hashFn2(family: String): String => (Long, Long) = family match {
+    case "md5"  => s => (md5Hash60(s), md5Hash60Hi(s))
+    case "xx64" => s => (xxHash60(s), xxHash60Hi(s))
+    case other  => throw new IllegalArgumentException(s"unknown hash family '$other'")
+  }
+
   /** Word n-gram (shingle) sets per document: distinct n-token shingles
     * from single-space tokenization. Documents with fewer than n tokens
     * are dropped.
@@ -1208,6 +1240,137 @@ object Dedup {
         col("l.simhash").as("ha"), col("r.simhash").as("hb"))
       .distinct()
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** 120-bit SimHash per document — the wide sketch behind the scaled
+    * near-dup path: bit votes over the (lo, hi) 60-bit token-hash pair
+    * ([[hashFn2]]), output as two 60-bit longs (sh_lo = bits 0..59,
+    * sh_hi = bits 60..119). Same single-pass kernel rationale as
+    * [[simHash]].
+    */
+  def simHash120(df: DataFrame, idCol: String, textCol: String,
+      hashFamily: String = "xx64"): DataFrame = {
+    val tokenHash = hashFn2(hashFamily)
+    val sim = udf((toks: Seq[String]) => {
+      val votes = new Array[Int](120)
+      val seen = new java.util.HashSet[String]()
+      toks.foreach { t =>
+        if (seen.add(t)) {
+          val (lo, hi) = tokenHash(t)
+          var j = 0
+          while (j < 60) {
+            if (((lo >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+            if (((hi >>> j) & 1L) == 1L) votes(60 + j) += 1 else votes(60 + j) -= 1
+            j += 1
+          }
+        }
+      }
+      var outLo = 0L
+      var outHi = 0L
+      var j = 0
+      while (j < 60) {
+        if (votes(j) > 0) outLo |= (1L << j)
+        if (votes(60 + j) > 0) outHi |= (1L << j)
+        j += 1
+      }
+      (outLo, outHi)
+    })
+    df.select(col(idCol).as("doc_id"), sim(split(col(textCol), " ")).as("s"))
+      .select(col("doc_id"), col("s._1").as("sh_lo"), col("s._2").as("sh_hi"))
+  }
+
+  /** Accumulator from the most recent [[simHashPairsScaled]] plan (test
+    * hook / post-run observability): chunk buckets whose membership
+    * crossed maxBucketRows.
+    */
+  @volatile private[graft] var lastOversizedChunks:
+      Option[org.apache.spark.util.LongAccumulator] = None
+
+  /** Occupancy-adaptive SimHash near-dup — the scale path for
+    * [[simHashPairs]], whose fixed 4x15-bit pigeonhole caps at 2^15
+    * buckets per chunk so per-bucket candidates grow quadratically once
+    * the corpus outgrows ~32k x occupancy (measured: 11.7x wall at 10x
+    * data). Two changes, both in the e12/autoBits mold:
+    *
+    *  - the sketch widens to 120 bits ([[simHash120]]), leaving 4
+    *    disjoint 30-bit regions to draw chunk keys from;
+    *  - the chunk-key WIDTH derives from the corpus size (one count()
+    *    job + [[SimilaritySearch.autoBits]]), so expected bucket
+    *    occupancy stays at targetOccupancy however large the corpus and
+    *    candidate volume tracks N, not N²/2^w. The 30-bit region cap
+    *    means O(1) occupancy holds to ~2^30 x targetOccupancy documents
+    *    (8B+ docs at the default) — past that, raise targetOccupancy.
+    *
+    * RECALL IS STILL EXACT (pigeonhole, any chunk width): the 4 chunk
+    * keys are disjoint bit sets, so a pair within Hamming distance <= 3
+    * of the FULL 120-bit sketch differs inside at most 3 of them and
+    * must agree on at least one — every true pair survives candidate
+    * generation and the exact 120-bit Hamming verify keeps it. Narrower
+    * chunks only lower precision (more candidates), never recall.
+    *
+    * SCALE GUARD (the [[embeddingCosinePairs]] pattern, minus its
+    * broadcast of every bucket count — at adaptive width the count
+    * table is ~N/occupancy rows, so it joins back co-partitioned on the
+    * chunk key instead): any bucket above maxBucketRows warns + bumps
+    * `dedup.simHashPairsScaled.oversizedBuckets` once. The guard
+    * observes; it never drops rows.
+    */
+  def simHashPairsScaled(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      hashFamily: String = "xx64",
+      targetOccupancy: Long = 8L,
+      maxBucketRows: Long = 1000000L): DataFrame = {
+    require(maxHamming <= 3, "chunking scheme assumes <= 3 for 4 chunks")
+    val spark = df.sparkSession
+    val w = SimilaritySearch.autoBits(df.count(), targetOccupancy)
+    val mask = (1L << w) - 1L
+    val sh = simHash120(df, idCol, textCol, hashFamily)
+    // 4 disjoint chunk keys: the low w bits of each 30-bit region
+    val chunkStructs = array(
+      struct(lit(0).as("chunk"), col("sh_lo").bitwiseAND(lit(mask)).as("cv")),
+      struct(lit(1).as("chunk"), shiftright(col("sh_lo"), 30).bitwiseAND(lit(mask)).as("cv")),
+      struct(lit(2).as("chunk"), col("sh_hi").bitwiseAND(lit(mask)).as("cv")),
+      struct(lit(3).as("chunk"), shiftright(col("sh_hi"), 30).bitwiseAND(lit(mask)).as("cv")))
+    val chunked = sh
+      .select(col("doc_id"), col("sh_lo"), col("sh_hi"), explode(chunkStructs).as("c"))
+      .select(col("doc_id"), col("sh_lo"), col("sh_hi"), col("c.chunk"), col("c.cv"))
+    val oversizedAcc = spark.sparkContext.longAccumulator(
+      "dedup.simHashPairsScaled.oversizedBuckets")
+    lastOversizedChunks = Some(oversizedAcc)
+    val warnOversized = udf { (chunk: Int, cv: Long, n: Long) =>
+      if (n > maxBucketRows) {
+        oversizedAcc.add(1)
+        org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup").warn(
+          s"simHashPairsScaled chunk $chunk bucket $cv holds $n rows " +
+            s"(> $maxBucketRows): the in-bucket pair join is O(m²) — raise " +
+            "targetOccupancy headroom or investigate a degenerate corpus " +
+            "(constant documents collapse to one sketch)")
+      }
+      true
+    }.asNondeterministic() // side-effecting: must not be pruned or reordered
+    // every (chunk, cv) of `chunked` appears in `sized`, so the inner
+    // join loses nothing; it exists to evaluate the guard once per
+    // bucket, co-partitioned on the same key the pair join shuffles on
+    val sized = chunked.groupBy("chunk", "cv")
+      .agg(count(lit(1)).as("__n"))
+      .filter(warnOversized(col("chunk"), col("cv"), col("__n")))
+      .select("chunk", "cv")
+    val l = chunked.join(sized, Seq("chunk", "cv")).alias("l")
+    val r = chunked.alias("r")
+    l.join(r, col("l.chunk") === col("r.chunk") && col("l.cv") === col("r.cv") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.sh_lo").as("ala"), col("l.sh_hi").as("aha"),
+        col("r.sh_lo").as("bla"), col("r.sh_hi").as("bha"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ala").bitwiseXOR(col("bla"))) +
+          bit_count(col("aha").bitwiseXOR(col("bha"))))
       .where(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }

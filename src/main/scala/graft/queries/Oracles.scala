@@ -1867,10 +1867,13 @@ object Oracles {
     "d17_minhash_accuracy" -> d17Sql,
     "e16_bm25_batch" -> e16Sql,
     "d4_simhash_pairs" -> d4Sql,
+    "d19_simhash_scaled" -> d19Sql,
     "d7_dup_clusters" -> d7Sql,
     "d16_dupgraph_rank" -> d16Sql,
     "t17_hll_distinct" -> t17Sql,
     "t18_hll_merge" -> t18Sql,
+    "t23_hll_accuracy" -> t23Sql,
+    "t24_hll_merge_accuracy" -> t24Sql,
     "t20_cms_heavy_hitters" -> t20Sql,
     "ev15_stream_hll_users" -> ev15Sql,
     "m10_video_neardup" -> m10Sql,
@@ -2147,16 +2150,23 @@ object Oracles {
        |SELECT node AS doc_id, r::BIGINT AS rank_ppm FROM r3""".stripMargin
   }
 
-  /** Oracle for t17: the HLL register pipeline replayed in SQL — same
-    * 60-bit hash, register index by modulus, rho from the binary-string
-    * length (`bin` renders without leading zeros in both engines),
-    * exact long register terms via `<<`. The alpha numerator literal is
-    * interpolated from the Spark constant so both engines divide the
-    * identical double.
+  /** Oracle for t17 (sketch-only): the HLL register pipeline replayed
+    * in SQL — same 60-bit hash, register index by modulus, rho from the
+    * binary-string length (`bin` renders without leading zeros in both
+    * engines), exact long register terms via `<<`. The alpha numerator
+    * literal is interpolated from the Spark constant so both engines
+    * divide the identical double. The exact-count accuracy artifact is
+    * t23's oracle.
     */
-  private def t17Sql: String = {
-    val aN = graft.operators.Sketch.hllAlphaNum.toString
-    val denom = "((s + (256 - occupied) * 9007199254740992)::DOUBLE)"
+  private def t17Sql: String =
+    s"""$hllLangRegSql
+       |SELECT lang, occupied::BIGINT AS occupied, $hllEstCase AS est_distinct
+       |FROM gr""".stripMargin
+
+  /** Shared t17/t23 register chain: per-lang distinct shingles → 60-bit
+    * hash → 256-register max-rho table → per-lang (occupied, s).
+    */
+  private def hllLangRegSql: String =
     s"""WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
        |sh AS (SELECT lang, unnest(list_distinct(
        |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)])) AS sh
@@ -2168,18 +2178,19 @@ object Oracles {
        |mj AS (SELECT lang, idx, max(rho) AS m_j FROM reg GROUP BY lang, idx),
        |gr AS (SELECT lang, count(*) AS occupied,
        |    sum((1::BIGINT << (53 - m_j)))::BIGINT AS s
-       |  FROM mj GROUP BY lang),
+       |  FROM mj GROUP BY lang)""".stripMargin
+
+  /** Oracle for t23: t17's pipeline plus the exact distinct count and
+    * err_bp — the accuracy artifact row.
+    */
+  private def t23Sql: String =
+    s"""$hllLangRegSql,
        |ex AS (SELECT lang, count(DISTINCT sh) AS exact_distinct FROM h GROUP BY lang),
-       |est AS (SELECT lang, occupied,
-       |    round(CASE WHEN $aN / $denom <= 640.0 AND occupied < 256
-       |               THEN 256.0 * ln(256.0 / ((256 - occupied)::DOUBLE))
-       |               ELSE $aN / $denom END, 4) AS est_distinct
-       |  FROM gr)
+       |est AS (SELECT lang, occupied, $hllEstCase AS est_distinct FROM gr)
        |SELECT est.lang, occupied::BIGINT AS occupied, est_distinct,
        |  exact_distinct::BIGINT AS exact_distinct,
        |  floor(abs(est_distinct - exact_distinct) / exact_distinct * 10000)::BIGINT AS err_bp
        |FROM est JOIN ex ON est.lang = ex.lang""".stripMargin
-  }
 
   /** The HLL estimate arithmetic shared by t17/t18/ev15 oracles: raw
     * bias-corrected estimate with the linear-counting small-range
@@ -2193,11 +2204,11 @@ object Oracles {
        |      ELSE $aN / $denom END, 4)""".stripMargin
   }
 
-  /** Oracle for t18: per-source registers, their '__union' max-merge
-    * (identical to the union's own registers by max associativity),
-    * estimates + exact counts per scope.
+  /** Shared t18/t24 register chain: per-source registers plus their
+    * '__union' max-merge (identical to the union's own registers by max
+    * associativity) → per-scope (occupied, s).
     */
-  private def t18Sql: String =
+  private def hllSourceRegSql: String =
     s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
        |sh AS (SELECT source, unnest(list_distinct(
        |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)])) AS sh
@@ -2211,7 +2222,17 @@ object Oracles {
        |m2 AS (SELECT * FROM mj UNION ALL SELECT * FROM mju),
        |gr AS (SELECT source, count(*) AS occupied,
        |    sum((1::BIGINT << (53 - m_j)))::BIGINT AS s
-       |  FROM m2 GROUP BY source),
+       |  FROM m2 GROUP BY source)""".stripMargin
+
+  /** Oracle for t18 (sketch-only): per-source + '__union' estimates. */
+  private def t18Sql: String =
+    s"""$hllSourceRegSql
+       |SELECT source, occupied::BIGINT AS occupied, $hllEstCase AS est_distinct
+       |FROM gr""".stripMargin
+
+  /** Oracle for t24: t18's pipeline plus exact counts per scope. */
+  private def t24Sql: String =
+    s"""$hllSourceRegSql,
        |exs AS (SELECT source, count(DISTINCT sh) AS exact_distinct FROM h GROUP BY source
        |  UNION ALL SELECT '__union', count(DISTINCT sh) FROM h),
        |est AS (SELECT source, occupied, $hllEstCase AS est_distinct FROM gr)
@@ -2320,6 +2341,54 @@ object Oracles {
        |         ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, bit_count(xor(ha, hb))::INTEGER AS hamming
        |FROM pr WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin
+  }
+
+  /** Generated oracle for d19: 120-bit simhash from the (lo, hi) md5
+    * hash pair (hex chars 1-15 and 16-30), 4 disjoint chunk keys whose
+    * width replays [[graft.operators.SimilaritySearch.autoBits]] from
+    * count(*) (targetOccupancy 8, 30-bit region cap), Hamming <= 3 over
+    * the full 120 bits. `length(bin(x))` = 64 - nlz(x) for x >= 1 —
+    * the same integer-log trick the HLL oracle uses.
+    */
+  private def d19Sql: String = {
+    val votesLo = (0 until 60).map(j =>
+      s"sum(CASE WHEN (hlo >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j").mkString(",\n  ")
+    val votesHi = (0 until 60).map(j =>
+      s"sum(CASE WHEN (hhi >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS w$j").mkString(",\n  ")
+    val bitsLo = (0 until 60).map(j =>
+      s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" +\n  ")
+    val bitsHi = (0 until 60).map(j =>
+      s"(CASE WHEN w$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" +\n  ")
+    val chunkIds = (0 until 4).mkString("[", ", ", "]")
+    val chunkVals = Seq(
+      "sh_lo & msk", "(sh_lo >> 30) & msk", "sh_hi & msk", "(sh_hi >> 30) & msk")
+      .mkString("[", ", ", "]")
+    s"""WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+       |            FROM documents),
+       |th AS (SELECT doc_id, ${h60("t")} AS hlo,
+       |         ('0x' || substring(md5(t), 16, 15))::BIGINT AS hhi FROM tk),
+       |v AS (SELECT doc_id,
+       |  $votesLo,
+       |  $votesHi
+       |  FROM th GROUP BY doc_id),
+       |sh AS (SELECT doc_id,
+       |  $bitsLo AS sh_lo,
+       |  $bitsHi AS sh_hi
+       |  FROM v),
+       |wb AS (SELECT CASE WHEN count(*) <= 8 THEN 1
+       |         ELSE LEAST(30, length(bin((count(*) + 7) // 8 - 1))) END AS w
+       |       FROM documents),
+       |mk AS (SELECT ((1::BIGINT << w) - 1) AS msk FROM wb),
+       |ch AS (SELECT doc_id, sh_lo, sh_hi,
+       |         unnest($chunkIds) AS chunk, unnest($chunkVals) AS cv
+       |       FROM sh, mk),
+       |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.sh_lo AS ala, a.sh_hi AS aha, b.sh_lo AS bla, b.sh_hi AS bha
+       |       FROM ch a JOIN ch b
+       |         ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  (bit_count(xor(ala, bla)) + bit_count(xor(aha, bha)))::INTEGER AS hamming
+       |FROM pr WHERE bit_count(xor(ala, bla)) + bit_count(xor(aha, bha)) <= 3""".stripMargin
   }
 
   /** Generated oracle for e2 (nBits=4, seed 42, dim 64): the random

@@ -1090,6 +1090,17 @@ object Queries {
     Dedup.simHashPairs(t(spark, dir, "documents"), "doc_id", "text",
       maxHamming = 3, hashFamily = "md5")
 
+  /** d4's occupancy-adaptive scale path (D19): 120-bit simhash, chunk-key
+    * width derived from the corpus size so bucket occupancy — and with it
+    * candidate volume per document — stays O(1) at any corpus scale.
+    * Recall vs the 120-bit Hamming ball is still exact (pigeonhole holds
+    * for any disjoint chunks); md5 flavor so the oracle replays the
+    * sketch AND the adaptive width from count(*).
+    */
+  def d19_simhash_scaled(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairsScaled(t(spark, dir, "documents"), "doc_id", "text",
+      maxHamming = 3, hashFamily = "md5", targetOccupancy = 8L)
+
   /** Duplicate-cluster resolution over the minhash pair graph: connected
     * components turn pair hits into per-doc cluster ids (keeper = the
     * min id). md5 flavor so the oracle reproduces the pair set.
@@ -1695,14 +1706,42 @@ object Queries {
       "doc_a", "doc_b", iters = 3)
       .select(col("node").as("doc_id"), col("rank_ppm"))
 
-  /** HyperLogLog distinct-shingle cardinality per language (T17), with
-    * the exact count alongside — the e6-style accuracy artifact for the
-    * sketch family. The sketch side's only shuffle emits <= 256 rows
-    * per language however large the corpus; the exact side (here only
-    * to measure the sketch) shuffles every distinct shingle. err_bp is
-    * the estimate's error in basis points.
+  /** HyperLogLog distinct-shingle cardinality per language (T17) —
+    * the SKETCH-ONLY plan, so this bench row times what the sketch
+    * actually costs at scale: the only shuffle emits <= 256 rows per
+    * language however large the corpus. The exact-comparison accuracy
+    * artifact lives in [[t23_hll_accuracy]] (the e6 pattern — r10
+    * timed both sides in one row and attributed 76 s of exact-side
+    * shuffle at sf1 to "the sketch").
     */
   def t17_hll_distinct(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val vals = docs.select(col("lang"), explode(Sketch.docShingles()).as("sh"))
+    Sketch.hllEstimate(Sketch.hllRegisters(vals, "lang", "sh"), "lang")
+  }
+
+  /** Sketch mergeability (T18): per-source HLL registers plus their
+    * max-merge into a '__union' sketch — the property that makes
+    * sketches THE cardinality tool at 100 TB: per-day / per-source
+    * registers combine by elementwise max into exactly the union's
+    * sketch without re-reading any input (spec asserts the equality
+    * exactly). Sketch-only plan; the exact-count accuracy artifact is
+    * [[t24_hll_merge_accuracy]].
+    */
+  def t18_hll_merge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val vals = docs.select(col("source"), explode(Sketch.docShingles()).as("sh"))
+    val regs = Sketch.hllRegisters(vals, "source", "sh").localCheckpoint(true)
+    Sketch.hllEstimate(
+      regs.union(Sketch.hllMerge(regs, "source", "__union")), "source")
+  }
+
+  /** HLL accuracy artifact (T23): t17's estimate joined to the exact
+    * distinct count, error in basis points — the row that MEASURES the
+    * sketch (and pays the exact side's full-distinct shuffle to do it;
+    * that cost belongs to this row, not to t17's).
+    */
+  def t23_hll_accuracy(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val vals = docs.select(col("lang"), explode(Sketch.docShingles()).as("sh"))
     val est = Sketch.hllEstimate(Sketch.hllRegisters(vals, "lang", "sh"), "lang")
@@ -1714,14 +1753,11 @@ object Queries {
           col("exact_distinct") * 10000).cast("long").as("err_bp"))
   }
 
-  /** Sketch mergeability (T18): per-source HLL registers plus their
-    * max-merge into a '__union' sketch — the property that makes
-    * sketches THE cardinality tool at 100 TB: per-day / per-source
-    * registers combine by elementwise max into exactly the union's
-    * sketch without re-reading any input (spec asserts the equality
-    * exactly; this row records the estimates against exact counts).
+  /** HLL merge accuracy artifact (T24): t18's per-source + '__union'
+    * estimates against exact distinct counts (the union row proves the
+    * max-merge estimates the true union cardinality, not a sum).
     */
-  def t18_hll_merge(spark: SparkSession, dir: String): DataFrame = {
+  def t24_hll_merge_accuracy(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val vals = docs.select(col("source"), explode(Sketch.docShingles()).as("sh"))
     val regs = Sketch.hllRegisters(vals, "source", "sh").localCheckpoint(true)

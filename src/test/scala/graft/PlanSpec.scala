@@ -277,6 +277,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"group-by-hash, not a self-join:\n$plan")
   }
 
+  test("d19 scaled simhash: chunk equi-join candidates, no cartesian, guard co-partitioned") {
+    val plan = planOf(Queries.d19_simhash_scaled(spark, sf("0.001")))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"candidates must come from the adaptive chunk equi-join:\n$plan")
+    // the occupancy guard aggregates on the SAME (chunk, cv) key the pair
+    // join shuffles on — partial+final, never a broadcast of a count
+    // table that is ~N/occupancy rows at scale
+    assert(plan.contains("partial_count") || plan.contains("partial"), plan)
+  }
+
   test("m6 image near-dup: chunk equi-join candidates, no cartesian product") {
     val plan = planOf(Queries.m6_image_neardup(spark, sf("0.001")))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),

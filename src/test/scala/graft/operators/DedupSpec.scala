@@ -614,6 +614,67 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
   }
 
+  test("md5 hash pair words match the oracle's hex substrings") {
+    import spark.implicits._
+    val vals = Seq("the", "quick brown", "x", "jumps over the lazy dog")
+    val expected = vals.toDF("s").select(
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"),
+        conv(substring(md5(col("s")), 16, 15), 16, 10).cast("long"))
+      .as[(Long, Long)].collect()
+    vals.zip(expected).foreach { case (s, (lo, hi)) =>
+      assert(Dedup.md5Hash60(s) === lo, s)
+      assert(Dedup.md5Hash60Hi(s) === hi, s)
+    }
+  }
+
+  // the scaled path's whole claim: candidate generation at ANY chunk
+  // width loses no pair of the 120-bit Hamming ball (pigeonhole over
+  // disjoint chunks), and the exact verify makes the output set EQUAL
+  // to brute force — checked on a random near-dup-rich corpus for both
+  // hash families
+  test("simHashPairsScaled == brute-force 120-bit hamming pairs (exact recall)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa", "lam", "mu")
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.fill(14)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    // exact dups (hamming 0) + one-token edits (small hamming)
+    val edits = base.take(10).map { case (id, t) =>
+      val toks = t.split(" "); toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.length))
+      (id + 100L, toks.mkString(" "))
+    }
+    val dups = base.take(5).map { case (id, t) => (id + 200L, t) }
+    val corpus = (base ++ edits ++ dups).toDF("doc_id", "text")
+    for (fam <- Seq("md5", "xx64")) {
+      val sketches = Dedup.simHash120(corpus, "doc_id", "text", fam)
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      val brute = (for {
+        i <- sketches.indices; j <- (i + 1) until sketches.length
+        (ia, la, ha) = sketches(i); (ib, lb, hb) = sketches(j)
+        d = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
+        if d <= 3
+      } yield (ia, ib, d)).toSet
+      val got = Dedup.simHashPairsScaled(corpus, "doc_id", "text",
+          maxHamming = 3, hashFamily = fam, targetOccupancy = 8L)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got === brute, fam)
+      assert(got.nonEmpty, s"$fam: planted exact dups must pair")
+    }
+  }
+
+  test("simHashPairsScaled oversized-bucket guard observes, never drops") {
+    import spark.implicits._
+    val baseline = Dedup.simHashPairsScaled(docs, "doc_id", "text",
+      hashFamily = "md5").as[(Long, Long, Int)].collect().toSet
+    val guarded = Dedup.simHashPairsScaled(docs, "doc_id", "text",
+      hashFamily = "md5", maxBucketRows = 0L).as[(Long, Long, Int)].collect().toSet
+    assert(guarded === baseline, "guard must not change the result")
+    assert(Dedup.lastOversizedChunks.exists(_.value > 0),
+      "every bucket oversized at maxBucketRows=0: the accumulator must fire")
+  }
+
   // same fold order as the ivfCells / cosine_sim kernels (sequential
   // index-order dot and norm accumulation) so the reference is
   // bit-identical, not merely close
