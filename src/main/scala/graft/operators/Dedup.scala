@@ -733,7 +733,12 @@ object Dedup {
     * source is contamination pressure. State is the distinct
     * (source, gram) index (vocabulary-bounded, not corpus-bounded); the
     * pair join runs on the gram key co-partitioned, and the result is
-    * |sources| choose 2 rows.
+    * exactly |sources| choose 2 rows (sources = those with at least one
+    * shingle): a fully disjoint pair reports (common 0, jaccard_bp 0)
+    * rather than vanishing — in a diversity/contamination report,
+    * "zero overlap" is a finding, not an absence. The pair frame is
+    * built from the |sources|-row size table (bounded, broadcast), so
+    * the inequality join costs nothing at any corpus size.
     */
   def sourceOverlap(
       df: DataFrame,
@@ -747,9 +752,12 @@ object Dedup {
       .join(sg.alias("b"), col("a.g") === col("b.g") && col("a.src") < col("b.src"))
       .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
       .agg(count(lit(1)).as("common"))
-    pairs
-      .join(broadcast(sizes.select(col("src").as("src_a"), col("n").as("__na"))), "src_a")
-      .join(broadcast(sizes.select(col("src").as("src_b"), col("n").as("__nb"))), "src_b")
+    val allPairs = sizes.select(col("src").as("src_a"), col("n").as("__na"))
+      .join(broadcast(sizes.select(col("src").as("src_b"), col("n").as("__nb"))),
+        col("src_a") < col("src_b"))
+    allPairs
+      .join(pairs, Seq("src_a", "src_b"), "left")
+      .withColumn("common", coalesce(col("common"), lit(0L)))
       .select(col("src_a"), col("src_b"), col("common"),
         expr("common * 10000 div (__na + __nb - common)").as("jaccard_bp"))
   }

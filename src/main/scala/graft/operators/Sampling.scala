@@ -273,6 +273,13 @@ object Sampling {
     * as a bounded-buffer typed aggregation (partial+final, n-row state
     * per stratum), not a window over the stratum: a 100 TB stratum
     * never sorts.
+    *
+    * Non-positive (and null) weights are filtered out: the Efraimidis-
+    * Spirakis key is only defined for w > 0, and "weight 0" means zero
+    * probability mass — without the filter, ln(u)/0 = -Inf (or NaN when
+    * the ticket maxes out at u = 1) and NaN ranks FIRST in the top-k
+    * buffer, so a zero-weight row would deterministically steal a
+    * sample slot from every positive-weight row.
     */
   def weightedSample(
       df: DataFrame,
@@ -285,7 +292,8 @@ object Sampling {
     // u = (h60 + 1) / 2^60 in (0, 1]; es = ln(u) / w in (-inf, 0]
     val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
       .cast("long")
-    val keyed = df.select(col(stratumCol).cast("string").as("stratum"),
+    val keyed = df.where(col(weightCol).cast("double") > 0)
+      .select(col(stratumCol).cast("string").as("stratum"),
       col(idCol).cast("long").as("id"),
       (log((h + lit(1L)).cast("double") / lit(1152921504606846976.0)) /
         col(weightCol).cast("double")).as("es"))

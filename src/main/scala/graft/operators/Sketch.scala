@@ -135,14 +135,20 @@ object Sketch {
     * 2048 rows by construction) and takes the min. Carries every other
     * column of `values` through the groupBy so callers keep their
     * exact-count column for error reporting.
+    *
+    * The probe is a LEFT join with absent cells as 0: a value that was
+    * never inserted leaves some (or all) of its d cells unoccupied, and
+    * the true CMS answer for it is min(..., 0) = 0 — an inner join
+    * would silently drop it or report only its colliding cells'
+    * inflated min.
     */
   def cmsEstimate(values: DataFrame, valueCol: String, counters: DataFrame): DataFrame = {
     val carry = values.columns.map(col)
     values.select(carry :+ explode(sequence(lit(0), lit(CmsD - 1))).as("r"): _*)
       .withColumn("idx", cmsIdx(col("r"), col(valueCol)))
-      .join(broadcast(counters), Seq("r", "idx"))
+      .join(broadcast(counters), Seq("r", "idx"), "left")
       .groupBy(values.columns.head, values.columns.tail: _*)
-      .agg(min(col("c")).as("est_cnt"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_cnt"))
   }
 
   /** Scoped counter matrices: one d x w matrix PER scope value (hour
@@ -162,7 +168,8 @@ object Sketch {
 
   /** Scoped point estimates: like [[cmsEstimate]] but probing the
     * matching scope's counters. The counter table is bounded by
-    * |scopes| * d * w rows and broadcasts.
+    * |scopes| * d * w rows and broadcasts. Left join + 0 for absent
+    * cells, same rationale as [[cmsEstimate]].
     */
   def cmsEstimateBy(values: DataFrame, scopeCol: String, valueCol: String,
       counters: DataFrame): DataFrame = {
@@ -170,9 +177,9 @@ object Sketch {
     values.select(carry :+ explode(sequence(lit(0), lit(CmsD - 1))).as("r"): _*)
       .withColumn("idx", cmsIdx(col("r"), col(valueCol)))
       .withColumn("scope", col(scopeCol))
-      .join(broadcast(counters), Seq("scope", "r", "idx"))
+      .join(broadcast(counters), Seq("scope", "r", "idx"), "left")
       .groupBy(values.columns.head, values.columns.tail: _*)
-      .agg(min(col("c")).as("est_cnt"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_cnt"))
   }
 
   /** Heavy hitters: top-k whitespace tokens of a text corpus by

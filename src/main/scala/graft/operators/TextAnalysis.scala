@@ -406,6 +406,12 @@ object TextAnalysis {
     val p = when(col("prev").isNull, pUni)
       .otherwise(lit(0.75) * (col("cb").cast("double") / col("cc").cast("double")) +
         lit(0.25) * pUni)
+    // per-token -log2(p) fixed to integer 1e-4 bit units BEFORE the
+    // per-doc sum (the bm25Contribs pattern): double addition is not
+    // associative, so a partition-order-dependent double sum could
+    // differ from the oracle's ordered sum at the rounding boundary —
+    // long sums are exact and order-free
+    val bq = round(-log(p) / log(lit(2.0)) * 10000, 0).cast("long")
     pairs.join(uni, "w")
       .join(bi, Seq("prev", "w"), "left")
       .join(ctx, Seq("prev"), "left")
@@ -413,7 +419,8 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(sum(-log(p) / log(lit(2.0))) / count(lit(1)), 4).as("bits_per_token"))
+        round(sum(bq).cast("double") / lit(10000.0) / count(lit(1)).cast("double"), 4)
+          .as("bits_per_token"))
   }
 
   /** First-iteration BPE statistics: corpus-wide counts of adjacent

@@ -1348,7 +1348,8 @@ object Oracles {
         |FROM rk WHERE rn <= 5""".stripMargin,
 
     // cross-source shingle-overlap matrix: distinct (source, 3-gram)
-    // index, pair join on the gram key, exact Jaccard in integer bp
+    // index, pair join on the gram key, exact Jaccard in integer bp;
+    // every choose-2 source pair reports, disjoint pairs as 0
     "d18_source_overlap" ->
       """WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT source AS src, unnest(list_distinct(
@@ -1357,11 +1358,13 @@ object Oracles {
         |sz AS (SELECT src, count(*) AS n FROM sh GROUP BY src),
         |pr AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS common
         |  FROM sh a JOIN sh b ON a.g = b.g AND a.src < b.src
-        |  GROUP BY a.src, b.src)
-        |SELECT src_a, src_b, common::BIGINT AS common,
-        |  (common * 10000 // (sa.n + sb.n - common))::BIGINT AS jaccard_bp
-        |FROM pr JOIN sz sa ON pr.src_a = sa.src
-        |JOIN sz sb ON pr.src_b = sb.src""".stripMargin,
+        |  GROUP BY a.src, b.src),
+        |ap AS (SELECT sa.src AS src_a, sb.src AS src_b, sa.n AS na, sb.n AS nb
+        |  FROM sz sa JOIN sz sb ON sa.src < sb.src)
+        |SELECT ap.src_a, ap.src_b, coalesce(pr.common, 0)::BIGINT AS common,
+        |  (coalesce(pr.common, 0) * 10000 // (na + nb - coalesce(pr.common, 0)))::BIGINT
+        |    AS jaccard_bp
+        |FROM ap LEFT JOIN pr ON ap.src_a = pr.src_a AND ap.src_b = pr.src_b""".stripMargin,
 
     // the streaming bin log must resolve to the identical t22 report
     "ev22_stream_hist_quantiles" ->
@@ -1492,7 +1495,9 @@ object Oracles {
     // interpolated bigram LM: parallel unnests zip positionally, so the
     // (prev, w) pair stream is the same the Spark UDF kernel emits;
     // every observed bigram self-scores, so the bigram legs left-join
-    // but only doc-initial rows fall to the unigram branch
+    // but only doc-initial rows fall to the unigram branch. Per-token
+    // -log2(p) fixed to integer 1e-4 bit units before the per-doc sum
+    // (long sums are associative; double sums are not)
     "t19_bigram_ppl" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |pr AS (SELECT doc_id,
@@ -1505,9 +1510,10 @@ object Oracles {
         |  WHERE prev IS NOT NULL GROUP BY prev, w),
         |ctx AS (SELECT prev, sum(cb) AS cc FROM bi GROUP BY prev)
         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
-        |  round(sum(-ln(CASE WHEN pr.prev IS NULL THEN uni.c::DOUBLE / t
+        |  round(sum(round(-ln(CASE WHEN pr.prev IS NULL THEN uni.c::DOUBLE / t
         |      ELSE 0.75 * (bi.cb::DOUBLE / ctx.cc::DOUBLE)
-        |        + 0.25 * (uni.c::DOUBLE / t) END) / ln(2.0)) / count(*), 4)
+        |        + 0.25 * (uni.c::DOUBLE / t) END) / ln(2.0) * 10000, 0)::BIGINT
+        |    )::DOUBLE / 10000.0 / count(*)::DOUBLE, 4)
         |    AS bits_per_token
         |FROM pr JOIN uni USING (w)
         |LEFT JOIN bi ON pr.prev = bi.prev AND pr.w = bi.w

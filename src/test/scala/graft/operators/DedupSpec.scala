@@ -183,7 +183,12 @@ class DedupSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
     // A: 5 shingles, B: 5, common = {x y z, y z w} = 2; J = 2/8
     assert(got(("A", "B")) === ((2L, 2500L)))
-    assert(got.size === 1, "disjoint pairs emit no row; each pair once")
+    // every choose-2 pair reports exactly once, a < b; a fully disjoint
+    // pair is a (0, 0) FINDING, not a missing row — in a contamination
+    // report "no overlap" must be distinguishable from "source absent"
+    assert(got.size === 3, "3 sources -> 3 pairs, zero-overlap included")
+    assert(got(("A", "C")) === ((0L, 0L)))
+    assert(got(("B", "C")) === ((0L, 0L)))
   }
 
   test("simhash: identical docs get identical hashes; near dups are close") {

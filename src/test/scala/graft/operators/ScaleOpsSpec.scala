@@ -146,6 +146,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(again === rows.toSet)
   }
 
+  test("weighted sample: non-positive weights never claim a slot") {
+    import spark.implicits._
+    // 50 positive-weight docs + planted weight-0 / negative / null rows;
+    // before the guard, weight 0 gave ln(u)/0 = -Inf (or NaN at u = 1)
+    // and NaN ranked FIRST in the top-k buffer — a zero-weight row could
+    // deterministically steal a sample slot
+    val docs = spark.range(50)
+      .select(lit("s").as("src"), col("id").as("doc_id"), lit(5L).as("w"))
+      .union(Seq(("s", 900L, 0L), ("s", 901L, -3L)).toDF("src", "doc_id", "w"))
+      .union(Seq(("s", 902L)).toDF("src", "doc_id")
+        .withColumn("w", lit(null).cast("long")))
+    val got = Sampling.weightedSample(docs, "src", "doc_id", "w", 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.size === 20)
+    assert(!got.exists(_ >= 900L),
+      "zero/negative/null-weight rows have no probability mass")
+  }
+
   test("epoch upsample: replication tracks centi-epochs; copies contiguous; deterministic") {
     import spark.implicits._
     val docs = (0 until 3000).map(i =>

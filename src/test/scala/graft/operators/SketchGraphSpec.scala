@@ -85,6 +85,23 @@ class SketchGraphSpec extends SparkSpec {
     assert(tinyEst.forall { case (w, e) => e === w })
   }
 
+  test("CMS probe of a never-inserted value estimates 0, not dropped/inflated") {
+    // counters built from 10 values; probe 5 of them plus 5 absent ones
+    // — an absent value leaves (some of) its d cells unoccupied, and the
+    // true CMS answer is min(..., 0) = 0; the old inner-join probe
+    // either dropped the row or min'd only its colliding cells
+    val tiny = spark.range(10)
+      .select(concat(lit("t"), col("id")).as("v"), (col("id") + 1).as("w"))
+    val counters = Sketch.cmsCounters(tiny, "v", "w")
+    val probes = spark.range(10)
+      .select(concat(lit("t"), col("id") + 5).as("v"))
+    val est = Sketch.cmsEstimate(probes, "v", counters)
+      .select(col("v"), col("est_cnt")).as[(String, Long)].collect().toMap
+    assert(est.size === 10, "every probed value must report")
+    (5 until 10).foreach(i => assert(est(s"t$i") === i + 1L, "inserted: exact"))
+    (10 until 15).foreach(i => assert(est(s"t$i") === 0L, "absent: 0"))
+  }
+
   test("CMS counter matrix is bounded by d*w and mass-preserving per row") {
     val weighted = spark.range(50000)
       .select(concat(lit("v"), col("id")).as("v"), lit(1L).as("w"))
