@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -152,6 +152,35 @@ case class K7Scores(first: Expression, second: Expression, third: Expression, ma
     copy(first = f, second = s, third = t)
 }
 
+/** fisher_phred(a, b, c, d): two-sided Fisher's exact test on the 2x2
+  * table [[a, b], [c, d]], phred-scaled — the strand-bias annotation
+  * (K10). Calls the SAME LogMath kernel the former per-row UDF wrapped,
+  * so results are bit-identical to it; as an Expression it inlines into
+  * whole-stage codegen (no serialization boundary, no boxing) and gets
+  * standard null propagation. It runs once per CALLED SITE
+  * (post-aggregation), not per read — the win is closing the last
+  * UDF-where-an-Expression-fits, not a hot loop.
+  */
+case class FisherPhred(a: Expression, b: Expression, c: Expression, d: Expression)
+    extends QuaternaryExpression {
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = c
+  override def fourth: Expression = d
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(av: Any, bv: Any, cv: Any, dv: Any): Any =
+    graft.kernels.LogMath.fisherExactPhred(
+      av.asInstanceOf[Number].intValue(), bv.asInstanceOf[Number].intValue(),
+      cv.asInstanceOf[Number].intValue(), dv.asInstanceOf[Number].intValue())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (av, bv, cv, dv) =>
+      s"graft.kernels.LogMath.fisherExactPhred((int)$av, (int)$bv, (int)$cv, (int)$dv)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): FisherPhred =
+    copy(a = newFirst, b = newSecond, c = newThird, d = newFourth)
+}
+
 object K7Scores {
   /** a_ll_0..maxP ++ o_ll_0..maxP for one (qual, mapq, copyNumber). */
   def cells(q: Int, mq: Int, m: Int, maxP: Int): Array[Double] = {
@@ -183,6 +212,11 @@ object NativeExpressions {
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  def fisher_phred(a: Column, b: Column, c: Column, d: Column): Column =
+    ColumnBridge.column(FisherPhred(
+      ColumnBridge.expression(a), ColumnBridge.expression(b),
+      ColumnBridge.expression(c), ColumnBridge.expression(d)))
+
   /** Register for SQL use: SELECT phred_to_error(q) ... */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -191,5 +225,8 @@ object NativeExpressions {
       "log_error_to_phred", exprs => LogErrorToPhred(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fisher_phred",
+      exprs => FisherPhred(exprs.head, exprs(1), exprs(2), exprs(3)), "built-in")
   }
 }

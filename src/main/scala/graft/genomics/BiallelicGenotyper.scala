@@ -340,7 +340,6 @@ object BiallelicGenotyper {
     val glArr = slice(
       array(states.map(g => col(s"gl_$g")): _*), lit(1), col("copyNumber") + 1)
     val sorted = reverse(array_sort(glArr))
-    val fisher = udf((a: Int, b: Int, c: Int, d: Int) => LogMath.fisherExactPhred(a, b, c, d))
     aggd
       .withColumn("genotypeLikelihoods", glArr)
       .withColumn("genotypeState",
@@ -351,8 +350,12 @@ object BiallelicGenotyper {
         concat(
           array_repeat(lit("REF"), col("copyNumber") - col("genotypeState")),
           array_repeat(lit("ALT"), col("genotypeState"))))
+      // K10 as a codegen'd Expression (same LogMath kernel the former
+      // per-row UDF wrapped — bit-identical, but inlined in whole-stage
+      // codegen instead of crossing a UDF serialization boundary)
       .withColumn("strandBiasPhred",
-        round(fisher(col("altFwd"), col("altRev"), col("otherFwd"), col("otherRev")), 3))
+        round(graft.functions.NativeExpressions.fisher_phred(
+          col("altFwd"), col("altRev"), col("otherFwd"), col("otherRev")), 3))
       .withColumn("rmsMapQ", round(sqrt(col("sumSqMapQ") / col("readDepth")), 3))
       // richer genotype schema (reference BiallelicGenotyper.scala
       // :699-747): strand-bias 2x2 components in the reference's order

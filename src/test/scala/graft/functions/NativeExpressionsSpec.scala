@@ -29,6 +29,37 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(spark.sql("SELECT phred_to_error(CAST(NULL AS INT)) IS NULL AS n").head().getBoolean(0))
   }
 
+  test("fisher_phred matches the LogMath kernel bit-exactly; SQL + null propagation") {
+    import spark.implicits._
+    // tables spanning the branches: empty, balanced, extreme bias, and a
+    // margin-degenerate row
+    val tables = Seq(
+      (0, 0, 0, 0), (5, 5, 5, 5), (30, 0, 0, 30), (12, 3, 4, 11),
+      (0, 10, 10, 0), (7, 0, 5, 2), (1, 1, 100, 100))
+    val df = tables.toDF("a", "b", "c", "d")
+    val got = df.select(
+      NativeExpressions.fisher_phred(col("a"), col("b"), col("c"), col("d")).as("p"))
+      .as[Double].collect()
+    tables.zip(got).foreach { case ((a, b, c, d), p) =>
+      // bit-identical, not approximately: the Expression must call the
+      // same kernel the former UDF wrapped
+      assert(p === graft.kernels.LogMath.fisherExactPhred(a, b, c, d), s"($a,$b,$c,$d)")
+    }
+    // codegen'd path (no UDF / interpreted fallback in the plan)
+    val plan = df.select(
+      NativeExpressions.fisher_phred(col("a"), col("b"), col("c"), col("d")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    // SQL registration + QuaternaryExpression default null propagation
+    NativeExpressions.register(spark)
+    val viaSql = spark.sql("SELECT fisher_phred(30, 0, 0, 30) AS p").head().getDouble(0)
+    assert(viaSql === graft.kernels.LogMath.fisherExactPhred(30, 0, 0, 30))
+    assert(spark.sql(
+      "SELECT fisher_phred(CAST(NULL AS INT), 1, 2, 3) IS NULL AS n").head().getBoolean(0))
+    assert(spark.sql(
+      "SELECT fisher_phred(1, 2, 3, CAST(NULL AS INT)) IS NULL AS n").head().getBoolean(0))
+  }
+
   test("native cosine expressions are bit-identical to the HOF formulation") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
