@@ -14,6 +14,38 @@ class CliSpec extends SparkSpec {
   // reuses the test session instead of fighting over configs
   private def run(args: String*): Unit = { spark; Main.main(args.toArray) }
 
+  test("CLI session plans a raw SQL overlap join bin-bucketed, idempotently") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // shared-JVM worst case: a session already exists, so the builder's
+    // withExtensions is silently ignored and Main.session() must ensure
+    // the rewrite via the fallback path
+    val s = Main.session()
+    assert(s.experimental.extraOptimizations
+      .count(_.isInstanceOf[graft.plans.IntervalJoinRewrite]) === 1)
+    Main.session() // second call must not stack a duplicate rule
+    assert(s.experimental.extraOptimizations
+      .count(_.isInstanceOf[graft.plans.IntervalJoinRewrite]) === 1)
+    val rnd = new scala.util.Random(5)
+    (0 until 300).map { i =>
+      val st = rnd.nextDouble() * 1000; (i.toLong, st, st + rnd.nextDouble() * 40)
+    }.toDF("lid", "ls", "le").createOrReplaceTempView("cli_l")
+    (0 until 300).map { i =>
+      val st = rnd.nextDouble() * 1000; (i.toLong, st, st + rnd.nextDouble() * 40)
+    }.toDF("rid", "rs", "re").createOrReplaceTempView("cli_r")
+    val df = s.sql("SELECT lid, rid FROM cli_l JOIN cli_r ON ls < re AND rs < le")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"CLI SQL overlap join must plan bin-bucketed:\n$plan")
+    // and correct: equals the nested-loop reference
+    val l = spark.table("cli_l").as[(Long, Double, Double)].collect()
+    val r = spark.table("cli_r").as[(Long, Double, Double)].collect()
+    val ref = (for {
+      (li, ls, le) <- l; (ri, rs, re) <- r if ls < re && rs < le
+    } yield (li, ri)).toSet
+    assert(df.as[(Long, Long)].collect().toSet === ref)
+  }
+
   test("discover writes a variant parquet") {
     run("discover", sam, s"$tmp/disc")
     val v = spark.read.parquet(s"$tmp/disc")
