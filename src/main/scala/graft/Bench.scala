@@ -28,6 +28,7 @@ object Bench {
     "d2_ngram_jaccard_pairs",
     "d3_minhash_lsh_pairs",
     "d4_simhash_pairs",
+    "d19_simhash_scaled",
     "d5_dup_ngrams",
     "c1_clean_corpus",
     "e1_cosine_score",
@@ -88,6 +89,8 @@ object Bench {
     "d16_dupgraph_rank",
     "t17_hll_distinct",
     "t18_hll_merge",
+    "t23_hll_accuracy",
+    "t24_hll_merge_accuracy",
     "ev15_stream_hll_users",
     "m10_video_neardup",
     "t19_bigram_ppl",

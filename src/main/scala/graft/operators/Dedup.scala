@@ -1229,6 +1229,13 @@ object Dedup {
     * 15-bit chunks (a pair within Hamming distance <= 3 of a 60-bit hash
     * must agree on at least one of 4 15-bit chunks — pigeonhole), so the
     * join is an equi-join on chunk value, not a cross join.
+    *
+    * SCALE CEILING: the chunk space is FIXED (2^15 buckets per chunk),
+    * so once the corpus outgrows ~32k x desired occupancy the per-bucket
+    * candidate join grows quadratically (measured 11.7x wall at 10x data
+    * at sf1). Past that point use [[simHashPairsScaled]] — the same
+    * operator with a 120-bit sketch and corpus-sized chunk width (the
+    * e3 -> e12 relationship).
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, hashFamily: String = "xx64"): DataFrame = {

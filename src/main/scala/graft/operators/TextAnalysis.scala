@@ -410,17 +410,25 @@ object TextAnalysis {
     // per-doc sum (the bm25Contribs pattern): double addition is not
     // associative, so a partition-order-dependent double sum could
     // differ from the oracle's ordered sum at the rounding boundary —
-    // long sums are exact and order-free
+    // long sums are exact and order-free. The final per-token average
+    // stays INTEGER too: sum_q/n lands on exact x.5 ten-thousandths
+    // constantly (integer over integer), and a float round(...,4) there
+    // splits across engines (Spark rounds the shortest-decimal
+    // rendering, DuckDB the binary value — measured: 3 docs at sf0.1).
+    // (2s+n) div (2n) is round-half-up of s/n in exact arithmetic, and
+    // k/10000.0 is a correctly-rounded division of exact integers, so
+    // both engines produce the identical double.
     val bq = round(-log(p) / log(lit(2.0)) * 10000, 0).cast("long")
     pairs.join(uni, "w")
       .join(bi, Seq("prev", "w"), "left")
       .join(ctx, Seq("prev"), "left")
       .crossJoin(broadcast(total))
+      .withColumn("__bq", bq)
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(sum(bq).cast("double") / lit(10000.0) / count(lit(1)).cast("double"), 4)
-          .as("bits_per_token"))
+        (expr("(2 * sum(__bq) + count(1)) div (2 * count(1))").cast("double") /
+          lit(10000.0)).as("bits_per_token"))
   }
 
   /** First-iteration BPE statistics: corpus-wide counts of adjacent

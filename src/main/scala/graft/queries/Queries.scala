@@ -1086,6 +1086,11 @@ object Queries {
   def d18_source_overlap(spark: SparkSession, dir: String): DataFrame =
     Dedup.sourceOverlap(t(spark, dir, "documents"), "source", "text")
 
+  /** Fixed-chunk simhash near-dup (D4) — the oracle-checkable 60-bit
+    * flavor with its documented 2^15-bucket scale ceiling; at corpus
+    * scale run [[d19_simhash_scaled]] instead (same contract, adaptive
+    * chunk width, flat occupancy).
+    */
   def d4_simhash_pairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(t(spark, dir, "documents"), "doc_id", "text",
       maxHamming = 3, hashFamily = "md5")
