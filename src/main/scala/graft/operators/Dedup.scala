@@ -33,11 +33,7 @@ object Dedup {
   private[graft] def md5Hash60(s: String): Long = {
     val d = md5Local.get()
     d.reset()
-    val bytes = d.digest(s.getBytes("UTF-8"))
-    var v = 0L
-    var i = 0
-    while (i < 7) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
-    (v << 4) | ((bytes(7) & 0xf0L) >> 4)
+    md5LoOf(d.digest(s.getBytes("UTF-8")))
   }
 
   /** 60-bit xxhash64 (Spark's own XXH64, masked to 60 bits so the value
@@ -70,12 +66,23 @@ object Dedup {
   private[graft] def md5Hash60Hi(s: String): Long = {
     val d = md5Local.get()
     d.reset()
-    val bytes = d.digest(s.getBytes("UTF-8"))
-    // hex chars 16..30: the low nibble of byte 7, then bytes 8..14
+    md5HiOf(d.digest(s.getBytes("UTF-8")))
+  }
+
+  // hex chars 16..30: the low nibble of byte 7, then bytes 8..14
+  private def md5HiOf(bytes: Array[Byte]): Long = {
     var v = bytes(7) & 0x0fL
     var i = 8
     while (i < 15) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
     v
+  }
+
+  // hex chars 1..15: bytes 0..6, then the high nibble of byte 7
+  private def md5LoOf(bytes: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
+    (v << 4) | ((bytes(7) & 0xf0L) >> 4)
   }
 
   private[graft] def xxHash60Hi(s: String): Long = {
@@ -90,7 +97,12 @@ object Dedup {
     * (two seeds), still ~5x cheaper than the md5 digest.
     */
   private[graft] def hashFn2(family: String): String => (Long, Long) = family match {
-    case "md5"  => s => (md5Hash60(s), md5Hash60Hi(s))
+    case "md5" => s => {
+      val d = md5Local.get()
+      d.reset()
+      val bytes = d.digest(s.getBytes("UTF-8"))
+      (md5LoOf(bytes), md5HiOf(bytes))
+    }
     case "xx64" => s => (xxHash60(s), xxHash60Hi(s))
     case other  => throw new IllegalArgumentException(s"unknown hash family '$other'")
   }
