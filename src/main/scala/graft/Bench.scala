@@ -29,6 +29,7 @@ object Bench {
     "d3_minhash_lsh_pairs",
     "d4_simhash_pairs",
     "d19_simhash_scaled",
+    "d20_simhash_collapsed",
     "d5_dup_ngrams",
     "c1_clean_corpus",
     "e1_cosine_score",
@@ -320,7 +321,10 @@ object Bench {
         "d7_dup_clusters" -> (queries.Queries.d7_dup_clusters_prod _),
         "d16_dupgraph_rank" -> (queries.Queries.d16_dupgraph_rank_prod _),
         "d11_incremental_minhash" -> (queries.Queries.d11_incremental_minhash_prod _),
-        "d12_cluster_keepers" -> (queries.Queries.d12_cluster_keepers_prod _))
+        "d12_cluster_keepers" -> (queries.Queries.d12_cluster_keepers_prod _),
+        "t17_hll_distinct" -> (queries.Queries.t17_hll_distinct_prod _),
+        "t18_hll_merge" -> (queries.Queries.t18_hll_merge_prod _),
+        "t20_cms_heavy_hitters" -> (queries.Queries.t20_cms_heavy_hitters_prod _))
 
     // contention probe before the suite (after warmup, so it measures the
     // box, not class loading); repeated after, so contention arriving

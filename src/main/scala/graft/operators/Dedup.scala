@@ -1402,6 +1402,73 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Collapsed scaled SimHash near-dup — [[simHashPairsScaled]]'s output
+    * made linear (the m6 -> m8 lesson, applied to text): a doc-level
+    * pair contract is QUADRATIC IN DUPLICATE-GROUP SIZE no matter how
+    * well the buckets are sized, because every pair of identical
+    * documents must be emitted (measured: the sf10 leg spent its wall
+    * emitting ~billions of within-group pairs). This flavor collapses
+    * identical sketches to (representative = min id, multiplicity)
+    * FIRST, pairs only DISTINCT sketches, and reports group algebra:
+    *
+    *  - (rep, rep, hamming 0, n·(n−1)/2) for each multiplicity-n class
+    *    (the within-class pair count), and
+    *  - (rep_a, rep_b, hamming, n_a·n_b) for each distinct-sketch pair
+    *    within maxHamming (every doc of a times every doc of b).
+    *
+    * Total doc-level pair mass is preserved exactly (sum of `weight` ==
+    * |simHashPairsScaled output|), so downstream dedup/cluster math is
+    * unchanged while output size tracks DISTINCT content. Candidate
+    * generation reuses the occupancy-adaptive chunk scheme over the
+    * class table (chunk width still derives from the corpus row count —
+    * distinct classes are a subset, so expected occupancy only drops).
+    */
+  def simHashPairsCollapsed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      hashFamily: String = "xx64",
+      targetOccupancy: Long = 8L): DataFrame = {
+    require(maxHamming <= 3, "chunking scheme assumes <= 3 for 4 chunks")
+    val w = SimilaritySearch.autoBits(df.count(), targetOccupancy)
+    val mask = (1L << w) - 1L
+    val classes = simHash120(df, idCol, textCol, hashFamily)
+      .groupBy("sh_lo", "sh_hi")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds the exact leg + both join sides
+    val chunkStructs = array(
+      struct(lit(0).as("chunk"), col("sh_lo").bitwiseAND(lit(mask)).as("cv")),
+      struct(lit(1).as("chunk"), shiftright(col("sh_lo"), 30).bitwiseAND(lit(mask)).as("cv")),
+      struct(lit(2).as("chunk"), col("sh_hi").bitwiseAND(lit(mask)).as("cv")),
+      struct(lit(3).as("chunk"), shiftright(col("sh_hi"), 30).bitwiseAND(lit(mask)).as("cv")))
+    val chunked = classes
+      .select(col("rep"), col("n"), col("sh_lo"), col("sh_hi"),
+        explode(chunkStructs).as("c"))
+      .select(col("rep"), col("n"), col("sh_lo"), col("sh_hi"),
+        col("c.chunk"), col("c.cv"))
+    val exact = classes.where(col("n") >= 2)
+      .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
+        lit(0).as("hamming"), expr("n * (n - 1) div 2").as("weight"))
+    val l = chunked.alias("l")
+    val r = chunked.alias("r")
+    val cross = l.join(r,
+        col("l.chunk") === col("r.chunk") && col("l.cv") === col("r.cv") &&
+          col("l.rep") < col("r.rep"))
+      .select(col("l.rep").as("rep_a"), col("r.rep").as("rep_b"),
+        col("l.n").as("na"), col("r.n").as("nb"),
+        col("l.sh_lo").as("ala"), col("l.sh_hi").as("aha"),
+        col("r.sh_lo").as("bla"), col("r.sh_hi").as("bha"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ala").bitwiseXOR(col("bla"))) +
+          bit_count(col("aha").bitwiseXOR(col("bha"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("rep_a"), col("rep_b"), col("hamming"),
+        (col("na") * col("nb")).cast("long").as("weight"))
+    exact.unionByName(cross)
+  }
+
   /** Quality-aware duplicate-cluster keeper election — the step AFTER
     * [[connectedComponents]]: each document joins its cluster id
     * (documents in no pair are their own singleton cluster) and every

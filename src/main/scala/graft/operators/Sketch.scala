@@ -43,6 +43,18 @@ object Sketch {
   private def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** 60-bit hash in the requested family: "md5" replays in DuckDB (the
+    * oracle-gate flavor); "xx64" is Spark's codegen'd xxhash64 masked to
+    * 60 bits — same value as [[Dedup.xxHash60]] (seed 42), ~10x cheaper
+    * per value, the production flavor (the d3 md5/xx64 convention).
+    * Estimator quality is hash-family-independent.
+    */
+  private def h60Fam(c: Column, family: String): Column = family match {
+    case "md5"  => h60(c)
+    case "xx64" => xxhash64(c).bitwiseAND(lit(0x0fffffffffffffffL))
+    case other  => throw new IllegalArgumentException(s"unknown hash family '$other'")
+  }
+
   /** HyperLogLog register table: one row per (group, register) with the
     * max leading-zero rank. Input: one row per (group, value) — values
     * need not be pre-deduplicated (the register max IS the dedup).
@@ -51,8 +63,9 @@ object Sketch {
     * (map-side combine collapses each partition to <= 256 rows per
     * group before the exchange).
     */
-  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val h = h60(col(valueCol))
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
+      hashFamily: String = "md5"): DataFrame = {
+    val h = h60Fam(col(valueCol), hashFamily)
     df.select(col(groupCol), h.as("__h"))
       .select(col(groupCol),
         (col("__h") % HllM).as("__idx"),
@@ -110,12 +123,12 @@ object Sketch {
     */
   val CmsW = 512
 
-  /** Row-r hash index for a value: the shared md5-60-bit hash of
-    * "r value" mod the width — deterministic and replayable in the
-    * DuckDB oracle, no seeded RNG to ship across engines.
+  /** Row-r hash index for a value: the shared 60-bit hash of "r value"
+    * mod the width — md5 flavor replayable in the DuckDB oracle, xx64
+    * the production flavor; no seeded RNG to ship across engines.
     */
-  private def cmsIdx(r: Column, v: Column): Column =
-    h60(concat(r.cast("string"), lit(" "), v)) % CmsW
+  private def cmsIdx(r: Column, v: Column, hashFamily: String = "md5"): Column =
+    h60Fam(concat(r.cast("string"), lit(" "), v), hashFamily) % CmsW
 
   /** The d x w counter matrix from a weighted value stream: one row per
     * (row, idx) with the collided weight sum. The input here is already
@@ -124,10 +137,11 @@ object Sketch {
     * <= d*w-row shuffle (partial+final sum collapses each partition to
     * <= 2048 rows before the exchange).
     */
-  def cmsCounters(weighted: DataFrame, valueCol: String, weightCol: String): DataFrame =
+  def cmsCounters(weighted: DataFrame, valueCol: String, weightCol: String,
+      hashFamily: String = "md5"): DataFrame =
     weighted.select(col(valueCol).as("__v"), col(weightCol).as("__c"),
         explode(sequence(lit(0), lit(CmsD - 1))).as("r"))
-      .select(col("r"), cmsIdx(col("r"), col("__v")).as("idx"), col("__c"))
+      .select(col("r"), cmsIdx(col("r"), col("__v"), hashFamily).as("idx"), col("__c"))
       .groupBy("r", "idx").agg(sum(col("__c")).as("c"))
 
   /** Point estimates for a set of values: each value probes its d
@@ -142,10 +156,11 @@ object Sketch {
     * would silently drop it or report only its colliding cells'
     * inflated min.
     */
-  def cmsEstimate(values: DataFrame, valueCol: String, counters: DataFrame): DataFrame = {
+  def cmsEstimate(values: DataFrame, valueCol: String, counters: DataFrame,
+      hashFamily: String = "md5"): DataFrame = {
     val carry = values.columns.map(col)
     values.select(carry :+ explode(sequence(lit(0), lit(CmsD - 1))).as("r"): _*)
-      .withColumn("idx", cmsIdx(col("r"), col(valueCol)))
+      .withColumn("idx", cmsIdx(col("r"), col(valueCol), hashFamily))
       .join(broadcast(counters), Seq("r", "idx"), "left")
       .groupBy(values.columns.head, values.columns.tail: _*)
       .agg(min(coalesce(col("c"), lit(0L))).as("est_cnt"))
@@ -190,11 +205,12 @@ object Sketch {
     * corpus, and top-k selection is a TakeOrderedAndProject on the
     * total (est desc, token) order, not a global sort.
     */
-  def cmsHeavyHitters(df: DataFrame, textCol: String, k: Int): DataFrame = {
+  def cmsHeavyHitters(df: DataFrame, textCol: String, k: Int,
+      hashFamily: String = "md5"): DataFrame = {
     val exact = df.select(explode(split(col(textCol), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("exact_cnt"))
-    val counters = cmsCounters(exact, "token", "exact_cnt")
-    cmsEstimate(exact, "token", counters)
+    val counters = cmsCounters(exact, "token", "exact_cnt", hashFamily)
+    cmsEstimate(exact, "token", counters, hashFamily)
       .orderBy(col("est_cnt").desc, col("token"))
       .limit(k)
       .select(col("token"), col("est_cnt"), col("exact_cnt"),

@@ -1874,6 +1874,7 @@ object Oracles {
     "e16_bm25_batch" -> e16Sql,
     "d4_simhash_pairs" -> d4Sql,
     "d19_simhash_scaled" -> d19Sql,
+    "d20_simhash_collapsed" -> d20Sql,
     "d7_dup_clusters" -> d7Sql,
     "d16_dupgraph_rank" -> d16Sql,
     "t17_hll_distinct" -> t17Sql,
@@ -2356,7 +2357,10 @@ object Oracles {
     * the full 120 bits. `length(bin(x))` = 64 - nlz(x) for x >= 1 —
     * the same integer-log trick the HLL oracle uses.
     */
-  private def d19Sql: String = {
+  /** Shared d19/d20 CTE chain: 120-bit simhash per doc (`sh`) and the
+    * adaptive chunk mask (`mk`).
+    */
+  private def simhash120Ctes: String = {
     val votesLo = (0 until 60).map(j =>
       s"sum(CASE WHEN (hlo >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j").mkString(",\n  ")
     val votesHi = (0 until 60).map(j =>
@@ -2365,10 +2369,6 @@ object Oracles {
       s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" +\n  ")
     val bitsHi = (0 until 60).map(j =>
       s"(CASE WHEN w$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" +\n  ")
-    val chunkIds = (0 until 4).mkString("[", ", ", "]")
-    val chunkVals = Seq(
-      "sh_lo & msk", "(sh_lo >> 30) & msk", "sh_hi & msk", "(sh_hi >> 30) & msk")
-      .mkString("[", ", ", "]")
     s"""WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
        |            FROM documents),
        |th AS (SELECT doc_id, ${h60("t")} AS hlo,
@@ -2384,9 +2384,21 @@ object Oracles {
        |wb AS (SELECT CASE WHEN count(*) <= 8 THEN 1
        |         ELSE LEAST(30, length(bin((count(*) + 7) // 8 - 1))) END AS w
        |       FROM documents),
-       |mk AS (SELECT ((1::BIGINT << w) - 1) AS msk FROM wb),
+       |mk AS (SELECT ((1::BIGINT << w) - 1) AS msk FROM wb)""".stripMargin
+  }
+
+  // defs, not vals: the `sql` map is built during object init and these
+  // are declared after it — a val would still be null when d19Sql/d20Sql
+  // interpolate them (observed: `unnest(null)` in the emitted oracle)
+  private def simhashChunkIds: String = (0 until 4).mkString("[", ", ", "]")
+  private def simhashChunkVals: String = Seq(
+    "sh_lo & msk", "(sh_lo >> 30) & msk", "sh_hi & msk", "(sh_hi >> 30) & msk")
+    .mkString("[", ", ", "]")
+
+  private def d19Sql: String =
+    s"""$simhash120Ctes,
        |ch AS (SELECT doc_id, sh_lo, sh_hi,
-       |         unnest($chunkIds) AS chunk, unnest($chunkVals) AS cv
+       |         unnest($simhashChunkIds) AS chunk, unnest($simhashChunkVals) AS cv
        |       FROM sh, mk),
        |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         a.sh_lo AS ala, a.sh_hi AS aha, b.sh_lo AS bla, b.sh_hi AS bha
@@ -2395,7 +2407,31 @@ object Oracles {
        |SELECT doc_a, doc_b,
        |  (bit_count(xor(ala, bla)) + bit_count(xor(aha, bha)))::INTEGER AS hamming
        |FROM pr WHERE bit_count(xor(ala, bla)) + bit_count(xor(aha, bha)) <= 3""".stripMargin
-  }
+
+  /** Oracle for d20: d19's sketch collapsed to (sketch class, rep = min
+    * id, multiplicity); within-class choose-2 weight rows plus distinct-
+    * class pairs within Hamming <= 3 weighted na·nb.
+    */
+  private def d20Sql: String =
+    s"""$simhash120Ctes,
+       |cls AS (SELECT sh_lo, sh_hi, min(doc_id) AS rep, count(*) AS n
+       |        FROM sh GROUP BY sh_lo, sh_hi),
+       |ch AS (SELECT rep, n, sh_lo, sh_hi,
+       |         unnest($simhashChunkIds) AS chunk, unnest($simhashChunkVals) AS cv
+       |       FROM cls, mk),
+       |pr AS (SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b, a.n AS na, b.n AS nb,
+       |         a.sh_lo AS ala, a.sh_hi AS aha, b.sh_lo AS bla, b.sh_hi AS bha
+       |       FROM ch a JOIN ch b
+       |         ON a.chunk = b.chunk AND a.cv = b.cv AND a.rep < b.rep),
+       |cr AS (SELECT rep_a, rep_b,
+       |         (bit_count(xor(ala, bla)) + bit_count(xor(aha, bha)))::INTEGER AS hamming,
+       |         (na * nb)::BIGINT AS weight
+       |       FROM pr
+       |       WHERE bit_count(xor(ala, bla)) + bit_count(xor(aha, bha)) <= 3),
+       |ex AS (SELECT rep AS rep_a, rep AS rep_b, 0::INTEGER AS hamming,
+       |         (n * (n - 1) // 2)::BIGINT AS weight
+       |       FROM cls WHERE n >= 2)
+       |SELECT * FROM ex UNION ALL SELECT * FROM cr""".stripMargin
 
   /** Generated oracle for e2 (nBits=4, seed 42, dim 64): the random
     * hyperplanes are drawn from the SAME seeded stream as the Spark

@@ -1106,6 +1106,16 @@ object Queries {
     Dedup.simHashPairsScaled(t(spark, dir, "documents"), "doc_id", "text",
       maxHamming = 3, hashFamily = "md5", targetOccupancy = 8L)
 
+  /** Collapsed simhash near-dup (D20): d19's candidates over DISTINCT
+    * sketches only, with duplicate classes reported as (rep, rep, 0,
+    * choose-2) weight rows — output linear in distinct content where
+    * the doc-level pair contract is quadratic in duplicate-group size
+    * (the m6 -> m8 lesson; the sf10 leg measured the difference).
+    */
+  def d20_simhash_collapsed(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairsCollapsed(t(spark, dir, "documents"), "doc_id", "text",
+      maxHamming = 3, hashFamily = "md5", targetOccupancy = 8L)
+
   /** Duplicate-cluster resolution over the minhash pair graph: connected
     * components turn pair hits into per-doc cluster ids (keeper = the
     * min id). md5 flavor so the oracle reproduces the pair set.
@@ -1501,6 +1511,11 @@ object Queries {
   def t20_cms_heavy_hitters(spark: SparkSession, dir: String): DataFrame =
     Sketch.cmsHeavyHitters(t(spark, dir, "documents"), "text", 20)
 
+  /** t20 on the production hash family (the d3 override convention). */
+  def t20_cms_heavy_hitters_prod(spark: SparkSession, dir: String): DataFrame =
+    Sketch.cmsHeavyHitters(t(spark, dir, "documents"), "text", 20,
+      hashFamily = "xx64")
+
   /** The e16 batch — mixed common/rare terms per query; shared with the
     * oracle generator so both engines serve the identical batch.
     */
@@ -1725,6 +1740,16 @@ object Queries {
     Sketch.hllEstimate(Sketch.hllRegisters(vals, "lang", "sh"), "lang")
   }
 
+  /** t17 on the production hash family (xx64 — codegen'd xxhash64
+    * instead of a per-shingle md5 digest): same operator and plan, the
+    * flavor a real corpus runs; benched via the d3 override convention.
+    */
+  def t17_hll_distinct_prod(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val vals = docs.select(col("lang"), explode(Sketch.docShingles()).as("sh"))
+    Sketch.hllEstimate(Sketch.hllRegisters(vals, "lang", "sh", "xx64"), "lang")
+  }
+
   /** Sketch mergeability (T18): per-source HLL registers plus their
     * max-merge into a '__union' sketch — the property that makes
     * sketches THE cardinality tool at 100 TB: per-day / per-source
@@ -1737,6 +1762,15 @@ object Queries {
     val docs = t(spark, dir, "documents")
     val vals = docs.select(col("source"), explode(Sketch.docShingles()).as("sh"))
     val regs = Sketch.hllRegisters(vals, "source", "sh").localCheckpoint(true)
+    Sketch.hllEstimate(
+      regs.union(Sketch.hllMerge(regs, "source", "__union")), "source")
+  }
+
+  /** t18 on the production hash family (the d3 override convention). */
+  def t18_hll_merge_prod(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val vals = docs.select(col("source"), explode(Sketch.docShingles()).as("sh"))
+    val regs = Sketch.hllRegisters(vals, "source", "sh", "xx64").localCheckpoint(true)
     Sketch.hllEstimate(
       regs.union(Sketch.hllMerge(regs, "source", "__union")), "source")
   }

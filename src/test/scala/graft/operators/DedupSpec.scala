@@ -669,6 +669,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simHashPairsCollapsed conserves pair mass and collapses dup classes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // vocab large enough that distinct-token SETS don't collide across
+    // base docs (the sketch only sees the distinct set — a tiny vocab
+    // merges unrelated docs into one class)
+    val vocab = Array.tabulate(40)(i => s"w$i")
+    val base = (0 until 30).map { i =>
+      (i.toLong, Array.fill(14)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    // heavy duplicate classes: each of the first 6 docs copied 5x — the
+    // regime where the doc-level pair contract goes quadratic
+    val dups = for (i <- 0 until 6; c <- 1 to 5)
+      yield (100L + i * 10 + c, base(i)._2)
+    val corpus = (base ++ dups).toDF("doc_id", "text")
+    for (fam <- Seq("md5", "xx64")) {
+      val flat = Dedup.simHashPairsScaled(corpus, "doc_id", "text",
+        hashFamily = fam).as[(Long, Long, Int)].collect()
+      val coll = Dedup.simHashPairsCollapsed(corpus, "doc_id", "text",
+        hashFamily = fam).as[(Long, Long, Int, Long)].collect()
+      // exact mass conservation: the collapsed weights sum to the flat
+      // pair count
+      assert(coll.map(_._4).sum === flat.length.toLong, fam)
+      // per-hamming mass also conserved (0-hamming includes both the
+      // within-class choose-2 rows and identical-sketch cross classes)
+      val flatByH = flat.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val collByH = coll.groupBy(_._3).view.mapValues(_.map(_._4).sum).toMap
+      assert(collByH === flatByH, fam)
+      // each 6-member class contributes one (rep, rep, 0, 15) row
+      val within = coll.filter(p => p._1 == p._2).map(p => p._1 -> p._4).toMap
+      (0 until 6).foreach { i =>
+        assert(within(i.toLong) === 15L, s"$fam class of 6: choose-2 = 15")
+      }
+      // output is strictly smaller than the flat contract on a dup-heavy
+      // corpus — the entire point
+      assert(coll.length < flat.length, fam)
+    }
+  }
+
   test("simHashPairsScaled oversized-bucket guard observes, never drops") {
     import spark.implicits._
     val baseline = Dedup.simHashPairsScaled(docs, "doc_id", "text",

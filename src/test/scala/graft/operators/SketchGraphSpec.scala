@@ -85,6 +85,27 @@ class SketchGraphSpec extends SparkSpec {
     assert(tinyEst.forall { case (w, e) => e === w })
   }
 
+  test("xx64 sketch flavor: column hash == kernel hash, estimator stays accurate") {
+    import org.apache.spark.sql.functions.xxhash64
+    // the production flavor's Column-side hash must equal the kernel the
+    // dedup family uses (same seed-42 xxhash64, same 60-bit mask), so
+    // sketch keys and LSH keys are one hash family end-to-end
+    val vals = Seq("alpha", "beta gamma", "x", "the quick brown fox", "")
+    val gotCols = vals.toDF("v")
+      .select(xxhash64(col("v")).bitwiseAND(lit(0x0fffffffffffffffL)))
+      .as[Long].collect()
+    vals.zip(gotCols).foreach { case (s, h) =>
+      assert(h === Dedup.xxHash60(s), s)
+    }
+    // estimator quality is hash-family-independent: 2000 distinct values
+    // under 256 registers estimates within the ~3x standard-error band
+    val df = spark.range(2000).select(lit("g").as("g"),
+      concat(lit("v"), col("id")).as("v"))
+    val est = Sketch.hllEstimate(Sketch.hllRegisters(df, "g", "v", "xx64"), "g")
+      .select("est_distinct").as[Double].head()
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.20, s"xx64 estimate $est")
+  }
+
   test("CMS probe of a never-inserted value estimates 0, not dropped/inflated") {
     // counters built from 10 values; probe 5 of them plus 5 absent ones
     // — an absent value leaves (some of) its d cells unoccupied, and the
