@@ -322,6 +322,7 @@ object Bench {
         "d16_dupgraph_rank" -> (queries.Queries.d16_dupgraph_rank_prod _),
         "d11_incremental_minhash" -> (queries.Queries.d11_incremental_minhash_prod _),
         "d12_cluster_keepers" -> (queries.Queries.d12_cluster_keepers_prod _),
+        "e12_lsh_neardup" -> (queries.Queries.e12_lsh_neardup_prod _),
         "t17_hll_distinct" -> (queries.Queries.t17_hll_distinct_prod _),
         "t18_hll_merge" -> (queries.Queries.t18_hll_merge_prod _),
         "t20_cms_heavy_hitters" -> (queries.Queries.t20_cms_heavy_hitters_prod _))

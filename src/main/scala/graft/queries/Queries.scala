@@ -1222,6 +1222,17 @@ object Queries {
     Dedup.embeddingCosinePairs(t(spark, dir, "embeddings"), "vec_id", "embedding",
       dim = 64, threshold = 0.35, exact = false, nBits = 4)
 
+  /** e12 on the production sizing: bucket count derived from the corpus
+    * (autoBits at ~125 occupancy) instead of the oracle's fixed 4 bits
+    * (16 buckets — a deliberate ceiling that goes O(m²) once the corpus
+    * outgrows them: measured 175x at the sf10 decade). The d3 override
+    * convention: the bench times this flavor; the md5/fixed-bits flavor
+    * stays the correctness row.
+    */
+  def e12_lsh_neardup_prod(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, threshold = 0.35, exact = false, targetOccupancy = 125L)
+
   /** IVF ANN: centroids are corpus vectors 1..8 (deterministic, so the
     * DuckDB oracle can reproduce the cell assignment exactly); probe the
     * 2 nearest cells, exact cosine inside them. Centroid/query fetches
