@@ -64,9 +64,20 @@ object Sketch {
     * group before the exchange).
     */
   def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
-      hashFamily: String = "md5"): DataFrame = {
-    val h = h60Fam(col(valueCol), hashFamily)
-    df.select(col(groupCol), h.as("__h"))
+      hashFamily: String = "md5"): DataFrame =
+    hllRegistersFromHashes(
+      df.select(col(groupCol), h60Fam(col(valueCol), hashFamily).as("__h")),
+      groupCol, "__h")
+
+  /** Register table from PRE-HASHED values (60-bit longs) — the fused
+    * production path: pair with [[docShingleHashes]] so the corpus pass
+    * never materializes value strings into rows. Register results are
+    * identical to the string path by construction (registers only ever
+    * see the hash).
+    */
+  def hllRegistersFromHashes(df: DataFrame, groupCol: String,
+      hashCol: String): DataFrame =
+    df.select(col(groupCol), col(hashCol).as("__h"))
       .select(col(groupCol),
         (col("__h") % HllM).as("__idx"),
         expr(s"__h div $HllM").as("__w"))
@@ -75,7 +86,6 @@ object Sketch {
           .otherwise(lit(HllBits + 1) - length(bin(col("__w")))).as("__rho"))
       .groupBy(col(groupCol), col("__idx"))
       .agg(max(col("__rho")).as("m_j"))
-  }
 
   /** Collapse a register table to the per-group estimate. The register
     * sum is exact long arithmetic (`1 << (53 - M)`); empty registers
@@ -295,5 +305,40 @@ object Sketch {
           concat_ws(" ",
             element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
         .otherwise(array().cast("array<string>")))
+  }
+
+  /** Distinct 3-token shingle HASHES per document (60-bit longs) — the
+    * fused kernel for the production sketch path. One walk builds each
+    * shingle string once, hashes it immediately, and dedups by hash, so
+    * the plan (a) never explodes an INLINE-computed array (a Generate
+    * re-evaluates its inline input per OUTPUT row — [[docShingles]]
+    * under explode pays O(len²) per doc, the engine pathology
+    * documented in Dedup) and (b) never ships shingle STRINGS through
+    * tungsten rows — the explode emits 8-byte longs. Register results
+    * are identical to the string path (registers only see the hash;
+    * hash-dedup == string-dedup as far as a max over ranks can tell).
+    */
+  def docShingleHashes(textCol: String = "text",
+      hashFamily: String = "xx64"): Column = {
+    val hf = Dedup.hashFn(hashFamily)
+    val mk = udf((toks: Seq[String]) => {
+      if (toks == null || toks.length < 3) Array.empty[Long]
+      else {
+        val seen = new java.util.HashSet[java.lang.Long]()
+        val out = new scala.collection.mutable.ArrayBuilder.ofLong
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i + 2 < toks.length) {
+          sb.setLength(0)
+          sb.append(toks(i)).append(' ').append(toks(i + 1))
+            .append(' ').append(toks(i + 2))
+          val h = hf(sb.toString)
+          if (seen.add(h)) out += h
+          i += 1
+        }
+        out.result()
+      }
+    })
+    mk(split(col(textCol), " "))
   }
 }

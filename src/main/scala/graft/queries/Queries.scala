@@ -1751,14 +1751,17 @@ object Queries {
     Sketch.hllEstimate(Sketch.hllRegisters(vals, "lang", "sh"), "lang")
   }
 
-  /** t17 on the production hash family (xx64 — codegen'd xxhash64
-    * instead of a per-shingle md5 digest): same operator and plan, the
-    * flavor a real corpus runs; benched via the d3 override convention.
+  /** t17 on the production path: xx64 instead of per-shingle md5, AND
+    * the fused shingle+hash kernel ([[Sketch.docShingleHashes]]) so the
+    * corpus pass explodes 8-byte longs instead of re-evaluating an
+    * inline shingle array per output row and shipping strings. Same
+    * estimates; benched via the d3 override convention.
     */
   def t17_hll_distinct_prod(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val vals = docs.select(col("lang"), explode(Sketch.docShingles()).as("sh"))
-    Sketch.hllEstimate(Sketch.hllRegisters(vals, "lang", "sh", "xx64"), "lang")
+    val vals = docs.select(col("lang"),
+      explode(Sketch.docShingleHashes("text", "xx64")).as("h"))
+    Sketch.hllEstimate(Sketch.hllRegistersFromHashes(vals, "lang", "h"), "lang")
   }
 
   /** Sketch mergeability (T18): per-source HLL registers plus their
@@ -1777,11 +1780,12 @@ object Queries {
       regs.union(Sketch.hllMerge(regs, "source", "__union")), "source")
   }
 
-  /** t18 on the production hash family (the d3 override convention). */
+  /** t18 on the production path (fused kernel + xx64, as t17 prod). */
   def t18_hll_merge_prod(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val vals = docs.select(col("source"), explode(Sketch.docShingles()).as("sh"))
-    val regs = Sketch.hllRegisters(vals, "source", "sh", "xx64").localCheckpoint(true)
+    val vals = docs.select(col("source"),
+      explode(Sketch.docShingleHashes("text", "xx64")).as("h"))
+    val regs = Sketch.hllRegistersFromHashes(vals, "source", "h").localCheckpoint(true)
     Sketch.hllEstimate(
       regs.union(Sketch.hllMerge(regs, "source", "__union")), "source")
   }

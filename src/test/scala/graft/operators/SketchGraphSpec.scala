@@ -106,6 +106,40 @@ class SketchGraphSpec extends SparkSpec {
     assert(math.abs(est - 2000.0) / 2000.0 < 0.20, s"xx64 estimate $est")
   }
 
+  test("fused shingle-hash kernel == string shingle pipeline, both families") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "the quick brown fox jumps over the lazy dog"),
+      (2L, "a", "the quick brown fox jumps over the lazy dog"),
+      (3L, "b", "pack my box with five dozen liquor jugs today"),
+      (4L, "b", "too short"),
+      (5L, "b", "")
+    ).toDF("doc_id", "grp", "text")
+    for (fam <- Seq("md5", "xx64")) {
+      // hash-set equality per row: the fused kernel must produce exactly
+      // the hashes of the distinct string shingles
+      val viaStrings = docs.select(col("doc_id"),
+          explode(Sketch.docShingles("text")).as("sh"))
+        .as[(Long, String)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.map(p => Dedup.hashFn(fam)(p._2)).toSet).toMap
+      val fused = docs.select(col("doc_id"),
+          explode(Sketch.docShingleHashes("text", fam)).as("h"))
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(fused === viaStrings, fam)
+      // and the register tables are identical
+      val valsS = docs.select(col("grp"), explode(Sketch.docShingles()).as("sh"))
+      val valsH = docs.select(col("grp"),
+        explode(Sketch.docShingleHashes("text", fam)).as("h"))
+      val regS = Sketch.hllRegisters(valsS, "grp", "sh", fam)
+        .as[(String, Long, Int)].collect().toSet
+      val regH = Sketch.hllRegistersFromHashes(valsH, "grp", "h")
+        .as[(String, Long, Int)].collect().toSet
+      assert(regH === regS, fam)
+    }
+  }
+
   test("CMS probe of a never-inserted value estimates 0, not dropped/inflated") {
     // counters built from 10 values; probe 5 of them plus 5 absent ones
     // — an absent value leaves (some of) its d cells unoccupied, and the
