@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expressions for the hot scalar kernels (SURVEY.md
   * §2.9: "scalar math UDFs ... hot ones promotable to codegen'd
@@ -162,11 +162,15 @@ case class K7Scores(first: Expression, second: Expression, third: Expression, ma
   * UDF-where-an-Expression-fits, not a hot loop.
   */
 case class FisherPhred(a: Expression, b: Expression, c: Expression, d: Expression)
-    extends QuaternaryExpression {
+    extends QuaternaryExpression with ImplicitCastInputTypes {
   override def first: Expression = a
   override def second: Expression = b
   override def third: Expression = c
   override def fourth: Expression = d
+  // Analyzer-coerced int inputs: non-integral args are cast (or rejected)
+  // at analysis time instead of ClassCastException-ing in nullSafeEval.
+  // (return type inferred: AbstractDataType is private[sql])
+  override def inputTypes = Seq.fill(4)(IntegerType)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(av: Any, bv: Any, cv: Any, dv: Any): Any =
     graft.kernels.LogMath.fisherExactPhred(

@@ -1354,9 +1354,13 @@ object Dedup {
       maxBucketRows: Long = 1000000L): DataFrame = {
     require(maxHamming <= 3, "chunking scheme assumes <= 3 for 4 chunks")
     val spark = df.sparkSession
-    val w = SimilaritySearch.autoBits(df.count(), targetOccupancy)
+    // One sketch pass, pinned: the per-token hash UDF over the whole
+    // corpus otherwise re-runs for the corpus count, the guard aggregate
+    // and BOTH self-join sides (4x). The count for autoBits then reads
+    // the checkpointed blocks instead of re-scanning the source.
+    val sh = simHash120(df, idCol, textCol, hashFamily).localCheckpoint(true)
+    val w = SimilaritySearch.autoBits(sh.count(), targetOccupancy)
     val mask = (1L << w) - 1L
-    val sh = simHash120(df, idCol, textCol, hashFamily)
     // 4 disjoint chunk keys: the low w bits of each 30-bit region
     val chunkStructs = array(
       struct(lit(0).as("chunk"), col("sh_lo").bitwiseAND(lit(mask)).as("cv")),

@@ -418,7 +418,13 @@ object TextAnalysis {
     // (2s+n) div (2n) is round-half-up of s/n in exact arithmetic, and
     // k/10000.0 is a correctly-rounded division of exact integers, so
     // both engines produce the identical double.
-    val bq = round(-log(p) / log(lit(2.0)) * 10000, 0).cast("long")
+    // The per-token quantization itself is floor(x + 0.5), NOT round():
+    // round() on a double is engine-defined at .5 boundaries (Spark
+    // HALF_UPs the shortest-decimal RENDERING, DuckDB the binary value),
+    // while floor(x + 0.5) is pure IEEE arithmetic — identical doubles
+    // in, identical long out, in every engine. Half-up semantics are
+    // preserved for the x >= 0 values -log2(p) produces.
+    val bq = floor(-log(p) / log(lit(2.0)) * 10000 + lit(0.5)).cast("long")
     pairs.join(uni, "w")
       .join(bi, Seq("prev", "w"), "left")
       .join(ctx, Seq("prev"), "left")

@@ -1510,9 +1510,9 @@ object Oracles {
         |  WHERE prev IS NOT NULL GROUP BY prev, w),
         |ctx AS (SELECT prev, sum(cb) AS cc FROM bi GROUP BY prev)
         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
-        |  ((2 * sum(round(-ln(CASE WHEN pr.prev IS NULL THEN uni.c::DOUBLE / t
+        |  ((2 * sum(floor(-ln(CASE WHEN pr.prev IS NULL THEN uni.c::DOUBLE / t
         |      ELSE 0.75 * (bi.cb::DOUBLE / ctx.cc::DOUBLE)
-        |        + 0.25 * (uni.c::DOUBLE / t) END) / ln(2.0) * 10000, 0)::BIGINT
+        |        + 0.25 * (uni.c::DOUBLE / t) END) / ln(2.0) * 10000 + 0.5)::BIGINT
         |    ) + count(*)) // (2 * count(*)))::DOUBLE / 10000.0
         |    AS bits_per_token
         |FROM pr JOIN uni USING (w)

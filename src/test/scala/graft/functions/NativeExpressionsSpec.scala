@@ -60,6 +60,27 @@ class NativeExpressionsSpec extends SparkSpec {
       "SELECT fisher_phred(1, 2, 3, CAST(NULL AS INT)) IS NULL AS n").head().getBoolean(0))
   }
 
+  test("fisher_phred coerces arguments at analysis time (ImplicitCastInputTypes)") {
+    NativeExpressions.register(spark)
+    // BIGINT/SMALLINT args get an analyzer cast to INT instead of a
+    // runtime ClassCastException-or-silent-(int)-truncation in codegen
+    val viaLong = spark.sql(
+      "SELECT fisher_phred(CAST(30 AS BIGINT), CAST(0 AS SMALLINT), 0, 30) AS p")
+      .head().getDouble(0)
+    assert(viaLong === graft.kernels.LogMath.fisherExactPhred(30, 0, 0, 30))
+    // string args go through an analyzer-inserted ANSI cast: numeric
+    // strings coerce, junk fails as a principled CAST error — never the
+    // old codegen-compile-fallback ClassCastException in nullSafeEval
+    val viaStr = spark.sql("SELECT fisher_phred('30', '0', 0, 30) AS p").head().getDouble(0)
+    assert(viaStr === graft.kernels.LogMath.fisherExactPhred(30, 0, 0, 30))
+    val err = intercept[Throwable] {
+      spark.sql("SELECT fisher_phred('x', 0, 0, 30)").head()
+    }
+    assert(!err.isInstanceOf[ClassCastException], err.toString)
+    assert(err.getMessage.contains("CAST_INVALID_INPUT") ||
+      err.getMessage.toLowerCase.contains("cast"), err.getMessage)
+  }
+
   test("native cosine expressions are bit-identical to the HOF formulation") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
