@@ -106,6 +106,8 @@ object Bench {
     "t22_hist_quantiles",
     "ev20_stream_heavy_hitters",
     "j8_bloom_pruned_join",
+    "j9_bucketed_join",
+    "j10_fuzzy_join",
     "ev21_stream_retention",
     "e16_bm25_batch",
     "ev22_stream_hist_quantiles",
@@ -325,7 +327,9 @@ object Bench {
         "e12_lsh_neardup" -> (queries.Queries.e12_lsh_neardup_prod _),
         "t17_hll_distinct" -> (queries.Queries.t17_hll_distinct_prod _),
         "t18_hll_merge" -> (queries.Queries.t18_hll_merge_prod _),
-        "t20_cms_heavy_hitters" -> (queries.Queries.t20_cms_heavy_hitters_prod _))
+        "t20_cms_heavy_hitters" -> (queries.Queries.t20_cms_heavy_hitters_prod _),
+        // scale flavor: same operator on the 10x customer table
+        "j10_fuzzy_join" -> (queries.Queries.j10_fuzzy_join_prod _))
 
     // contention probe before the suite (after warmup, so it measures the
     // box, not class loading); repeated after, so contention arriving

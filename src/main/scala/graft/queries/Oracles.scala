@@ -1219,6 +1219,23 @@ object Oracles {
 
     // salted join == plain join: the salt is an internal spreading
     // device, so the closed form is the unsalted aggregation
+    // the bucketed layout is invisible to the contract: plain join
+    "j9_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  round(sum(round(l_extendedprice * 100)::BIGINT
+        |            * (100 - round(l_discount * 100)::BIGINT))::BIGINT
+        |        / 10000.0, 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    // the naive quadratic contract the filter-verify plan reproduces
+    "j10_fuzzy_join" ->
+      """SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key,
+        |  levenshtein(a.s_name, b.s_name)::INT AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE abs(length(a.s_name) - length(b.s_name)) <= 1
+        |  AND levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
+
     "j7_salted_join" ->
       """SELECT c.c_mktsegment,
         |  count(*) AS n, round(sum(e.value), 2) AS sum_value

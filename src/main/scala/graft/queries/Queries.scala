@@ -1482,6 +1482,34 @@ object Queries {
         sum(col("l_quantity")).cast("long").as("sum_qty"))
   }
 
+  /** Bucketed co-located join (J9): lineitem ⋈ orders on orderkey with
+    * BOTH sides in a `bucketBy`+`sortBy` layout — zero Exchange and zero
+    * Sort under the SortMergeJoin (the one-time bucketed write replaces
+    * every subsequent join shuffle). The timed row honestly includes the
+    * layout write for the session's first run; the oracle is the plain
+    * join.
+    */
+  def j9_bucketed_join(spark: SparkSession, dir: String): DataFrame =
+    BucketedJoin.revenueByPriority(spark, dir)
+
+  /** Fuzzy entity join (J10): all supplier-name pairs within edit
+    * distance 1 via the q-gram count/prefix filter + levenshtein verify
+    * — exact recall, no O(N²) compare. Oracle is the naive quadratic
+    * join (supplier-sized, so it stays oracle-runnable; the bench times
+    * the customer-scale flavor, see [[j10_fuzzy_join_prod]]).
+    */
+  def j10_fuzzy_join(spark: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.editDistanceSelfJoin(
+      t(spark, dir, "supplier"), "s_suppkey", "s_name", maxDist = 1)
+
+  /** Production flavor of j10 for the bench: same operator on the 10x
+    * customer table (15k names at sf0.1 = the 112M-compare naive
+    * contract the filter-verify plan avoids).
+    */
+  def j10_fuzzy_join_prod(spark: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.editDistanceSelfJoin(
+      t(spark, dir, "customer"), "c_custkey", "c_name", maxDist = 1)
+
   /** Salted equi-join: the static skew fallback, aggregated per key so
     * the result is the plain join's closed form.
     */
