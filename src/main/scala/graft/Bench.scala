@@ -94,6 +94,7 @@ object Bench {
     "t24_hll_merge_accuracy",
     "ev15_stream_hll_users",
     "m10_video_neardup",
+    "m11_multimodal_pack",
     "t19_bigram_ppl",
     "ev16_user_funnel",
     "t20_cms_heavy_hitters",

@@ -108,6 +108,59 @@ object Multimodal {
       sum(when(col("container").isNull && col(binCol).isNotNull, 1L).otherwise(0L))
         .as("unknown_payloads"))
 
+  /** Modality-aware sequence packing (M11): assign interleaved
+    * text/image/audio/video items to fixed token-budget context bins —
+    * the multimodal extension of the text-only c3 packer
+    * ([[Sampling.packSequences]]), which is how a vision-language
+    * training pipeline actually fills its context windows.
+    *
+    * Each item's token COST comes from its modality, and for media the
+    * inputs come from [[extractMeta]]'s REAL header parse of the payload
+    * bytes (not from trusted upstream metadata — corrupt or mislabeled
+    * media would silently mis-budget a context window otherwise):
+    *
+    *  - image: ceil(w/4)·ceil(h/4) patch grid + 16 special tokens (the
+    *    ViT patch-embedding budget shape);
+    *  - audio: ceil(samples/8) codec frames;
+    *  - video: ceil(seconds)·64 — per-sampled-second patch budget from
+    *    the container's mvhd duration/timescale;
+    *  - text (container null): whitespace token count.
+    *
+    * Packing then follows the c3 streaming rule unchanged: md5-ticket
+    * shard, per-shard id-order cumsum, bin = floor(start_offset/budget)
+    * — deterministic, one bounded window per shard, no global sort. An
+    * item whose cost exceeds the budget straddles bins by design (the
+    * trainer truncates or rolls; ASSIGNMENT stays reproducible).
+    */
+  def packMultimodal(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      binCol: String,
+      budgetTokens: Long,
+      shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val meta = extractMeta(df, binCol)
+    // integer ceil-divisions ((x + d - 1) div d): exact in both engines,
+    // no double rounding anywhere (the j3/t19 lesson)
+    val cost = when(col("container") === "png",
+        expr("((width + 3) div 4) * ((height + 3) div 4) + 16"))
+      .when(col("container") === "wav", expr("(n_frames + 7) div 8"))
+      .when(col("container") === "mp4",
+        expr("((duration_ts + timescale - 1) div timescale) * 64"))
+      .otherwise(TextAnalysis.tokenCount(col(textCol)).cast("long"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    meta.select(
+      col(idCol).as("doc_id"),
+      coalesce(col("container"), lit("text")).as("modality"),
+      cost.cast("long").as("tokens"),
+      pmod(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long"),
+        lit(shards.toLong)).as("shard"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("bin", floor((col("cum") - col("tokens")) / budgetTokens))
+      .select(col("doc_id"), col("modality"), col("tokens"), col("shard"), col("bin"))
+  }
+
   /** Frame sampling: one output row per sampled frame index — the
     * explode-shaped plumbing a video pipeline needs (decode would happen
     * per emitted row in the same narrow stage).

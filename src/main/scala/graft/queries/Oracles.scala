@@ -1632,6 +1632,25 @@ object Oracles {
         |  (CASE WHEN doc_id % 4 = 2 THEN 600 + doc_id % 2401 END)::BIGINT AS duration_ts
         |FROM documents""".stripMargin,
 
+    // modality costs in closed form (the m1 metadata formulas), then
+    // the c3 pack rule; every division is integer ceil — no rounding
+    "m11_multimodal_pack" ->
+      """WITH cost AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+        |      WHEN 2 THEN 'mp4' ELSE 'text' END AS modality,
+        |    (CASE doc_id % 4
+        |      WHEN 0 THEN ((8 + doc_id % 9 + 3) // 4) * ((8 + doc_id % 7 + 3) // 4) + 16
+        |      WHEN 1 THEN (64 + doc_id % 33 + 7) // 8
+        |      WHEN 2 THEN ((600 + doc_id % 2401 + 599) // 600) * 64
+        |      ELSE len(regexp_extract_all(text, '\S+')) END)::BIGINT AS tokens,
+        |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard
+        |  FROM documents)
+        |SELECT doc_id, modality, tokens, shard,
+        |  ((sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id) - tokens)
+        |    // 256)::BIGINT AS bin
+        |FROM cost""".stripMargin,
+
     // real image decode: Spark synthesizes a PNG whose every sample is
     // (doc_id*31 + x*7 + y*13 + c*101) % 256 over an (8+id%9)x(8+id%7)x3
     // raster, decodes it with javax.imageio, and reports pixel stats of

@@ -2141,6 +2141,24 @@ object Queries {
         "n_frames", "timescale", "duration_ts")
   }
 
+  /** Modality-aware context packing (M11): media costs parsed from the
+    * REAL payload headers (extractMeta), text costs from token count,
+    * then the c3 streaming-pack rule. Same synth-payload fixture as m1.
+    */
+  def m11_multimodal_pack(spark: SparkSession, dir: String): DataFrame = {
+    val mk = udf { (id: Long) =>
+      java.lang.Math.floorMod(id, 4L) match {
+        case 0L => Multimodal.synthPng(id)
+        case 1L => Multimodal.synthWav(id)
+        case 2L => Multimodal.synthMp4(id)
+        case _  => ("text:" + id).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      }
+    }
+    Multimodal.packMultimodal(
+      t(spark, dir, "documents").withColumn("payload", mk(col("doc_id").cast("long"))),
+      "doc_id", "text", "payload", budgetTokens = 256L, shards = 8)
+  }
+
   /** Frame sampling + per-frame fingerprint: the explode-shaped video
     * plumbing (every 4th frame, frame payload = its slice of the media
     * bytes; the md5 stands where a per-frame decode would run in the

@@ -1171,6 +1171,44 @@ class ScaleOpsSpec extends SparkSpec {
       out(4L).getInt(3) === 0 && out(4L).getString(4) === docs.collect()(3).getString(1))
   }
 
+  test("packMultimodal: header-derived costs, closed-form check, straddle bound") {
+    import spark.implicits._
+    val rows = Seq(
+      (10L, "ignored text", Multimodal.synthPng(10L)),  // 9x11 -> ceil(9/4)*ceil(11/4)+16 = 3*3+16 = 25
+      (7L, "ignored text", Multimodal.synthWav(7L)),    // 71 samples -> ceil(71/8) = 9
+      (9L, "ignored text", Multimodal.synthMp4(9L)),    // dur 609/ts 600 -> ceil=2 -> 128
+      (3L, "three text tokens", "x".getBytes("UTF-8")), // unknown container -> 3 text tokens
+      (5L, "a b", Array[Byte](0x89.toByte, 0x50)))      // corrupt png magic -> text cost 2
+      .toDF("doc_id", "text", "payload")
+    val out = Multimodal.packMultimodal(rows, "doc_id", "text", "payload",
+        budgetTokens = 64L, shards = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(out(10L)._1 === "png" && out(10L)._2 === 25L)
+    assert(out(7L)._1 === "wav" && out(7L)._2 === 9L)
+    assert(out(9L)._1 === "mp4" && out(9L)._2 === 128L)
+    assert(out(3L)._1 === "text" && out(3L)._2 === 3L)
+    assert(out(5L)._1 === "text" && out(5L)._2 === 2L)
+    // one shard, id order: 3(3) 5(2) 7(9) 9(128) 10(25); budget 64:
+    // starts 0,3,5,14,142 -> bins 0,0,0,0,2 (the 128-cost video
+    // STRADDLES bins — assignment stays the deterministic start/64)
+    val bins = out.toSeq.sortBy(_._1).map(_._2._3)
+    assert(bins === Seq(0L, 0L, 0L, 0L, 2L))
+  }
+
+  test("packMultimodal bins are monotone in id within every shard") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i => (i, ("tok " * (i % 17 + 1).toInt).trim,
+      if (i % 4 == 0) Multimodal.synthPng(i) else ("t" + i).getBytes("UTF-8")))
+      .toDF("doc_id", "text", "payload")
+    val out = Multimodal.packMultimodal(docs, "doc_id", "text", "payload", 128L, 4)
+      .collect().map(r => (r.getLong(3), r.getLong(0), r.getLong(4)))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val byId = rows.sortBy(_._2).map(_._3)
+      assert(byId.zip(byId.drop(1)).forall { case (a, b) => a <= b }, "bins non-decreasing")
+      assert(byId.head === 0L, "first bin is 0")
+    }
+  }
+
   test("extractMeta parses real PNG IHDR, WAV fmt, MP4 mvhd headers; unknowns null out") {
     import spark.implicits._
     val rows = Seq(
