@@ -102,6 +102,8 @@ object Bench {
     "ev18_stream_funnel",
     "t21_bm25_topk",
     "c15_weighted_sample",
+    "c16_corpus_timeline",
+    "t25_bpe_train",
     "ev19_windowed_funnel",
     "d17_minhash_accuracy",
     "t22_hist_quantiles",

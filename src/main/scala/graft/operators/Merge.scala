@@ -89,6 +89,88 @@ object Merge {
       .unionByName(won.where(col(opCol) =!= "D").select(dataCols.map(col): _*))
   }
 
+  /** Corpus timeline — time travel over the delta log WITHOUT
+    * materializing any snapshot: per checkpoint version `V`, the
+    * additive statistics (row count + caller metrics, e.g. total chars
+    * and a content-fingerprint sum) of the snapshot
+    * `upsert(base, log WHERE version <= V)`, computed from log-sized
+    * work plus ONE narrow pass over the base.
+    *
+    * This is the query a data-versioning layer answers constantly
+    * ("how big was the corpus at release V? did content actually
+    * change?") — and the naive plan (materialize every snapshot, then
+    * aggregate each) re-shuffles the petabyte base once per version.
+    * Here instead:
+    *
+    *   1. one partial+final aggregate folds the base to a single
+    *      FLOOR row (version 0 of the timeline);
+    *   2. each log row is replicated to the checkpoints it is visible
+    *      at (`explode` over the version list — |log|·|V| rows, all
+    *      log-sized), then one `max_by` picks the winner per
+    *      (checkpoint, key), exactly [[winners]]' argmax so the
+    *      timeline agrees with [[upsert]] at every V (spec-gated);
+    *   3. the winners' keys fetch their base contribution through a
+    *      broadcast semi/left join — the base side is a narrow
+    *      scan→filter, zero exchange;
+    *   4. per (checkpoint, key) the metric DELTA is
+    *      (winner contribution, 0 if tombstoned) − (base contribution,
+    *      0 if absent), summed per checkpoint and added to the floor.
+    *
+    * Metrics must be ADDITIVE per row (sums of long-typed columns);
+    * `n_docs` (count) is always included. Fingerprint metrics should
+    * stay ≤ ~40 bits per row so a 2^23-row corpus sums well inside a
+    * signed 64-bit long (ANSI mode makes overflow an error, not a
+    * wrap).
+    *
+    * Output: one row per version in `0L +: versions` with columns
+    * `version, n_docs, <metric names>`.
+    */
+  def timeline(
+      base: DataFrame,
+      log: DataFrame,
+      keyCol: String,
+      versions: Seq[Long],
+      metrics: Seq[(String, Column)],
+      versionCol: String = "version",
+      opCol: String = "op"): DataFrame = {
+    require(versions.nonEmpty, "need at least one checkpoint version")
+    val allM = ("n_docs", lit(1L)) +: metrics
+    def longs(pfx: String) = allM.map { case (n, c) => c.cast("long").as(pfx + n) }
+
+    val baseAgg = base.agg(
+      sum(allM.head._2.cast("long")).as("n_docs"),
+      allM.tail.map { case (n, c) => sum(c.cast("long")).as(n) }: _*)
+
+    val win = log
+      .withColumn("chk", explode(array(versions.map(lit(_)): _*)))
+      .where(col(versionCol) <= col("chk"))
+      .groupBy(col("chk"), col(keyCol))
+      .agg(max_by(
+        struct(col(opCol).as("op") +: longs(""): _*),
+        struct(col(versionCol), col(opCol))).as("w"))
+
+    // winner keys are log-sized: the semi-join broadcasts and the base
+    // never exchanges; the left join below is log-sized on both sides
+    val touched = win.select(col(keyCol)).distinct()
+    val baseC = base.join(broadcast(touched), Seq(keyCol), "left_semi")
+      .select(col(keyCol) +: longs("b_"): _*)
+
+    val deltas = win.join(baseC, Seq(keyCol), "left")
+      .select(col("chk") +: allM.map { case (n, _) =>
+        (when(col("w.op") =!= "D", col(s"w.$n")).otherwise(lit(0L))
+          - coalesce(col(s"b_$n"), lit(0L))).as(s"d_$n") }: _*)
+      .groupBy("chk")
+      .agg(sum(col("d_" + allM.head._1)).as("d_" + allM.head._1),
+        allM.tail.map { case (n, _) => sum(col(s"d_$n")).as(s"d_$n") }: _*)
+
+    val floor = baseAgg
+      .select(lit(0L).as("version") +: allM.map { case (n, _) => col(n) }: _*)
+    val atChk = deltas.crossJoin(broadcast(baseAgg))
+      .select(col("chk").as("version") +:
+        allM.map { case (n, _) => (col(n) + col(s"d_$n")).as(n) }: _*)
+    floor.unionByName(atChk)
+  }
+
   /** Corpus snapshot diff — the audit side of CDC: given two snapshot
     * versions and a content fingerprint, emit one row per CHANGED key
     * (`added` / `removed` / `modified`), nothing for unchanged keys.

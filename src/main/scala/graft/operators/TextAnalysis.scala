@@ -465,6 +465,75 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Iterative BPE merge TRAINING (T25): learn the first `merges`
+    * byte-pair-encoding merges from the corpus — the vocabulary-build
+    * loop itself, where [[bpePairCounts]] is only its first iteration's
+    * statistics and `subwordTokenize` (T16) is inference against an
+    * already-built vocab.
+    *
+    * Distributed shape (how real BPE trainers scale, and the same
+    * bounded-driver-state pattern as k-means e5/e10):
+    *
+    *   - the corpus collapses ONCE to a (distinct word, count) table —
+    *     Heaps-sublinear in corpus size — `localCheckpoint`ed so the
+    *     `merges` iterations never re-scan documents;
+    *   - each word is held as a parenthesized token sequence
+    *     `(t)(h)(e)`: token boundaries share no characters, so applying
+    *     a merge is one `replace(seq, '(a)(b)', '(ab)')` — left-to-right
+    *     non-overlapping, exactly BPE's simultaneous-application rule
+    *     (`(a)(a)(a)(a)` → `(aa)(aa)`, not the overlap bug a
+    *     space-joined encoding has);
+    *   - per iteration: adjacent pairs via one `transform` lambda
+    *     (codegen'd, no UDF), a partial+final weighted count, and an
+    *     argmax `limit(1).collect()` — the only driver state is one
+    *     (left, right) pair per iteration, K rows total.
+    *
+    * Ties break deterministically: highest count, then (left, right)
+    * lexicographic. Words are restricted to `[a-z]{2,}` so the
+    * parenthesis encoding is injective. Output: one row per learned
+    * merge — `merge_rank, left, right, n` (n = weighted pair count at
+    * the time of the merge).
+    */
+  def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      merges: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = df.select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(regexp_replace(col("w"), "(.)", "($1)").as("seq"), col("wc"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var k = 1
+    var done = false
+    while (k <= merges && !done) {
+      val best = words
+        .withColumn("toks",
+          split(regexp_replace(col("seq"), "^\\(|\\)$", ""), "\\)\\("))
+        .select(explode(expr(
+          "transform(slice(toks, 1, size(toks) - 1)," +
+            " (x, i) -> named_struct('l', x, 'r', toks[i + 1]))")).as("p"),
+          col("wc"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((k, l, r, n))
+        words = words
+          .withColumn("seq",
+            expr(s"replace(seq, '($l)($r)', '($l$r)')"))
+          .localCheckpoint()
+        k += 1
+      }
+    }
+    learned.toSeq.toDF("merge_rank", "left", "right", "n")
+      .select(col("merge_rank").cast("int").as("merge_rank"),
+        col("left"), col("right"), col("n").cast("long").as("n"))
+  }
+
   /** fastText/CCNet-style quality classifier inference (T15): a linear
     * model over hashed word uni+bigram features, the standard LLM-corpus
     * quality-filter shape (score each document with a cheap text

@@ -1096,6 +1096,48 @@ object Oracles {
     "c13_cdc_upsert" -> cdcUpsertSql,
     "ev13_stream_cdc_upsert" -> cdcUpsertSql,
 
+    // corpus timeline: snapshot stats per checkpoint version replayed
+    // naively (full winner set + snapshot per version — the oracle may
+    // be quadratic; the engine is log-sized + one base pass). fp is a
+    // 40-bit md5 prefix so the sum stays far inside BIGINT.
+    "c16_corpus_timeline" ->
+      """WITH chks(chk) AS (VALUES (0), (1), (2)),
+        |changes AS (
+        |  SELECT doc_id, upper(text) AS text, n_chars, 'U' AS op, 1 AS version
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, n_chars, 'D', 2 FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, n_chars, 'I', 1 FROM documents WHERE doc_id % 4 = 3
+        |  UNION ALL
+        |  SELECT doc_id, text || ' v2', n_chars + 3, 'U', 2
+        |  FROM documents WHERE doc_id % 12 = 7),
+        |win AS (
+        |  SELECT c.chk, ch.doc_id, ch.text, ch.n_chars, ch.op
+        |  FROM chks c JOIN changes ch ON ch.version <= c.chk
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY c.chk, ch.doc_id ORDER BY ch.version DESC, ch.op DESC) = 1),
+        |base AS (
+        |  SELECT doc_id, n_chars,
+        |    ('0x' || substring(md5(text), 1, 10))::BIGINT AS fp
+        |  FROM documents WHERE doc_id % 4 <> 3),
+        |snap AS (
+        |  SELECT c.chk, b.n_chars::BIGINT AS n_chars, b.fp
+        |  FROM chks c, base b
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM win w WHERE w.chk = c.chk AND w.doc_id = b.doc_id)
+        |  UNION ALL
+        |  SELECT chk, n_chars::BIGINT,
+        |    ('0x' || substring(md5(text), 1, 10))::BIGINT
+        |  FROM win WHERE op <> 'D')
+        |SELECT chk::BIGINT AS version, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars, sum(fp)::BIGINT AS fp_sum
+        |FROM snap GROUP BY 1""".stripMargin,
+
+    // BPE merge training: 3 chained stages, each = adjacent-pair count
+    // over parenthesized token seqs, argmax (n DESC, pair ASC), replace.
+    "t25_bpe_train" -> bpeTrainSql,
+
     // streaming ingest quality gate: c1's per-document gates + lang tag,
     // stateless -> plain batch SQL (no dedup/contamination legs)
     "ev14_stream_quality_gate" ->
@@ -2530,6 +2572,37 @@ object Oracles {
     * for both because the streaming path's log-wide resolve is
     * batch-boundary invariant (argmax over appended winners).
     */
+  // t25: K=3 BPE training stages as chained CTEs — wN applies stage N's
+  // winning merge to the word table; DuckDB replace() is left-to-right
+  // non-overlapping on the boundary-free '(a)(b)' encoding, exactly the
+  // Spark side's rule.
+  private def bpeTrainSql: String = {
+    def stage(i: Int, src: String): String =
+      s"""p$i AS (
+         |  SELECT l[i] AS lft, l[i + 1] AS rgt, sum(wc)::BIGINT AS n
+         |  FROM (SELECT l, wc, unnest(generate_series(1, len(l) - 1)) AS i
+         |        FROM (SELECT regexp_extract_all(seq, '\\(([^()]*)\\)', 1) AS l,
+         |                     wc FROM $src))
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT lft, rgt, n FROM p$i ORDER BY n DESC, lft, rgt LIMIT 1),
+         |w$i AS (SELECT replace(seq,
+         |    '(' || (SELECT lft FROM m$i) || ')(' || (SELECT rgt FROM m$i) || ')',
+         |    '(' || (SELECT lft FROM m$i) || (SELECT rgt FROM m$i) || ')') AS seq,
+         |    wc FROM $src)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS seq,
+       |         count(*)::BIGINT AS wc
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z]+$$')
+       |  GROUP BY 1),
+       |${stage(1, "words")},
+       |${stage(2, "w1")},
+       |${stage(3, "w2")}
+       |SELECT 1 AS merge_rank, lft AS "left", rgt AS "right", n FROM m1
+       |UNION ALL SELECT 2, lft, rgt, n FROM m2
+       |UNION ALL SELECT 3, lft, rgt, n FROM m3""".stripMargin
+  }
+
   private def cdcUpsertSql: String =
     """WITH changes AS (
       |  SELECT doc_id, upper(text) AS text, lang, source, n_chars,

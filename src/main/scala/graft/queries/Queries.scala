@@ -1440,6 +1440,30 @@ object Queries {
     Merge.snapshotDiff(base, c13_cdc_upsert(spark, dir), "doc_id", md5(col("text")))
   }
 
+  /** Corpus timeline (C16): time-travel statistics straight off the
+    * c13 delta log — per checkpoint version (0 = base, 1, 2), the
+    * snapshot's row count, total chars and a 40-bit content-fingerprint
+    * sum, WITHOUT materializing any snapshot: log-sized work plus one
+    * narrow base pass ([[Merge.timeline]]).
+    */
+  def c16_corpus_timeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Merge.timeline(
+      docs.where(col("doc_id") % 4 =!= 3), docChanges(docs), "doc_id",
+      versions = Seq(1L, 2L),
+      metrics = Seq(
+        "total_chars" -> col("n_chars"),
+        "fp_sum" -> conv(substring(md5(col("text")), 1, 10), 16, 10)))
+  }
+
+  /** BPE merge training (T25): learn the first 3 merges from the
+    * corpus — the iterative vocabulary-build loop (distinct-word
+    * collapse, parenthesized token seqs, argmax + replace per round;
+    * K bounded 1-row collects like k-means).
+    */
+  def t25_bpe_train(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTrain(t(spark, dir, "documents"), "text", merges = 3)
+
   /** Weighted sample without replacement (C15): 50 docs per source,
     * n_chars-weighted, via the Efraimidis–Spirakis exponential key on
     * the deterministic md5 ticket. Bounded typed aggregation — no

@@ -73,6 +73,35 @@ class MergeSpec extends SparkSpec {
       s"no exchange may carry base data columns:\n$plan")
   }
 
+  test("timeline == stats of the materialized snapshot at every version") {
+    val metrics = Seq("total_n" -> col("n"), "body_len" -> length(col("body")))
+    def statsOf(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("n")), sum(length(col("body"))))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val want = (0L to 2L).map { v =>
+      val snap = if (v == 0L) base
+        else Merge.upsert(base, changes.where(col("version") <= v), "k")
+      v -> statsOf(snap)
+    }.toMap
+    val gotT = Merge.timeline(base, changes, "k", Seq(1L, 2L), metrics)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(gotT === want, s"timeline $gotT vs materialized $want")
+  }
+
+  test("timeline plan: broadcast semi-join fetches base contributions; " +
+      "no exchange carries base data columns") {
+    val plan = graft.queries.Queries.c16_corpus_timeline(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"base-contribution fetch must be a broadcast semi-join:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#")),
+      s"no exchange may carry base/log document bodies:\n$plan")
+  }
+
   test("snapshotDiff(base, upsert(base, changes)) recovers the applied changes") {
     val merged = Merge.upsert(base, changes, "k")
     val diff = Merge.snapshotDiff(base, merged, "k",

@@ -221,6 +221,36 @@ class ShardingSpec extends SparkSpec {
     assert(top1 === Seq(("ab", 3L)))
   }
 
+  test("bpeTrain: learned merges track the evolving pair stats") {
+    import spark.implicits._
+    // words: abab x3, ab x2, cd x1 (x filtered: too short)
+    val d = Seq((1L, "abab ab cd x"), (2L, "abab ab"), (3L, "abab"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(d, "text", merges = 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // iter1: (a,b) = 2*3 + 1*2 = 8 ; iter2: (ab,ab) = 3 ; iter3: (c,d) = 1
+    assert(got === Seq((1, "a", "b", 8L), (2, "ab", "ab", 3L), (3, "c", "d", 1L)))
+  }
+
+  test("bpeTrain applies merges simultaneously left-to-right (no overlap)") {
+    import spark.implicits._
+    // aaaa -> (a)(a) x3; after merge -> (aa)(aa), NOT (aa)(a)(a)'s
+    // remnant pairs; then (aa,aa) once; then nothing -> early stop
+    val d = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(d, "text", merges = 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got === Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
+
+  test("bpeTrain tie-break: equal counts pick the (left, right) minimum") {
+    import spark.implicits._
+    // zy and bc both appear once; (b,c) < (z,y) lexicographically
+    val d = Seq((1L, "zy bc")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(d, "text", merges = 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got === Seq((1, "b", "c", 1L)))
+  }
+
   test("quality gate drops null text via r_too_short, not a null sail-through") {
     import spark.implicits._
     val d = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
