@@ -104,6 +104,7 @@ object Bench {
     "c15_weighted_sample",
     "c16_corpus_timeline",
     "t25_bpe_train",
+    "t26_bpe_tokenize",
     "ev19_windowed_funnel",
     "d17_minhash_accuracy",
     "t22_hist_quantiles",

@@ -534,6 +534,39 @@ object TextAnalysis {
         col("left"), col("right"), col("n").cast("long").as("n"))
   }
 
+  /** BPE tokenization with TRAINED merges (T26): apply the first
+    * `merges` learned by [[bpeTrain]] and report per-document word and
+    * BPE-token totals — the train→apply loop a tokenizer pipeline
+    * actually runs (t16's MaxMatch is inference against a piece vocab;
+    * this is inference against a learned MERGE LIST).
+    *
+    * Scale shape: merges apply per DISTINCT word (Heaps-sublinear — the
+    * corpus contributes one (doc, word) count aggregation), the K-row
+    * merge list is driver state from [[bpeTrain]]'s bounded collects,
+    * and the word→token-count lookup joins back broadcast-sized.
+    */
+  def bpeTokenize(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, merges: Int): org.apache.spark.sql.DataFrame = {
+    val learned = bpeTrain(df, textCol, merges).collect()
+    val dw = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("cnt"))
+    val words = dw.select("w").distinct()
+      .withColumn("seq", regexp_replace(col("w"), "(.)", "($1)"))
+    val applied = learned.foldLeft(words) { (acc, row) =>
+      val (l, r) = (row.getString(1), row.getString(2))
+      acc.withColumn("seq", expr(s"replace(seq, '($l)($r)', '($l$r)')"))
+    }
+    val tok = applied.select(col("w"),
+      size(split(regexp_replace(col("seq"), "^\\(|\\)$", ""), "\\)\\("))
+        .cast("long").as("n_toks"))
+    dw.join(broadcast(tok), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_toks")).as("n_bpe_tokens"))
+  }
+
   /** fastText/CCNet-style quality classifier inference (T15): a linear
     * model over hashed word uni+bigram features, the standard LLM-corpus
     * quality-filter shape (score each document with a cheap text

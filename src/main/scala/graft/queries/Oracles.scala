@@ -1138,6 +1138,10 @@ object Oracles {
     // over parenthesized token seqs, argmax (n DESC, pair ASC), replace.
     "t25_bpe_train" -> bpeTrainSql,
 
+    // BPE tokenization with the t25-trained merges: per-doc word and
+    // token totals via the distinct-word token-count lookup.
+    "t26_bpe_tokenize" -> bpeTokenizeSql,
+
     // streaming ingest quality gate: c1's per-document gates + lang tag,
     // stateless -> plain batch SQL (no dedup/contamination legs)
     "ev14_stream_quality_gate" ->
@@ -2576,7 +2580,9 @@ object Oracles {
   // winning merge to the word table; DuckDB replace() is left-to-right
   // non-overlapping on the boundary-free '(a)(b)' encoding, exactly the
   // Spark side's rule.
-  private def bpeTrainSql: String = {
+  // shared by t25/t26: the word table + 3 BPE training stages; wN keeps
+  // the word key so t26 can map final token counts back to documents
+  private def bpeStagesSql: String = {
     def stage(i: Int, src: String): String =
       s"""p$i AS (
          |  SELECT l[i] AS lft, l[i + 1] AS rgt, sum(wc)::BIGINT AS n
@@ -2585,23 +2591,42 @@ object Oracles {
          |                     wc FROM $src))
          |  GROUP BY 1, 2),
          |m$i AS (SELECT lft, rgt, n FROM p$i ORDER BY n DESC, lft, rgt LIMIT 1),
-         |w$i AS (SELECT replace(seq,
+         |w$i AS (SELECT w, replace(seq,
          |    '(' || (SELECT lft FROM m$i) || ')(' || (SELECT rgt FROM m$i) || ')',
          |    '(' || (SELECT lft FROM m$i) || (SELECT rgt FROM m$i) || ')') AS seq,
          |    wc FROM $src)""".stripMargin
-    s"""WITH words AS (
-       |  SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS seq,
+    s"""words AS (
+       |  SELECT w, regexp_replace(w, '(.)', '(\\1)', 'g') AS seq,
        |         count(*)::BIGINT AS wc
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z]+$$')
        |  GROUP BY 1),
        |${stage(1, "words")},
        |${stage(2, "w1")},
-       |${stage(3, "w2")}
+       |${stage(3, "w2")}""".stripMargin
+  }
+
+  private def bpeTrainSql: String =
+    s"""WITH $bpeStagesSql
        |SELECT 1 AS merge_rank, lft AS "left", rgt AS "right", n FROM m1
        |UNION ALL SELECT 2, lft, rgt, n FROM m2
        |UNION ALL SELECT 3, lft, rgt, n FROM m3""".stripMargin
-  }
+
+  private def bpeTokenizeSql: String =
+    s"""WITH $bpeStagesSql,
+       |dw AS (
+       |  SELECT doc_id, w, count(*)::BIGINT AS cnt
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |        FROM documents)
+       |  WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z]+$$')
+       |  GROUP BY 1, 2),
+       |tok AS (
+       |  SELECT w, len(regexp_extract_all(seq, '\\(([^()]*)\\)', 1))::BIGINT
+       |           AS n_toks
+       |  FROM w3)
+       |SELECT doc_id, sum(cnt)::BIGINT AS n_words,
+       |  sum(cnt * n_toks)::BIGINT AS n_bpe_tokens
+       |FROM dw JOIN tok USING (w) GROUP BY 1""".stripMargin
 
   private def cdcUpsertSql: String =
     """WITH changes AS (

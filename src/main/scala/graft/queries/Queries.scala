@@ -1464,6 +1464,13 @@ object Queries {
   def t25_bpe_train(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeTrain(t(spark, dir, "documents"), "text", merges = 3)
 
+  /** BPE tokenization (T26): apply the t25-trained merges; per-doc word
+    * and token totals via the broadcast distinct-word lookup.
+    */
+  def t26_bpe_tokenize(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTokenize(t(spark, dir, "documents"), "doc_id", "text",
+      merges = 3)
+
   /** Weighted sample without replacement (C15): 50 docs per source,
     * n_chars-weighted, via the Efraimidis–Spirakis exponential key on
     * the deterministic md5 ticket. Bounded typed aggregation — no

@@ -242,6 +242,20 @@ class ShardingSpec extends SparkSpec {
     assert(got === Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
   }
 
+  test("bpeTokenize: trained merges collapse words; per-doc totals") {
+    import spark.implicits._
+    val d = Seq((1L, "abab ab cd x"), (2L, "abab ab"), (3L, "abab"))
+      .toDF("doc_id", "text")
+    // merges learned: (a,b) -> (ab,ab) -> (c,d); every word ends 1 token
+    val got = TextAnalysis.bpeTokenize(d, "doc_id", "text", merges = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((3L, 3L)), 2L -> ((2L, 2L)), 3L -> ((1L, 1L))))
+    // with only ONE merge: abab -> (ab)(ab) = 2 tokens, ab -> 1, cd -> 2
+    val one = TextAnalysis.bpeTokenize(d, "doc_id", "text", merges = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(one === Map(1L -> 5L, 2L -> 3L, 3L -> 2L))
+  }
+
   test("bpeTrain tie-break: equal counts pick the (left, right) minimum") {
     import spark.implicits._
     // zy and bc both appear once; (b,c) < (z,y) lexicographically
