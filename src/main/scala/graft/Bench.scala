@@ -103,6 +103,8 @@ object Bench {
     "t21_bm25_topk",
     "c15_weighted_sample",
     "c16_corpus_timeline",
+    "c17_token_budget_fill",
+    "c18_dsir_resample",
     "t25_bpe_train",
     "t26_bpe_tokenize",
     "ev19_windowed_funnel",

@@ -281,6 +281,106 @@ object Sampling {
     * buffer, so a zero-weight row would deterministically steal a
     * sample slot from every positive-weight row.
     */
+  /** Per-stratum token-budget head-fill (C17): keep the highest-priority
+    * documents of each stratum until their token mass covers `budget` —
+    * "take the best docs until 10B tokens per domain", the data-recipe
+    * materialization step. The document that CROSSES the budget is kept
+    * (minimal head covering the budget), so selection is a deterministic
+    * set: priority desc, then id asc inside a priority tie.
+    *
+    * The naive plan sorts every stratum end-to-end (a per-source global
+    * sort of the corpus). This one never does: priorities are discrete,
+    * so a (stratum, priority) HISTOGRAM — tiny: |strata| × |distinct
+    * priorities| — locates each stratum's cutoff bucket with one window
+    * over the histogram. Buckets strictly inside the budget pass whole
+    * (no ordering needed), buckets past it drop whole, and only the ONE
+    * boundary bucket per stratum — budget-bucket-sized, not
+    * corpus-sized — resolves row-by-row with an id-ordered cumsum.
+    * Equivalence to the full-sort contract is spec-pinned.
+    *
+    * Output: `stratum, doc_id, prio, n_tokens` — the kept set.
+    */
+  def tokenBudgetFill(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      priorityCol: String,
+      tokens: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val d = df.select(col(stratumCol).as("stratum"), col(idCol).as("doc_id"),
+      col(priorityCol).cast("long").as("prio"), tokens.cast("long").as("n_tokens"))
+    val hw = Window.partitionBy("stratum").orderBy(col("prio").desc)
+    val cut = d.groupBy("stratum", "prio").agg(sum("n_tokens").as("btoks"))
+      .withColumn("cum", sum(col("btoks")).over(hw))
+      .withColumn("cum_before", col("cum") - col("btoks"))
+      .where(col("cum_before") < budget)
+      .select(col("stratum"), col("prio"), col("cum_before"),
+        (col("cum") <= budget).as("full"))
+    val joined = d.join(broadcast(cut), Seq("stratum", "prio"))
+    val fullRows = joined.where(col("full"))
+      .select("stratum", "doc_id", "prio", "n_tokens")
+    // boundary buckets only: one bucket per stratum, id-ordered cumsum
+    val pw = Window.partitionBy("stratum").orderBy("doc_id")
+    val partRows = joined.where(!col("full"))
+      .withColumn("start",
+        col("cum_before") + sum(col("n_tokens")).over(pw) - col("n_tokens"))
+      .where(col("start") < budget)
+      .select("stratum", "doc_id", "prio", "n_tokens")
+    fullRows.unionByName(partRows)
+  }
+
+  /** DSIR-style importance resampling (C18) — select raw-corpus
+    * documents whose hashed-n-gram distribution best matches a TARGET
+    * domain (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): fit bag-of-hashed-unigram multinomials
+    * for the target slice and the raw corpus (Laplace +1 smoothing over
+    * `buckets` hash buckets), score every document by its summed
+    * per-occurrence log importance ratio, keep the top `k`.
+    *
+    * Determinism across engines (the t15/t19 discipline): the per-BUCKET
+    * log-ratio is quantized once to an integer micro-nat value
+    * (`floor(lr·1e6 + 0.5)` — `buckets` float ops total, not one per
+    * occurrence), and each document's score is then an exact integer
+    * sum, order-independent. Selection ties break on doc id.
+    *
+    * Scale shape: one gram explode + one (bucket) aggregation over the
+    * corpus; the bucket table (|buckets| rows) broadcasts back; top-k is
+    * `TakeOrderedAndProject` (per-partition heads, no global sort). The
+    * bucket-total "collect" is a broadcast crossJoin of a 1-row
+    * aggregate — no driver state at all.
+    */
+  def dsirResample(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int = 256,
+      k: Int = 200): DataFrame = {
+    val ts = filter(
+      split(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +"),
+      t => t =!= "")
+    val g = df
+      .select(col(idCol), isTarget.as("is_tgt"), explode(ts).as("gm"))
+      .select(col(idCol), col("is_tgt"),
+        pmod(conv(substring(md5(col("gm")), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("b"))
+    val stats = g.groupBy("b").agg(
+      count(lit(1)).as("raw_n"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_n"))
+    val tot = stats.agg(sum("raw_n").as("rtot"), sum("tgt_n").as("ttot"))
+    val lr = stats.crossJoin(broadcast(tot)).select(col("b"),
+      floor((log(col("tgt_n") + 1) - log(col("ttot") + buckets)
+        - log(col("raw_n") + 1) + log(col("rtot") + buckets)) * 1e6
+        + 0.5).cast("long").as("lr"))
+    g.join(broadcast(lr), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("lr")).as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col(idCol))
+      .limit(k)
+  }
+
   def weightedSample(
       df: DataFrame,
       stratumCol: String,

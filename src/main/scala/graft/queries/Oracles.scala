@@ -1134,6 +1134,49 @@ object Oracles {
         |  sum(n_chars)::BIGINT AS total_chars, sum(fp)::BIGINT AS fp_sum
         |FROM snap GROUP BY 1""".stripMargin,
 
+    // token-budget head-fill: the oracle is the naive full per-source
+    // sort (priority desc, doc_id asc, keep start_offset < budget —
+    // crossing doc kept); the engine's histogram-cutoff plan must pick
+    // the identical set
+    "c17_token_budget_fill" ->
+      """WITH d AS (
+        |  SELECT source AS stratum, doc_id, n_chars::BIGINT AS prio,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT stratum, doc_id, prio, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY stratum
+        |      ORDER BY prio DESC, doc_id) - n_tokens AS start
+        |  FROM d)
+        |SELECT stratum, doc_id, prio, n_tokens FROM o WHERE start < 800""".stripMargin,
+
+    // DSIR importance resampling: hashed-unigram bucket multinomials
+    // (target slice vs raw corpus, Laplace +1), per-bucket log-ratio
+    // quantized ONCE to integer micro-nats (256 float ops total), then
+    // exact integer per-doc sums and a tie-broken top-k
+    "c18_dsir_resample" ->
+      """WITH g AS (
+        |  SELECT doc_id, source IN ('src0', 'src1', 'src2') AS is_tgt,
+        |    ('0x' || substring(md5(gm), 1, 15))::BIGINT % 256 AS b
+        |  FROM (SELECT doc_id, source,
+        |          unnest(list_filter(string_split_regex(
+        |            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+        |            t -> t <> '')) AS gm
+        |        FROM documents)),
+        |stats AS (
+        |  SELECT b, count(*)::BIGINT AS raw_n,
+        |    sum(CASE WHEN is_tgt THEN 1 ELSE 0 END)::BIGINT AS tgt_n
+        |  FROM g GROUP BY 1),
+        |tot AS (SELECT sum(raw_n)::BIGINT AS rtot, sum(tgt_n)::BIGINT AS ttot
+        |        FROM stats),
+        |lr AS (
+        |  SELECT b, floor((ln(tgt_n + 1) - ln(ttot + 256) - ln(raw_n + 1)
+        |    + ln(rtot + 256)) * 1e6 + 0.5)::BIGINT AS lr
+        |  FROM stats, tot)
+        |SELECT doc_id, sum(lr)::BIGINT AS dsir_score
+        |FROM g JOIN lr USING (b)
+        |GROUP BY 1 ORDER BY dsir_score DESC, doc_id LIMIT 200""".stripMargin,
+
     // BPE merge training: 3 chained stages, each = adjacent-pair count
     // over parenthesized token seqs, argmax (n DESC, pair ASC), replace.
     "t25_bpe_train" -> bpeTrainSql,

@@ -1471,6 +1471,23 @@ object Queries {
     TextAnalysis.bpeTokenize(t(spark, dir, "documents"), "doc_id", "text",
       merges = 3)
 
+  /** Token-budget head-fill (C17): per source, the highest-n_chars docs
+    * until 800 tokens are covered — histogram-cutoff plan, no per-source
+    * corpus sort ([[Sampling.tokenBudgetFill]]).
+    */
+  def c17_token_budget_fill(spark: SparkSession, dir: String): DataFrame =
+    Sampling.tokenBudgetFill(t(spark, dir, "documents"),
+      "source", "doc_id", "n_chars",
+      TextAnalysis.tokenCount(col("text")), budget = 800L)
+
+  /** DSIR importance resampling (C18): top-200 raw docs whose hashed
+    * unigram mix best matches the src0-src2 target domain; integer
+    * micro-nat scores, deterministic ties ([[Sampling.dsirResample]]).
+    */
+  def c18_dsir_resample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.dsirResample(t(spark, dir, "documents"), "doc_id", "text",
+      isTarget = col("source").isin("src0", "src1", "src2"))
+
   /** Weighted sample without replacement (C15): 50 docs per source,
     * n_chars-weighted, via the Efraimidis–Spirakis exponential key on
     * the deterministic md5 ticket. Bounded typed aggregation — no

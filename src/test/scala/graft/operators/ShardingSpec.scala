@@ -204,6 +204,82 @@ class ShardingSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetFill: bucket edges, crossing doc kept, exact fill") {
+    import spark.implicits._
+    val d = Seq(
+      ("A", 1L, 5L, 10L), ("A", 2L, 5L, 10L),
+      ("A", 3L, 4L, 10L), ("A", 4L, 4L, 10L),
+      ("A", 5L, 3L, 100L),
+      ("B", 6L, 1L, 5L), ("B", 7L, 2L, 5L))
+      .toDF("src", "id", "p", "tk")
+    def fill(b: Long) = Sampling
+      .tokenBudgetFill(d, "src", "id", "p", col("tk"), b)
+      .select("doc_id").as[Long].collect().toSet
+    // budget 35: prio-5 bucket full (20), prio-4 partial — doc 4 crosses
+    // at start 30 < 35 and is KEPT; prio-3 starts at 40, dropped whole
+    assert(fill(35L) === Set(1L, 2L, 3L, 4L, 6L, 7L))
+    // budget 30: doc 4 starts exactly AT the budget -> dropped (exact fill)
+    assert(fill(30L) === Set(1L, 2L, 3L, 6L, 7L))
+    // budget beyond every stratum total: everything kept
+    assert(fill(1000L) === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetFill(d, "src", "id", "p", col("tk"), 0L)
+    }
+  }
+
+  test("tokenBudgetFill == the naive full per-stratum sort (random corpus)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val d = (1L to 300L).map(i =>
+      (s"s${rnd.nextInt(4)}", i, rnd.nextInt(6).toLong, 1L + rnd.nextInt(30)))
+      .toDF("src", "id", "p", "tk")
+    val naive = d.withColumn("start",
+        sum(col("tk")).over(Window.partitionBy("src")
+          .orderBy(col("p").desc, col("id"))) - col("tk"))
+      .where(col("start") < 100L).select(col("id")).as[Long].collect().toSet
+    val got = Sampling.tokenBudgetFill(d, "src", "id", "p", col("tk"), 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === naive)
+  }
+
+  test("dsirResample matches a local reference implementation exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat cat cat", "tgt"), (2L, "cat cat dog", "tgt"),
+      (3L, "cat cat cat", "raw"), (4L, "dog dog dog", "raw"),
+      (5L, "bird bird", "raw"))
+    val d = docs.toDF("doc_id", "text", "src")
+    val got = Sampling
+      .dsirResample(d, "doc_id", "text", col("src") === "tgt", 256, 5)
+      .as[(Long, Long)].collect().toSeq
+
+    // local replication of the contract: md5-60bit buckets, Laplace +1
+    // multinomials, per-bucket micro-nat quantization, integer doc sums
+    def bucket(w: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 256 + 256) % 256
+    }
+    val occ = docs.flatMap { case (id, t, s) =>
+      t.split(" +").filter(_.nonEmpty).map(w => (id, s == "tgt", bucket(w))) }
+    val byB = occ.groupBy(_._3)
+    val (rtot, ttot) = (occ.size.toLong, occ.count(_._2).toLong)
+    val lr = byB.map { case (b, os) =>
+      val (rn, tn) = (os.size.toLong, os.count(_._2).toLong)
+      b -> math.floor((math.log(tn + 1.0) - math.log(ttot + 256.0)
+        - math.log(rn + 1.0) + math.log(rtot + 256.0)) * 1e6 + 0.5).toLong }
+    val want = occ.groupBy(_._1)
+      .map { case (id, os) => id -> os.map(o => lr(o._3)).sum }.toSeq
+      .sortBy { case (id, sc) => (-sc, id) }
+    assert(got === want, s"got $got want $want")
+    // identical texts tie and break on doc_id; k truncates the ranking
+    val top2 = Sampling
+      .dsirResample(d, "doc_id", "text", col("src") === "tgt", 256, 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(top2 === want.take(2))
+  }
+
   test("bpe pair counts: closed-form corpus, tie order, null text") {
     import spark.implicits._
     val d = Seq(
