@@ -105,6 +105,7 @@ object Bench {
     "c16_corpus_timeline",
     "c17_token_budget_fill",
     "c18_dsir_resample",
+    "ev23_stream_budget_fill",
     "t25_bpe_train",
     "t26_bpe_tokenize",
     "ev19_windowed_funnel",

@@ -1134,6 +1134,22 @@ object Oracles {
         |  sum(n_chars)::BIGINT AS total_chars, sum(fp)::BIGINT AS fp_sum
         |FROM snap GROUP BY 1""".stripMargin,
 
+    // streaming token-budget admission: arrival order == doc_id order
+    // for the staged single-file stream, so the oracle is the id-order
+    // cumsum per source with the crossing doc admitted
+    "ev23_stream_budget_fill" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+        |      - n_tokens AS start_offset
+        |  FROM d)
+        |SELECT source, doc_id, n_tokens, start_offset
+        |FROM o WHERE start_offset < 800""".stripMargin,
+
     // token-budget head-fill: the oracle is the naive full per-source
     // sort (priority desc, doc_id asc, keep start_offset < budget —
     // crossing doc kept); the engine's histogram-cutoff plan must pick

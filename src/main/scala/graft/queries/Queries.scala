@@ -1690,6 +1690,20 @@ object Queries {
       Funnel.reportFromSteps(spark.table(name), t(spark, dir, "events"), "user_id")
     }
 
+  /** Streaming token-budget admission (EV23): per-source running token
+    * state across micro-batches; each source admits id-ordered arrivals
+    * until 800 tokens are covered (crossing doc admitted — c17's
+    * straddle rule applied to arrival order).
+    */
+  def ev23_stream_budget_fill(spark: SparkSession, dir: String): DataFrame =
+    withStagedTable(dir, "documents.parquet", "ev23_stream") { staged =>
+      val adm = graft.streaming.StreamingOps.budgetFillStream(
+        graft.streaming.StreamingOps.readDocuments(spark, staged), budget = 800L)
+      graft.streaming.StreamingOps.runToMemorySink(adm.toDF(),
+        "ev23_" + java.lang.Long.toHexString(System.nanoTime()),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+
   /** Streaming ingest dedup: the same split as d10, run through
     * Structured Streaming — history is the static anti-join side,
     * within-stream repeats drop via watermark-bounded fingerprint

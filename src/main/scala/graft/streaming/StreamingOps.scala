@@ -345,6 +345,50 @@ object StreamingOps {
       .join(historyFps.select("fp"), Seq("fp"), "left_anti")
       .dropDuplicatesWithinWatermark("fp")
 
+  case class BudgetDoc(source: String, doc_id: Long, n_tokens: Long)
+  case class BudgetState(consumed: Long)
+  case class AdmittedDoc(source: String, doc_id: Long, n_tokens: Long,
+      start_offset: Long)
+
+  /** Streaming token-budget admission (EV23) — the ingest-time shape of
+    * [[graft.operators.Sampling.tokenBudgetFill]]: documents stream in
+    * and each SOURCE admits arrivals until its running token total
+    * covers `budget`; the crossing document is admitted (minimal head
+    * covering the budget, c17's straddle rule) and everything after it
+    * drops. Per-source consumed-token state is one long carried across
+    * micro-batches via `flatMapGroupsWithState` — admission decisions
+    * are batch-boundary invariant for id-ordered arrival because each
+    * batch's group iterator is replayed in id order before folding.
+    * A real ingest keeps arrival order instead and the same plan runs.
+    */
+  def budgetFillStream(
+      docs: DataFrame,
+      budget: Long): Dataset[AdmittedDoc] = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("source"), col("doc_id").cast("long").as("doc_id"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      .as[BudgetDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[BudgetState, AdmittedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, batch: Iterator[BudgetDoc], state: GroupState[BudgetState]) =>
+          var consumed = state.getOption.map(_.consumed).getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AdmittedDoc]
+          batch.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (consumed < budget) {
+              out += AdmittedDoc(src, d.doc_id, d.n_tokens, consumed)
+              consumed += d.n_tokens
+            }
+          }
+          state.update(BudgetState(consumed))
+          out.iterator
+      }
+  }
+
   /** Streaming incremental NEAR-dup ingest — the minhash twin of
     * [[incrementalDedupStream]], completing the ingest-time dedup
     * lifecycle: each micro-batch signs its documents once, probes the

@@ -342,4 +342,31 @@ class MultiBatchStreamingSpec extends SparkSpec {
     assert(streamed === oneShot,
       "per-query top-k must be batch-boundary invariant")
   }
+
+  test("budget-fill admission state carries across >= 3 micro-batches") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${sf("0.001")}/documents.parquet")
+    val dir = stageSplitParquet(docs, parts = 3, sortCol = "doc_id")
+    val (streamed, progress) = StreamingOps.runToMemorySinkWithProgress(
+      StreamingOps.budgetFillStream(
+        StreamingOps.readDocuments(spark, s"$dir/*.parquet",
+          maxFilesPerTrigger = Some(1)), budget = 300L).toDF(),
+      "budget_multi", OutputMode.Append())
+    assert(dataBatches(progress) >= 3,
+      s"fixture must span >= 3 data micro-batches, got ${dataBatches(progress)}")
+    // oracle: id-order cumsum per source, crossing doc admitted
+    val want = docs
+      .select(col("source"), col("doc_id"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+      .as[(String, Long, Long)].collect().groupBy(_._1).toSeq
+      .flatMap { case (src, ds) =>
+        var consumed = 0L
+        ds.sortBy(_._2).flatMap { case (_, id, tk) =>
+          if (consumed < 300L) { val s = consumed; consumed += tk
+            Some((src, id, tk, s)) } else None
+        }
+      }.toSet
+    val got = streamed.as[(String, Long, Long, Long)].collect().toSet
+    assert(got === want, "admission must be batch-boundary invariant")
+  }
 }
