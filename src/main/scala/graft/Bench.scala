@@ -146,6 +146,7 @@ object Bench {
     "c3_pack_sequences",
     "d1_dedup_exact",
     "e2_ann_topk",
+    "e17_mrl_rerank",
     "e3_embedding_dedup",
     "e6_ann_recall",
     "ev2_sessionize",

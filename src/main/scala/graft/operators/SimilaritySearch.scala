@@ -40,6 +40,35 @@ object SimilaritySearch {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
 
+  /** Matryoshka two-stage retrieval (E17): score the WHOLE corpus on
+    * the first `coarseDim` dims only (the MRL insight — a
+    * Matryoshka-trained embedding's prefix is itself a valid embedding,
+    * Kusupati et al. 2022), shortlist the top `shortlist` candidates,
+    * then rerank just those with full-dimension cosine. The production
+    * retrieval ladder: at 100 TB the coarse pass reads a `coarseDim/dim`
+    * slice of the bytes (columnar prefix pruning / a truncated sidecar
+    * column makes that literal), and the exact kernel touches only a
+    * constant-size shortlist. Both stages are TakeOrderedAndProject —
+    * per-partition heads, no global sort; ties break on id at both
+    * cuts, so the result is deterministic cross-engine.
+    */
+  def mrlRerank(df: DataFrame, idCol: String, embCol: String, dim: Int,
+      query: Array[Double], coarseDim: Int, shortlist: Int, k: Int): DataFrame = {
+    require(coarseDim > 0 && coarseDim <= dim && k <= shortlist,
+      s"need 0 < coarseDim <= dim and k <= shortlist")
+    val coarse = df
+      .select(col(idCol), col(embCol),
+        cosine(slice(col(embCol).cast("array<double>"), 1, coarseDim),
+          query.take(coarseDim)).as("coarse_sim"))
+      .orderBy(col("coarse_sim").desc, col(idCol))
+      .limit(shortlist)
+    coarse
+      .select(col(idCol), col("coarse_sim"),
+        cosine(col(embCol), query).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Symmetric int8 quantization of the embedding column: per-vector
     * scale maxabs/127, components round(v/scale) in [-127, 127]. The
     * storage/serving format for a 100 TB embedding corpus — 4x smaller

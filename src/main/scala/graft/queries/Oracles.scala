@@ -2036,6 +2036,25 @@ object Oracles {
     "e14_pq_recall" -> recallVsExactSql(e11Sql),
     "e15_ivfpq_recall" -> recallVsExactSql(e13Sql),
 
+    // Matryoshka rerank: coarse prefix-dim cosine shortlist, exact
+    // full-dim rerank; ties by vec_id at both cuts
+    "e17_mrl_rerank" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |c AS (
+        |  SELECT e.vec_id, e.v,
+        |    list_dot_product(e.v[1:16], q.qv[1:16])
+        |      / (sqrt(list_dot_product(e.v[1:16], e.v[1:16]))
+        |         * sqrt(list_dot_product(q.qv[1:16], q.qv[1:16]))) AS coarse_sim
+        |  FROM e, q
+        |  ORDER BY coarse_sim DESC, e.vec_id LIMIT 50)
+        |SELECT c.vec_id, c.coarse_sim,
+        |  list_dot_product(c.v, q.qv)
+        |    / (sqrt(list_dot_product(c.v, c.v))
+        |       * sqrt(list_dot_product(q.qv, q.qv))) AS cos_sim
+        |FROM c, q
+        |ORDER BY cos_sim DESC, c.vec_id LIMIT 10""".stripMargin,
+
     // sign-sketch Hamming top-k: the oracle counts sign mismatches
     // directly (no bit packing needed in SQL — the count is what the
     // packed XOR+popcount computes); integer-exact, ties by vec_id

@@ -1178,6 +1178,19 @@ object Queries {
       query = query, k = 20, nBits = 4)
   }
 
+  /** Matryoshka two-stage rerank (E17): coarse 16-dim prefix cosine over
+    * the corpus, top-50 shortlist, exact 64-dim rerank to top-10 —
+    * both cuts tie-broken by vec_id ([[SimilaritySearch.mrlRerank]]).
+    */
+  def e17_mrl_rerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    SimilaritySearch.mrlRerank(emb, "vec_id", "embedding", dim = query.length,
+      query = query, coarseDim = 16, shortlist = 50, k = 10)
+  }
+
   /** Top-20 by sign-sketch Hamming distance: the 32x-compressed 1-bit
     * rung of the quantization ladder; integer-exact ranking.
     */

@@ -43,6 +43,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out(4L).getDouble(2) === 1.0 && out(4L).isNullAt(3) && out(4L).isNullAt(4))
   }
 
+  test("mrlRerank: full-width coarse == exact top-k; prefix coarse recalls") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val dim = 32
+    val corpus = (0 until 400).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val query = Array.fill(dim)(rnd.nextGaussian())
+    val exact = SimilaritySearch.topK(corpus, "vec_id", "embedding", query, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    // coarseDim == dim and an all-covering shortlist degrade to exact
+    val full = SimilaritySearch.mrlRerank(corpus, "vec_id", "embedding",
+        dim, query, coarseDim = dim, shortlist = 400, k = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full === exact)
+    // a quarter-width coarse pass with a 50-shortlist still recalls most
+    // of the exact head (random gaussians — no MRL training, so this is
+    // the floor, not the ceiling)
+    val mrl = SimilaritySearch.mrlRerank(corpus, "vec_id", "embedding",
+        dim, query, coarseDim = 8, shortlist = 50, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact.toSet & mrl).size / 10.0
+    assert(recall >= 0.3, s"coarse-prefix recall@10 $recall")
+    // rerank output is ordered by exact cosine and capped at k
+    assert(mrl.size === 10)
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.mrlRerank(corpus, "vec_id", "embedding", dim, query,
+        coarseDim = 0, shortlist = 50, k = 10)
+    }
+  }
+
   test("int8 quantization: high recall vs exact top-k, bounded cosine error") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
