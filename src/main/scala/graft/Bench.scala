@@ -147,6 +147,12 @@ object Bench {
     "d1_dedup_exact",
     "e2_ann_topk",
     "e17_mrl_rerank",
+    "t27_tdigest_quantiles",
+    "ev24_psi_drift",
+    "ev25_stream_psi_drift",
+    "m12_audio_segments",
+    "j11_band_join",
+    "c19_scd2_history",
     "e3_embedding_dedup",
     "e6_ann_recall",
     "ev2_sessionize",

@@ -198,4 +198,43 @@ object Merge {
           .when(col("old_fp") =!= col("new_fp"), "modified"))
       .where(col("status").isNotNull)
       .select(col(keyCol), col("status"), col("old_fp"), col("new_fp"))
+
+  /** SCD-2 history build: where [[upsert]] keeps only the latest state
+    * (SCD-1), this emits every version as a validity interval — the
+    * dimension-table shape a lakehouse keeps for time travel per ROW
+    * ([[timeline]] answers per SNAPSHOT). Base rows open at version 0;
+    * each change closes the key's previous interval at its version and
+    * (unless a tombstone) opens its own; the last open interval per key
+    * is `is_current`. A 'D' contributes only its closing edge — it is
+    * not an interval.
+    *
+    * One window per key ordered by version: partitions are per-key and
+    * version-count-sized (CDC depth, a few rows), so the window never
+    * concentrates a shuffle — the skew ceiling is the hottest key's
+    * change count, not the corpus. Agrees with [[upsert]] by
+    * construction: the `is_current` slice IS the SCD-1 snapshot
+    * (spec-gated).
+    */
+  def scd2History(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      versionCol: String = "version",
+      opCol: String = "op"): DataFrame = {
+    val dataCols = base.columns.toSeq
+    require(dataCols.contains(keyCol), s"base lacks key column $keyCol")
+    val ev = base
+      .withColumn(opCol, lit("I")).withColumn(versionCol, lit(0L))
+      .select((dataCols :+ opCol :+ versionCol).map(col): _*)
+      .unionByName(changes.select((dataCols :+ opCol :+ versionCol).map(col): _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(versionCol)
+    ev
+      .withColumn("valid_from", col(versionCol).cast("long"))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w).cast("long"))
+      .where(col(opCol) =!= "D")
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(dataCols.map(col) :+ col("valid_from") :+ col("valid_to") :+
+        col("is_current"): _*)
+  }
 }

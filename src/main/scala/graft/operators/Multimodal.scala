@@ -742,6 +742,75 @@ object Multimodal {
       }
   }
 
+  /** Energy-run audio segmentation — the VAD-shaped primitive (voice /
+    * silence split) over the decoded waveform, all-integer: partition
+    * the PCM stream into full `window`-sample frames (the trailing
+    * partial frame is dropped, as [[audioFingerprint]]), per-frame
+    * energy Σs², mark a frame ACTIVE iff its energy exceeds the file
+    * mean (E_w · nW > ΣE — exact long arithmetic, no division), and
+    * merge consecutive active frames into segments via gaps-and-islands.
+    * One narrow mapPartitions decode (zero shuffles to the frame table)
+    * then a per-document window over ≤ nW rows; same bad-payload
+    * accumulator contract as [[decodeAudioBatch]].
+    *
+    * Energy fits a long with wide headroom: s² ≤ 2³⁰ and a frame sums
+    * `window` of them, so even 2²⁰-sample frames stay under 2⁵⁰.
+    */
+  def audioSegments(df: DataFrame, idCol: String,
+      binCol: String = "payload", window: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val badAcc = spark.sparkContext.longAccumulator("multimodal.audioseg.badPayloads")
+    lastBadPayloads = Some(badAcc)
+    val frames = df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          try {
+            if (bytes == null) { badAcc.add(1); Iterator.empty }
+            else {
+              val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) {
+                badAcc.add(1); Iterator.empty
+              } else {
+                val pcm = ais.readAllBytes()
+                val big = fmt.isBigEndian
+                val nW = pcm.length / (2 * window)
+                val en = new Array[Long](math.max(nW, 0))
+                var t = 0
+                while (t < nW * window) {
+                  val i = 2 * t
+                  val lo = pcm(if (big) i + 1 else i) & 0xff
+                  val hiB = pcm(if (big) i else i + 1).toInt
+                  val s = ((hiB << 8) | lo).toLong
+                  en(t / window) += s * s
+                  t += 1
+                }
+                (0 until nW).iterator.map(w => (id, w.toLong, en(w)))
+              }
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => badAcc.add(1); Iterator.empty
+          }
+        }
+      }.toDF("doc_id", "w", "energy")
+    val W = org.apache.spark.sql.expressions.Window
+    val perDoc = W.partitionBy("doc_id")
+    val active = frames
+      .withColumn("nw", count(lit(1)).over(perDoc))
+      .withColumn("tot", sum(col("energy")).over(perDoc))
+      .where(col("energy") * col("nw") > col("tot"))
+    val grp = col("w") -
+      (row_number().over(W.partitionBy("doc_id").orderBy("w")) - 1)
+    active.withColumn("grp", grp)
+      .groupBy("doc_id", "grp")
+      .agg(min(col("w")).as("seg_start"), max(col("w")).as("seg_end"),
+        count(lit(1)).as("n_windows"), sum(col("energy")).as("seg_energy"))
+      .select(col("doc_id"), col("seg_start"), col("seg_end"),
+        col("n_windows"), col("seg_energy"))
+  }
+
   /** Audio near-dup in COLLAPSED form (the m8 contract, applied from
     * day 1 — a fixture keyed mod 97 makes the pairwise output Ω(Σn²) at
     * scale, so the pairwise flavor is never the contract here): one

@@ -293,6 +293,54 @@ object Sketch {
         expr("cum * 10000 div n - q_pct * 100").as("err_bp"))
   }
 
+  // ---- PSI distribution drift -----------------------------------------
+
+  /** Population Stability Index drift of each scope's value
+    * distribution against a pooled reference — the monitoring primitive
+    * a training pipeline runs per ingest window to catch a source whose
+    * value profile shifted. Both sides are [[histBins]] log-histograms,
+    * so the whole comparison runs on SKETCH state: |scopes| x |ref
+    * bins| cells, never data rows, and per-window histograms appended
+    * to a log resolve to exactly the batch answer by bin-count addition
+    * (the merge-on-read algebra the streaming flavor relies on).
+    *
+    * Laplace +1 smoothing on BOTH sides over the reference bin
+    * universe: p_i = (c_win,i + 1) / (n_win + B), q_i = (c_ref,i + 1) /
+    * (n_ref + B) with B = |reference bins|, so empty cells contribute a
+    * finite term. The reference must cover every window's value domain
+    * (it does by construction when it is the merge of the windows —
+    * callers passing an external baseline own that contract; bins
+    * absent from it are not scored).
+    *
+    * Cross-engine determinism: each PSI term (p-q)·ln(p/q) computes on
+    * bit-identical doubles in both engines (integer-count ratios, one
+    * ln), and the per-scope SUM is fixed to integer 1e-8 units per term
+    * (the t21 associativity trick) — a double sum's value would depend
+    * on Spark's partial/final add order.
+    */
+  def psiDrift(winBins: DataFrame, refBins: DataFrame): DataFrame = {
+    val ref = refBins.groupBy("bin").agg(sum(col("cnt")).as("ref_cnt"))
+    val refTot = ref.agg(sum(col("ref_cnt")).as("n_ref"),
+      count(lit(1)).as("n_bins"))
+    val winTot = winBins.groupBy("scope").agg(sum(col("cnt")).as("n_win"))
+    val grid = winTot
+      .crossJoin(broadcast(ref.crossJoin(refTot)))
+      .join(winBins.select(col("scope"), col("bin"), col("cnt").as("w_cnt")),
+        Seq("scope", "bin"), "left")
+    val p = (coalesce(col("w_cnt"), lit(0L)) + 1L).cast("double") /
+      (col("n_win") + col("n_bins")).cast("double")
+    val q = (col("ref_cnt") + 1L).cast("double") /
+      (col("n_ref") + col("n_bins")).cast("double")
+    // terms are >= 0 ((p-q) and ln(p/q) share sign), so floor is a
+    // pure truncation toward the same side everywhere
+    val term = (p - q) * log(p / q)
+    grid.select(col("scope"), col("n_win"),
+        floor(term * lit(1.0e8)).cast("long").as("t8"))
+      .groupBy("scope", "n_win").agg(sum(col("t8")).as("psi_e8"))
+      .select(col("scope"), col("n_win").as("n_events"),
+        (col("psi_e8").cast("double") / 1.0e8).as("psi"))
+  }
+
   /** Distinct 3-token shingles per document (d3's shingle definition),
     * exploded — the value stream both the sketch and the exact side
     * consume.

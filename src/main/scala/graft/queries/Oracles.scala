@@ -1144,11 +1144,143 @@ object Oracles {
         |  FROM documents),
         |o AS (
         |  SELECT source, doc_id, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
-        |      - n_tokens AS start_offset
+        |    (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+        |      - n_tokens)::BIGINT AS start_offset
         |  FROM d)
         |SELECT source, doc_id, n_tokens, start_offset
         |FROM o WHERE start_offset < 800""".stripMargin,
+
+    // t-digest rank-error contract: the oracle carries the exact
+    // interpolated quantile (t10 semantics) and asserts the digest's
+    // achieved-rank interval lands within ±100 bp of q — the engine
+    // computes the actual boolean; a >1% rank error hash-fails
+    "t27_tdigest_quantiles" ->
+      """WITH e AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.95, 0.99]) AS qv
+        |  FROM documents GROUP BY source),
+        |q AS (SELECT unnest([25, 50, 75, 95, 99]) AS q_pct,
+        |             unnest([1, 2, 3, 4, 5]) AS i)
+        |SELECT e.source, q.q_pct::INTEGER AS q_pct, e.n_docs,
+        |  round(qv[q.i], 4) AS exact_value, true AS within_100bp
+        |FROM e CROSS JOIN q""".stripMargin,
+
+    // PSI drift: replay the all-integer histBins on value cents per day
+    // window, pool the reference, score (p-q)ln(p/q) with +1 smoothing
+    // in exact 1e-8 units per term (the t21 associativity trick)
+    "ev24_psi_drift" ->
+      """WITH b AS (SELECT floor(epoch_ms(ts) / 86400000.0)::BIGINT AS scope,
+        |    floor(value * 100)::BIGINT + 1 AS v FROM events),
+        |e AS (SELECT scope, v, length(bin(v)) - 1 AS e FROM b),
+        |s AS (SELECT scope, e, greatest(e - 3, 0) AS sh, v FROM e),
+        |m AS (SELECT scope, e, sh, v >> sh AS m FROM s),
+        |h AS (SELECT scope, e * 8 + (m % 8) AS bin, count(*)::BIGINT AS cnt
+        |  FROM m GROUP BY 1, 2),
+        |r AS (SELECT bin, sum(cnt)::BIGINT AS ref_cnt FROM h GROUP BY bin),
+        |rt AS (SELECT sum(ref_cnt)::BIGINT AS n_ref, count(*)::BIGINT AS n_bins
+        |  FROM r),
+        |wt AS (SELECT scope, sum(cnt)::BIGINT AS n_win FROM h GROUP BY scope),
+        |grid AS (SELECT wt.scope, wt.n_win, r.bin, r.ref_cnt, rt.n_ref,
+        |    rt.n_bins, coalesce(h.cnt, 0)::BIGINT AS w_cnt
+        |  FROM wt CROSS JOIN r CROSS JOIN rt
+        |  LEFT JOIN h ON h.scope = wt.scope AND h.bin = r.bin),
+        |t AS (SELECT scope, n_win,
+        |    floor(((w_cnt + 1)::DOUBLE / (n_win + n_bins)::DOUBLE
+        |         - (ref_cnt + 1)::DOUBLE / (n_ref + n_bins)::DOUBLE)
+        |      * ln(((w_cnt + 1)::DOUBLE / (n_win + n_bins)::DOUBLE)
+        |          / ((ref_cnt + 1)::DOUBLE / (n_ref + n_bins)::DOUBLE))
+        |      * 1e8)::BIGINT AS t8
+        |  FROM grid)
+        |SELECT scope, n_win AS n_events,
+        |  sum(t8)::BIGINT::DOUBLE / 1e8 AS psi
+        |FROM t GROUP BY scope, n_win""".stripMargin,
+
+    // band join: the oracle is the naive inequality cross join the
+    // bucket rewrite must reproduce exactly
+    "j11_band_join" ->
+      """SELECT c_custkey, s_suppkey,
+        |  floor(c_acctbal * 100)::BIGINT - floor(s_acctbal * 100)::BIGINT
+        |    AS diff_cents
+        |FROM customer CROSS JOIN supplier
+        |WHERE abs(floor(c_acctbal * 100)::BIGINT
+        |        - floor(s_acctbal * 100)::BIGINT) <= 100""".stripMargin,
+
+    // SCD-2: base rows open at version 0, each change closes its key's
+    // previous interval; tombstones contribute only the closing edge
+    "c19_scd2_history" ->
+      """WITH ev AS (
+        |  SELECT doc_id, text, lang, source, n_chars, 'I' AS op, 0 AS version
+        |  FROM documents WHERE doc_id % 4 <> 3
+        |  UNION ALL
+        |  SELECT doc_id, upper(text), lang, source, n_chars, 'U', 1
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars, 'D', 2
+        |  FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars, 'I', 1
+        |  FROM documents WHERE doc_id % 4 = 3
+        |  UNION ALL
+        |  SELECT doc_id, text || ' v2', lang, source, n_chars + 3, 'U', 2
+        |  FROM documents WHERE doc_id % 12 = 7),
+        |iv AS (
+        |  SELECT *, version::BIGINT AS valid_from,
+        |    (lead(version) OVER (PARTITION BY doc_id ORDER BY version))::BIGINT
+        |      AS valid_to
+        |  FROM ev)
+        |SELECT doc_id, text, lang, source, n_chars, valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM iv WHERE op <> 'D'""".stripMargin,
+
+    // the streaming bin log must resolve to the identical ev24 report
+    // (bin counts add; PSI terms are exact 1e-8 integers)
+    "ev25_stream_psi_drift" ->
+      """WITH b AS (SELECT floor(epoch_ms(ts) / 86400000.0)::BIGINT AS scope,
+        |    floor(value * 100)::BIGINT + 1 AS v FROM events),
+        |e AS (SELECT scope, v, length(bin(v)) - 1 AS e FROM b),
+        |s AS (SELECT scope, e, greatest(e - 3, 0) AS sh, v FROM e),
+        |m AS (SELECT scope, e, sh, v >> sh AS m FROM s),
+        |h AS (SELECT scope, e * 8 + (m % 8) AS bin, count(*)::BIGINT AS cnt
+        |  FROM m GROUP BY 1, 2),
+        |r AS (SELECT bin, sum(cnt)::BIGINT AS ref_cnt FROM h GROUP BY bin),
+        |rt AS (SELECT sum(ref_cnt)::BIGINT AS n_ref, count(*)::BIGINT AS n_bins
+        |  FROM r),
+        |wt AS (SELECT scope, sum(cnt)::BIGINT AS n_win FROM h GROUP BY scope),
+        |grid AS (SELECT wt.scope, wt.n_win, r.bin, r.ref_cnt, rt.n_ref,
+        |    rt.n_bins, coalesce(h.cnt, 0)::BIGINT AS w_cnt
+        |  FROM wt CROSS JOIN r CROSS JOIN rt
+        |  LEFT JOIN h ON h.scope = wt.scope AND h.bin = r.bin),
+        |t AS (SELECT scope, n_win,
+        |    floor(((w_cnt + 1)::DOUBLE / (n_win + n_bins)::DOUBLE
+        |         - (ref_cnt + 1)::DOUBLE / (n_ref + n_bins)::DOUBLE)
+        |      * ln(((w_cnt + 1)::DOUBLE / (n_win + n_bins)::DOUBLE)
+        |          / ((ref_cnt + 1)::DOUBLE / (n_ref + n_bins)::DOUBLE))
+        |      * 1e8)::BIGINT AS t8
+        |  FROM grid)
+        |SELECT scope, n_win AS n_events,
+        |  sum(t8)::BIGINT::DOUBLE / 1e8 AS psi
+        |FROM t GROUP BY scope, n_win""".stripMargin,
+
+    // energy-run audio segmentation: rebuild the closed-form PCM, frame
+    // into full 16-sample windows, threshold at the file mean (exact
+    // long arithmetic), gaps-and-islands into segments
+    "m12_audio_segments" ->
+      """WITH a AS (SELECT doc_id, 64 + doc_id % 33 AS n FROM documents),
+        |s AS (SELECT doc_id, t.range AS t,
+        |    (doc_id * 31 + t.range * 7) % 65536 - 32768 AS v
+        |  FROM a CROSS JOIN range(0, 96) t WHERE t.range < (n // 16) * 16),
+        |e AS (SELECT doc_id, t // 16 AS w, sum(v * v)::BIGINT AS energy
+        |  FROM s GROUP BY 1, 2),
+        |f AS (SELECT doc_id, w, energy,
+        |    count(*) OVER (PARTITION BY doc_id) AS nw,
+        |    sum(energy) OVER (PARTITION BY doc_id) AS tot
+        |  FROM e),
+        |act AS (SELECT doc_id, w, energy FROM f WHERE energy * nw > tot),
+        |g AS (SELECT doc_id, w, energy,
+        |    w - (row_number() OVER (PARTITION BY doc_id ORDER BY w) - 1) AS grp
+        |  FROM act)
+        |SELECT doc_id, min(w)::BIGINT AS seg_start, max(w)::BIGINT AS seg_end,
+        |  count(*)::BIGINT AS n_windows, sum(energy)::BIGINT AS seg_energy
+        |FROM g GROUP BY doc_id, grp""".stripMargin,
 
     // token-budget head-fill: the oracle is the naive full per-source
     // sort (priority desc, doc_id asc, keep start_offset < budget —

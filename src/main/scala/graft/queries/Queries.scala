@@ -2389,4 +2389,106 @@ object Queries {
         count(lit(1)).as("n_sessions"),
         max(col("n_events")).as("max_session_events"))
   }
+
+  /** t-digest quantile accuracy (T27): per-source digests of n_chars at
+    * δ=200, probed at q ∈ {25,50,75,95,99}. The digest itself is not
+    * cross-engine replayable (centroid placement is merge-order-
+    * dependent), so the gate row carries what IS invariant: the exact
+    * interpolated quantile (t10's percentile semantics, replayable) and
+    * the k1 rank-error CONTRACT — the tie-robust achieved-rank interval
+    * [count(v<est), count(v<=est)] of the digest estimate must
+    * intersect the ±100 bp band around q. The estimate's value lives in
+    * the spec; a digest whose rank error exceeds 1% flips the boolean
+    * and hash-fails the gate.
+    */
+  def t27_tdigest_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+      .select(col("source"), col("n_chars").cast("double").as("v"))
+    val td = udaf(new graft.operators.TDigestAgg(200))
+    val qs = Seq(25, 50, 75, 95, 99)
+    val dig = docs.groupBy("source").agg(
+      td(col("v")).as("td"), count(lit(1)).as("n_docs"),
+      expr(s"percentile(v, array(${qs.map(_ / 100.0).mkString("D,")}D))").as("ex"))
+    val quant = udf((m: Seq[Double], w: Seq[Long], q: Int) =>
+      graft.operators.TDigest.quantile(m, w, q / 100.0))
+    val est = dig
+      .crossJoin(broadcast(qs.zipWithIndex.toDF("q_pct", "qi")))
+      .select(col("source"), col("n_docs"), col("q_pct"),
+        round(element_at(col("ex"), col("qi") + 1), 4).as("exact_value"),
+        quant(col("td.means"), col("td.weights"), col("q_pct")).as("est"))
+    docs.join(broadcast(est), "source")
+      .groupBy("source", "q_pct", "n_docs", "exact_value", "est")
+      .agg(sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("r_lo"),
+        sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("r_hi"))
+      .select(col("source"), col("q_pct"), col("n_docs"), col("exact_value"),
+        (col("r_lo") * 100 <= (col("q_pct") + 1) * col("n_docs") &&
+          col("r_hi") * 100 >= (col("q_pct") - 1) * col("n_docs"))
+          .as("within_100bp"))
+  }
+
+  /** PSI distribution drift (EV24): each day window's event-value
+    * distribution (log-histogram over value cents) scored against the
+    * pooled 30-day reference — per-window PSI in exact 1e-8 units
+    * ([[Sketch.psiDrift]]). The whole report runs on sketch state:
+    * |windows| x |bins| cells.
+    */
+  def ev24_psi_drift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(
+      expr("ts div 86400000000000").as("wnd"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val winBins = Sketch.histBins(ev, "wnd", "cents")
+    Sketch.psiDrift(winBins, Sketch.histMerge(winBins, "__ref"))
+  }
+
+  /** EV24 through Structured Streaming (EV25): per micro-batch the
+    * day-window histograms append to a bin log; read-time resolve folds
+    * the log and scores PSI vs the pooled reference. Bin counts add, so
+    * the result is bit-identical to ev24 whatever the batch boundaries —
+    * shares ev24's oracle.
+    */
+  def ev25_stream_psi_drift(spark: SparkSession, dir: String): DataFrame =
+    withStagedEvents(dir, "ev25_stream") { staged =>
+      val tmp = java.nio.file.Files.createTempDirectory("ev25_log").toString
+      graft.streaming.StreamingOps.psiLogStream(
+        graft.streaming.StreamingOps.readEvents(spark, staged), s"$tmp/log")
+      graft.streaming.StreamingOps.psiLogResolve(spark, s"$tmp/log")
+    }
+
+  /** Numeric band join (J11): customer×supplier pairs within ±$1 of
+    * account balance, in exact cents — the inequality-only join shape
+    * Catalyst would nested-loop, rewritten to a 3-bucket equi-join +
+    * exact verify ([[BandJoin]]). The smaller (supplier) side triples.
+    */
+  def j11_band_join(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_custkey"),
+      floor(col("c_acctbal") * 100).cast("long").as("c_cents"))
+    val s = t(spark, dir, "supplier").select(col("s_suppkey"),
+      floor(col("s_acctbal") * 100).cast("long").as("s_cents"))
+    BandJoin.bandJoin(s, c, "s_cents", "c_cents", eps = 100L)
+      .select(col("c_custkey"), col("s_suppkey"),
+        (col("c_cents") - col("s_cents")).as("diff_cents"))
+  }
+
+  /** SCD-2 history build (C19): the c13 CDC fixture replayed as
+    * validity intervals instead of a latest-wins snapshot
+    * ([[Merge.scd2History]]) — base opens at version 0, updates close
+    * and reopen, tombstones only close; `is_current` slice == c13.
+    */
+  def c19_scd2_history(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Merge.scd2History(docs.where(col("doc_id") % 4 =!= 3), docChanges(docs),
+      "doc_id")
+  }
+
+  /** Energy-run audio segmentation (M12): decode the synthetic WAVs,
+    * split each into 16-sample frames, keep frames louder than the file
+    * mean, merge runs into segments — all-integer
+    * ([[Multimodal.audioSegments]]), so the closed-form fixture replays
+    * exactly in the oracle.
+    */
+  def m12_audio_segments(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioSegments(
+      Multimodal.attachSynthWav(t(spark, dir, "documents").select("doc_id"), "doc_id"),
+      "doc_id")
 }

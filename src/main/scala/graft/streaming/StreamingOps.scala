@@ -685,6 +685,43 @@ object StreamingOps {
       qs)
   }
 
+  /** Streaming PSI drift log — the monitoring member of the
+    * merge-on-read family: per micro-batch, the batch's events bin into
+    * per-day-window log-histograms ([[graft.operators.Sketch.histBins]]
+    * over value cents) appended to the log. Bin counts add, so the
+    * resolved log is EXACTLY the batch histogram whatever the batch
+    * boundaries, and the PSI report computed from it is bit-identical
+    * to ev24's batch answer — the associativity the ev22/ev21/ev20 logs
+    * share. Log volume is bounded by |windows| x |bins|, not events.
+    */
+  def psiLogStream(events: DataFrame, logDir: String): Unit = {
+    val q = events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Sketch.histBins(
+          batch.toDF
+            .select(expr("ts div 86400000000000").as("wnd"),
+              floor(col("value") * 100).cast("long").as("cents")),
+          "wnd", "cents")
+          .write.mode("append").parquet(logDir)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Read-time resolve of [[psiLogStream]]: fold bins by addition,
+    * pool the reference by bin-count merge, score each day window's
+    * PSI against it — the same report ev24 computes in batch.
+    */
+  def psiLogResolve(spark: SparkSession, logDir: String): DataFrame = {
+    val bins = spark.read.parquet(logDir)
+      .groupBy("scope", "bin", "edge")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+    graft.operators.Sketch.psiDrift(
+      bins, graft.operators.Sketch.histMerge(bins, "__ref"))
+  }
+
   /** Streaming activity log for cohort retention — the merge-on-read
     * member for the retention triangle: per micro-batch the batch's
     * DISTINCT (user, week) pairs are appended. Both downstream

@@ -148,4 +148,43 @@ class MergeSpec extends SparkSpec {
       batch.count(), "streamed snapshot must equal the batch snapshot")
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("scd2History: is_current slice IS the SCD-1 upsert snapshot") {
+    val docs = spark.read.parquet(s"${sf("0.001")}/documents.parquet")
+    val base = docs.where(col("doc_id") % 4 =!= 3)
+    val ch = graft.queries.Queries.docChanges(docs)
+    val hist = Merge.scd2History(base, ch, "doc_id")
+    val current = hist.where(col("is_current"))
+      .select(base.columns.map(col): _*)
+    val snap = Merge.upsert(base, ch, "doc_id")
+    assert(current.exceptAll(snap).isEmpty && snap.exceptAll(current).isEmpty,
+      "current rows must equal the latest-wins snapshot")
+  }
+
+  test("scd2History: intervals chain without gaps; tombstoned keys have no current row") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${sf("0.001")}/documents.parquet")
+    val base = docs.where(col("doc_id") % 4 =!= 3)
+    val hist = Merge.scd2History(base, graft.queries.Queries.docChanges(docs),
+      "doc_id")
+    // every bounded interval is properly ordered
+    assert(hist.where(col("valid_to").isNotNull &&
+      col("valid_to") <= col("valid_from")).count() === 0)
+    // successor's valid_from == predecessor's valid_to (lead chaining):
+    // for each key, sorted valid_froms must equal sorted non-null
+    // valid_tos shifted by one opening at the key's first version
+    val bad = hist.groupBy("doc_id")
+      .agg(sort_array(collect_list("valid_from")).as("froms"),
+        sort_array(collect_list("valid_to")).as("tos"))
+      // drop the FIRST from (the opening) and any trailing open interval;
+      // what remains of froms must be a subset of tos
+      .where(!expr("slice(froms, 2, size(froms) - 1)")
+        .eqNullSafe(expr(
+          "slice(tos, 1, greatest(size(froms) - 1, 0))")))
+      .count()
+    assert(bad === 0, "interval chains must be gap-free")
+    // a doc deleted at v2 (doc_id % 6 == 0) never has a current row
+    assert(hist.where(col("doc_id") % 6 === 0 && col("is_current"))
+      .count() === 0)
+  }
 }

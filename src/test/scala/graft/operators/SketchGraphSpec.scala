@@ -276,4 +276,54 @@ class SketchGraphSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(r1 === r2)
   }
+
+  // ---- PSI drift -------------------------------------------------------
+
+  /** (scope, value) rows: scope "a" uniform 0..999; scope "b" the same
+    * shape (no drift); scope "c" shifted up by 700 (real drift).
+    */
+  private def driftData = spark.range(3000).select(
+    element_at(array(lit("a"), lit("b"), lit("c")), (col("id") % 3 + 1).cast("int"))
+      .as("scope"),
+    when(col("id") % 3 === 2, (col("id") / 3) % 1000 + 700)
+      .otherwise((col("id") / 3) % 1000).as("v"))
+
+  test("PSI: windows matching the baseline score near zero, a shifted one high") {
+    // external-baseline path: the reference is the pooled CLEAN scopes
+    // (a+b); c, 70% disjointly shifted, is scored against it. (A pooled
+    // ref INCLUDING c flags every window — mass c holds exclusively is
+    // mass the others 'lost' — which is correct PSI behavior but a
+    // different fixture.)
+    val bins = Sketch.histBins(driftData, "scope", "v")
+    val ref = Sketch.histMerge(
+      Sketch.histBins(driftData.where(col("scope") =!= "c"), "scope", "v"),
+      "__ref")
+    val psi = Sketch.psiDrift(bins, ref)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(psi("a") < 0.05 && psi("b") < 0.05, s"no-drift windows too high: $psi")
+    assert(psi("c") > 0.25, s"shifted window must flag: $psi")
+    assert(psi("a") === psi("b"), "identical windows must score identically")
+  }
+
+  test("PSI log is merge-on-read exact: split bin logs fold to the batch answer") {
+    val d = driftData
+    val whole = Sketch.histBins(d, "scope", "v")
+    // two "micro-batches" by row parity, bins appended then folded by sum
+    val part = Sketch.histBins(d.where(col("v") % 2 === 0), "scope", "v")
+      .unionByName(Sketch.histBins(d.where(col("v") % 2 =!= 0), "scope", "v"))
+      .groupBy("scope", "bin", "edge").agg(sum("cnt").as("cnt"))
+    val a = Sketch.psiDrift(whole, Sketch.histMerge(whole, "__ref"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Sketch.psiDrift(part, Sketch.histMerge(part, "__ref"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a === b, "bin-count addition must reproduce the batch PSI bit-exactly")
+  }
+
+  test("PSI runs on sketch state: cells bounded by scopes x reference bins") {
+    val bins = Sketch.histBins(driftData, "scope", "v")
+    val nBins = Sketch.histMerge(bins, "__ref").count()
+    val out = Sketch.psiDrift(bins, Sketch.histMerge(bins, "__ref"))
+    assert(out.count() === 3)
+    assert(nBins < 200, s"log-histogram must stay bounded, got $nBins bins")
+  }
 }

@@ -224,6 +224,30 @@ class MultiBatchStreamingSpec extends SparkSpec {
     assert(resolved.nonEmpty)
   }
 
+  test("PSI drift bin log resolves to the batch report across >= 3 batches") {
+    import spark.implicits._
+    val events = StreamingOps.readEventsBatch(spark, s"${sf("0.001")}/events.parquet")
+    val dir = stageSplitParquet(events, parts = 3, sortCol = "ts")
+    val tmp = java.nio.file.Files.createTempDirectory("psi_log").toString
+    StreamingOps.psiLogStream(
+      StreamingOps.readEvents(spark, s"$dir/*.parquet", maxFilesPerTrigger = Some(1)),
+      s"$tmp/log")
+    val segs = new java.io.File(s"$tmp/log").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(segs >= 3, s"expected >= 3 appended bin segments, got $segs")
+    val resolved = StreamingOps.psiLogResolve(spark, s"$tmp/log")
+      .as[(Long, Long, Double)].collect().toSet
+    val ev = events.select(expr("ts div 86400000000000").as("wnd"),
+      org.apache.spark.sql.functions.floor(col("value") * 100).cast("long").as("cents"))
+    val winBins = graft.operators.Sketch.histBins(ev, "wnd", "cents")
+    val batch = graft.operators.Sketch.psiDrift(
+      winBins, graft.operators.Sketch.histMerge(winBins, "__ref"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(resolved === batch,
+      "summed per-batch bins must resolve to exactly the batch PSI report")
+    assert(resolved.nonEmpty)
+  }
+
   test("retention activity log resolves to the batch triangle across >= 3 batches") {
     import spark.implicits._
     val events = StreamingOps.readEventsBatch(spark, s"${sf("0.001")}/events.parquet")
