@@ -153,6 +153,10 @@ object Bench {
     "m12_audio_segments",
     "j11_band_join",
     "c19_scd2_history",
+    "ev26_zscore_anomaly",
+    "ev27_stream_zscore",
+    "t28_nfc_normalize",
+    "m13_scene_cuts",
     "e3_embedding_dedup",
     "e6_ann_recall",
     "ev2_sessionize",

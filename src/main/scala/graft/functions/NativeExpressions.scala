@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot scalar kernels (SURVEY.md
   * §2.9: "scalar math UDFs ... hot ones promotable to codegen'd
@@ -34,6 +35,37 @@ case class LogErrorToPhred(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"(-10.0 * ((double) $c) / java.lang.Math.log(10.0))")
   override protected def withNewChildInternal(newChild: Expression): LogErrorToPhred =
     copy(child = newChild)
+}
+
+/** nfc_normalize(s): Unicode NFC normalization (canonical compose) —
+  * the mandatory first pass before any text fingerprint/dedup hash at
+  * corpus scale (é as one codepoint vs e+U+0301 must hash identically).
+  * Standard-defined (UAX #15), so java.text.Normalizer and any other
+  * conforming implementation produce byte-identical UTF-8 — the oracle
+  * cross-checks against DuckDB's utf8proc. ASCII fast path: NFC is the
+  * identity on pure-ASCII input, and `Normalizer.isNormalized` makes
+  * that a scan without allocation, so the common crawl-document case
+  * costs one pass and returns the input UTF8String unchanged.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(s: Any): Any =
+    NfcNormalize.nfc(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }
 
 /** cosine_to_query(v): cosine similarity of an array<double> column
@@ -216,6 +248,9 @@ object NativeExpressions {
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  def nfc_normalize(c: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
+
   def fisher_phred(a: Column, b: Column, c: Column, d: Column): Column =
     ColumnBridge.column(FisherPhred(
       ColumnBridge.expression(a), ColumnBridge.expression(b),
@@ -229,6 +264,8 @@ object NativeExpressions {
       "log_error_to_phred", exprs => LogErrorToPhred(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fisher_phred",
       exprs => FisherPhred(exprs.head, exprs(1), exprs(2), exprs(3)), "built-in")

@@ -372,7 +372,7 @@ object Multimodal {
     * straight from the row's bytes.
     */
   def mp4FrameTable(df: DataFrame, idCol: String = "doc_id",
-      binCol: String = "payload"): DataFrame = {
+      binCol: String = "payload", keepPayload: Boolean = false): DataFrame = {
     val bin = col(binCol)
     // Offsets are chained u32s read from the payload, so an arbitrary
     // (non-MP4 or corrupt) payload can yield offsets past Int range.
@@ -419,8 +419,51 @@ object Multimodal {
           lit(0L), (acc, x) => acc + x))
       .withColumn("frame_fp", md5(bin.substr(safe(col("frame_off") + 1),
         safe(col("frame_size")))))
-      .select(col(idCol), col("frame_idx"), col("frame_off"), col("frame_size"),
-        col("frame_fp"))
+      .select(col(idCol) +: col("frame_idx") +: col("frame_off") +:
+        col("frame_size") +: col("frame_fp") +:
+        (if (keepPayload) Seq(bin) else Nil): _*)
+  }
+
+  /** Video scene segmentation (the shot-boundary primitive): frames
+    * come from the container's OWN sample table ([[mp4FrameTable]]'s
+    * stsz/stco walk), per-frame brightness is the sum of the frame's
+    * payload bytes read via one hex pass (generic over any byte
+    * content — no decoder assumption), and a scene cut falls between
+    * consecutive frames whose MEAN byte levels differ by more than
+    * `thrNum/thrDen`. The comparison is cross-multiplied into exact
+    * long arithmetic — den·|I_i·s_{i−1} − I_{i−1}·s_i| > num·s_i·s_{i−1}
+    * — so no division touches the flag. Segments are the runs between
+    * cuts (running cut count as the segment id).
+    *
+    * Scale shape: one codegen'd projection per frame row (the hex walk
+    * is O(frame bytes), the same pass [[mp4FrameTable]]'s frame_fp
+    * already makes), then a lag + running-sum window per document over
+    * its ≤n frames. No shuffle beyond the per-document window.
+    */
+  def videoSceneCuts(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "payload", thrNum: Int = 3, thrDen: Int = 2): DataFrame = {
+    val frames = mp4FrameTable(df, idCol, binCol, keepPayload = true)
+    val fhex = hex(col(binCol).substr(
+      (col("frame_off") + 1).cast("int"), col("frame_size").cast("int")))
+    val intensity = aggregate(
+      sequence(lit(1), col("frame_size").cast("int")), lit(0L),
+      (acc, p) => acc + conv(fhex.substr(p * 2 - 1, lit(2)), 16, 10).cast("long"))
+    val W = org.apache.spark.sql.expressions.Window
+    val byFrame = W.partitionBy(idCol).orderBy("frame_idx")
+    val prevI = lag(col("__i"), 1).over(byFrame)
+    val prevS = lag(col("frame_size"), 1).over(byFrame)
+    val cut = when(prevI.isNull, lit(0L)).otherwise(
+      when(abs(col("__i") * prevS - prevI * col("frame_size")) * thrDen >
+        lit(thrNum.toLong) * col("frame_size") * prevS, 1L).otherwise(0L))
+    frames
+      .withColumn("__i", intensity)
+      .withColumn("seg_idx",
+        sum(cut).over(byFrame.rowsBetween(W.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("seg_idx"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("frame_size")).as("seg_bytes"))
   }
 
   /** Real audio decode: `javax.sound.sampled` parses the WAVE container

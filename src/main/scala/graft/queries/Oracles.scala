@@ -2140,7 +2140,56 @@ object Oracles {
         |  FROM s),
         |c AS (SELECT user_id, session_id, count(*) AS n_events FROM t2 GROUP BY 1, 2)
         |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
-        |FROM c GROUP BY user_id""".stripMargin
+        |FROM c GROUP BY user_id""".stripMargin,
+
+    // trailing-window z-score anomaly: the |z|>2 flag cross-multiplied
+    // into exact long arithmetic — (n·x−s)²(n−1) > 4n(n·ss−s²) — so no
+    // division/sqrt/float touches the boolean in either engine
+    "ev26_zscore_anomaly" -> zscoreSql,
+
+    // the streaming daily-count log must resolve to the identical ev26
+    // report (counts add across batches)
+    "ev27_stream_zscore" -> zscoreSql,
+
+    // NFC normalization: decompose deterministically (every 'e' gains a
+    // combining acute), recompose with the engine's normalizer, md5 the
+    // result — UAX #15 makes Java and utf8proc byte-identical
+    "t28_nfc_normalize" ->
+      """WITH d AS (SELECT doc_id,
+        |    replace(text, 'e', 'e' || chr(769)) AS deco FROM documents),
+        |n AS (SELECT doc_id, deco, nfc_normalize(deco) AS nfc FROM d)
+        |SELECT doc_id, length(deco)::BIGINT AS len_decomposed,
+        |  length(nfc)::BIGINT AS len_nfc, md5(nfc) AS fp,
+        |  (length(deco) - length(nfc))::BIGINT AS n_composed
+        |FROM n""".stripMargin,
+
+    // video scene cuts: replay the fixture writer's closed-form frame
+    // bytes (m7's truth), per-frame brightness sums, cut where mean
+    // levels differ by > 3/2 (cross-multiplied longs), gaps-and-islands
+    "m13_scene_cuts" ->
+      """WITH f AS (SELECT doc_id, 3 + doc_id % 5 AS n FROM documents),
+        |fr AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM f),
+        |sz AS (SELECT doc_id, i,
+        |    16 + (doc_id * 7 + i * 3) % 17 AS s FROM fr),
+        |it AS (SELECT doc_id, i, s,
+        |    list_sum([97 + (doc_id * 31 + i * 7 + p) % 26
+        |              FOR p IN range(0, s)])::BIGINT AS ii
+        |  FROM sz),
+        |c AS (SELECT doc_id, i, s, ii,
+        |    lag(ii) OVER w AS pi, lag(s) OVER w AS ps
+        |  FROM it WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |k AS (SELECT doc_id, i, s,
+        |    CASE WHEN pi IS NULL THEN 0
+        |         WHEN abs(ii * ps - pi * s) * 2 > 3 * s * ps THEN 1
+        |         ELSE 0 END AS cut
+        |  FROM c),
+        |g AS (SELECT doc_id, i, s,
+        |    sum(cut) OVER (PARTITION BY doc_id ORDER BY i) AS seg_idx
+        |  FROM k)
+        |SELECT doc_id, seg_idx::BIGINT AS seg_idx,
+        |  min(i)::BIGINT AS start_frame, max(i)::BIGINT AS end_frame,
+        |  count(*)::BIGINT AS n_frames, sum(s)::BIGINT AS seg_bytes
+        |FROM g GROUP BY doc_id, seg_idx""".stripMargin
   ) ++ Map(
     "d3_minhash_lsh_pairs" -> d3Sql,
     "d17_minhash_accuracy" -> d17Sql,
@@ -2270,6 +2319,24 @@ object Oracles {
     * take the row-min, top-20 by the total (est desc, token) order.
     * All-integer arithmetic, so both engines agree bit-for-bit.
     */
+  // ev26/ev27 share this: trailing 7-day window stats per event type,
+  // |z|>2 as the cross-multiplied long inequality (no float in the flag)
+  private def zscoreSql: String =
+    """WITH d AS (SELECT event_type,
+      |    floor(epoch_ms(ts) / 86400000.0)::BIGINT AS day,
+      |    count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, day, cnt,
+      |    count(cnt) OVER tw AS n_ref,
+      |    sum(cnt) OVER tw AS s,
+      |    sum(cnt * cnt) OVER tw AS ss
+      |  FROM d WINDOW tw AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, day, cnt, n_ref,
+      |  coalesce(n_ref >= 3 AND
+      |    (n_ref * cnt - s) * (n_ref * cnt - s) * (n_ref - 1)
+      |      > 4 * n_ref * (n_ref * ss - s * s), false) AS is_anomaly
+      |FROM w""".stripMargin
+
   private def t20Sql: String = {
     val (d, w) = (graft.operators.Sketch.CmsD, graft.operators.Sketch.CmsW)
     s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),

@@ -2491,4 +2491,67 @@ object Queries {
     Multimodal.audioSegments(
       Multimodal.attachSynthWav(t(spark, dir, "documents").select("doc_id"), "doc_id"),
       "doc_id")
+
+  /** Trailing-window z-score anomaly flags (EV26): per event type the
+    * daily event-count series, each day scored against its trailing
+    * 7-day window entirely in long arithmetic
+    * ([[Anomaly.zscoreFlags]]) — the |z| > 2 flag is a cross-multiplied
+    * integer inequality, so it replays bit-identically in the oracle.
+    * One partial+final count to the series, one window over series rows.
+    */
+  def ev26_zscore_anomaly(spark: SparkSession, dir: String): DataFrame =
+    Anomaly.zscoreFlags(
+      t(spark, dir, "events")
+        .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt")),
+      "event_type", "day", "cnt")
+
+  /** EV26 through Structured Streaming (EV27): per micro-batch the
+    * (event_type, day) counts append to a log; read-time resolve folds
+    * by addition and runs the same integer z-score window. Counts add,
+    * so the flags are bit-identical to ev26 whatever the batch
+    * boundaries — shares ev26's oracle.
+    */
+  def ev27_stream_zscore(spark: SparkSession, dir: String): DataFrame =
+    withStagedEvents(dir, "ev27_stream") { staged =>
+      val tmp = java.nio.file.Files.createTempDirectory("ev27_log").toString
+      graft.streaming.StreamingOps.dailyCountLogStream(
+        graft.streaming.StreamingOps.readEvents(spark, staged), s"$tmp/log")
+      graft.streaming.StreamingOps.zscoreLogResolve(spark, s"$tmp/log")
+    }
+
+  /** Unicode NFC normalization (T28): the mandatory pre-hash pass —
+    * é-as-two-codepoints and é-as-one must fingerprint identically.
+    * The fixture decomposes deterministically (every 'e' gains a
+    * combining acute U+0301), the engine's codegen'd
+    * [[graft.functions.NfcNormalize]] recomposes, and the md5 of the
+    * recomposed text cross-checks Java's normalizer against DuckDB's
+    * utf8proc — both implement UAX #15, so the bytes must agree.
+    */
+  def t28_nfc_normalize(spark: SparkSession, dir: String): DataFrame = {
+    val deco = replace(col("text"), lit("e"), lit("e\u0301"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), deco.as("deco"))
+      .select(col("doc_id"),
+        length(col("deco")).cast("long").as("len_decomposed"),
+        length(graft.functions.NativeExpressions.nfc_normalize(col("deco")))
+          .cast("long").as("len_nfc"),
+        md5(graft.functions.NativeExpressions.nfc_normalize(col("deco")))
+          .as("fp"))
+      .withColumn("n_composed", col("len_decomposed") - col("len_nfc"))
+  }
+
+  /** Video scene segmentation (M13): shot boundaries from the m7 frame
+    * table — per-frame brightness summed from the frame's ACTUAL bytes
+    * (one hex pass, decoder-free), cuts where consecutive mean byte
+    * levels differ by more than 3/2 in exact long arithmetic, runs
+    * between cuts grouped into segments ([[Multimodal.videoSceneCuts]]).
+    * The oracle replays the fixture writer's closed-form frame bytes.
+    */
+  def m13_scene_cuts(spark: SparkSession, dir: String): DataFrame = {
+    val mk = udf((id: Long) => Multimodal.synthMp4(id))
+    Multimodal.videoSceneCuts(
+      t(spark, dir, "documents").select(col("doc_id"))
+        .withColumn("payload", mk(col("doc_id").cast("long"))))
+  }
 }

@@ -722,6 +722,40 @@ object StreamingOps {
       bins, graft.operators.Sketch.histMerge(bins, "__ref"))
   }
 
+  /** Streaming daily-count log for z-score anomaly monitoring
+    * (ev27 = ev26 through the log): per micro-batch the batch's
+    * (event_type, day) counts append; counts add, so the folded log is
+    * EXACTLY the batch daily series whatever the batch boundaries, and
+    * the trailing-window integer z-score flags computed from it are
+    * bit-identical to ev26's batch answer. Log volume is |types|×|days|
+    * per batch, not events.
+    */
+  def dailyCountLogStream(events: DataFrame, logDir: String): Unit = {
+    val q = events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.toDF
+          .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).as("cnt"))
+          .write.mode("append").parquet(logDir)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Read-time resolve of [[dailyCountLogStream]]: fold counts by
+    * addition, then the same integer z-score window ev26 runs in batch
+    * ([[graft.operators.Anomaly.zscoreFlags]]).
+    */
+  def zscoreLogResolve(spark: SparkSession, logDir: String): DataFrame = {
+    val daily = spark.read.parquet(logDir)
+      .groupBy("event_type", "day")
+      .agg(sum("cnt").as("cnt"))
+    graft.operators.Anomaly.zscoreFlags(daily, "event_type", "day", "cnt")
+  }
+
   /** Streaming activity log for cohort retention — the merge-on-read
     * member for the retention triangle: per micro-batch the batch's
     * DISTINCT (user, week) pairs are appended. Both downstream

@@ -29,6 +29,30 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(spark.sql("SELECT phred_to_error(CAST(NULL AS INT)) IS NULL AS n").head().getBoolean(0))
   }
 
+  test("nfc_normalize recomposes, is idempotent, ASCII-identity, and null-propagating") {
+    import spark.implicits._
+    val composed = "caf\u00e9"   // e-acute as one codepoint
+    val decomposed = "cafe\u0301" // e + combining acute
+    val df = Seq(decomposed, composed, "plain ascii", "").toDF("s")
+    val out = df.select(
+      NativeExpressions.nfc_normalize(col("s")).as("n"),
+      length(col("s")).as("pre"))
+      .withColumn("post", length(col("n")))
+      .as[(String, Int, Int)].collect()
+    assert(out(0)._1 == composed && out(0)._2 == 5 && out(0)._3 == 4,
+      "decomposed input must compose")
+    assert(out(1)._1 == composed, "composed input is a fixed point")
+    assert(out(2)._1 == "plain ascii" && out(3)._1 == "")
+    // SQL registration + null propagation + expression nesting
+    NativeExpressions.register(spark)
+    val r = spark.sql(
+      s"SELECT nfc_normalize('$decomposed') AS a, " +
+        s"nfc_normalize(nfc_normalize('$decomposed')) AS b, " +
+        "nfc_normalize(CAST(NULL AS STRING)) IS NULL AS n").head()
+    assert(r.getString(0) == composed && r.getString(1) == composed)
+    assert(r.getBoolean(2))
+  }
+
   test("fisher_phred matches the LogMath kernel bit-exactly; SQL + null propagation") {
     import spark.implicits._
     // tables spanning the branches: empty, balanced, extreme bias, and a

@@ -248,6 +248,34 @@ class MultiBatchStreamingSpec extends SparkSpec {
     assert(resolved.nonEmpty)
   }
 
+  test("daily-count log resolves to the batch z-score flags across >= 3 batches") {
+    import spark.implicits._
+    val events = StreamingOps.readEventsBatch(spark, s"${sf("0.001")}/events.parquet")
+    val dir = stageSplitParquet(events, parts = 3, sortCol = "ts")
+    val tmp = java.nio.file.Files.createTempDirectory("zscore_log").toString
+    StreamingOps.dailyCountLogStream(
+      StreamingOps.readEvents(spark, s"$dir/*.parquet", maxFilesPerTrigger = Some(1)),
+      s"$tmp/log")
+    val segs = new java.io.File(s"$tmp/log").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(segs >= 3, s"expected >= 3 appended count segments, got $segs")
+    // a day split across batches MUST appear in more than one segment,
+    // or this test proves nothing about count folding
+    val multi = spark.read.parquet(s"$tmp/log")
+      .groupBy("event_type", "day").count().where(col("count") > 1).count()
+    assert(multi > 0, "fixture must split at least one (type, day) across batches")
+    val resolved = StreamingOps.zscoreLogResolve(spark, s"$tmp/log")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSet
+    val batch = graft.operators.Anomaly.zscoreFlags(
+      events.select(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt")),
+      "event_type", "day", "cnt")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSet
+    assert(resolved === batch,
+      "summed per-batch counts must resolve to exactly the batch flags")
+    assert(resolved.nonEmpty)
+  }
+
   test("retention activity log resolves to the batch triangle across >= 3 batches") {
     import spark.implicits._
     val events = StreamingOps.readEventsBatch(spark, s"${sf("0.001")}/events.parquet")
