@@ -443,11 +443,12 @@ object Multimodal {
   def videoSceneCuts(df: DataFrame, idCol: String = "doc_id",
       binCol: String = "payload", thrNum: Int = 3, thrDen: Int = 2): DataFrame = {
     val frames = mp4FrameTable(df, idCol, binCol, keepPayload = true)
-    val fhex = hex(col(binCol).substr(
-      (col("frame_off") + 1).cast("int"), col("frame_size").cast("int")))
+      .withColumn("__fhex", hex(col(binCol).substr(
+        (col("frame_off") + 1).cast("int"), col("frame_size").cast("int"))))
     val intensity = aggregate(
       sequence(lit(1), col("frame_size").cast("int")), lit(0L),
-      (acc, p) => acc + conv(fhex.substr(p * 2 - 1, lit(2)), 16, 10).cast("long"))
+      (acc, p) => acc +
+        conv(col("__fhex").substr(p * 2 - 1, lit(2)), 16, 10).cast("long"))
     val W = org.apache.spark.sql.expressions.Window
     val byFrame = W.partitionBy(idCol).orderBy("frame_idx")
     val prevI = lag(col("__i"), 1).over(byFrame)
@@ -457,6 +458,9 @@ object Multimodal {
         lit(thrNum.toLong) * col("frame_size") * prevS, 1L).otherwise(0L))
     frames
       .withColumn("__i", intensity)
+      // narrow the row before the per-document window shuffle: the
+      // payload and its hex rendering have done their work
+      .drop(binCol, "__fhex")
       .withColumn("seg_idx",
         sum(cut).over(byFrame.rowsBetween(W.unboundedPreceding, 0)))
       .groupBy(col(idCol), col("seg_idx"))

@@ -1202,7 +1202,7 @@ object Oracles {
         |    AS diff_cents
         |FROM customer CROSS JOIN supplier
         |WHERE abs(floor(c_acctbal * 100)::BIGINT
-        |        - floor(s_acctbal * 100)::BIGINT) <= 100""".stripMargin,
+        |        - floor(s_acctbal * 100)::BIGINT) <= 1000""".stripMargin,
 
     // SCD-2: base rows open at version 0, each change closes its key's
     // previous interval; tombstones contribute only the closing edge

@@ -2455,17 +2455,19 @@ object Queries {
       graft.streaming.StreamingOps.psiLogResolve(spark, s"$tmp/log")
     }
 
-  /** Numeric band join (J11): customer×supplier pairs within ±$1 of
+  /** Numeric band join (J11): customer×supplier pairs within ±$10 of
     * account balance, in exact cents — the inequality-only join shape
     * Catalyst would nested-loop, rewritten to a 3-bucket equi-join +
     * exact verify ([[BandJoin]]). The smaller (supplier) side triples.
+    * (±$10 so even the sf0.001 smoke fixture yields pairs; output is
+    * C·S·(2ε/range) — band width only scales the constant.)
     */
   def j11_band_join(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer").select(col("c_custkey"),
       floor(col("c_acctbal") * 100).cast("long").as("c_cents"))
     val s = t(spark, dir, "supplier").select(col("s_suppkey"),
       floor(col("s_acctbal") * 100).cast("long").as("s_cents"))
-    BandJoin.bandJoin(s, c, "s_cents", "c_cents", eps = 100L)
+    BandJoin.bandJoin(s, c, "s_cents", "c_cents", eps = 1000L)
       .select(col("c_custkey"), col("s_suppkey"),
         (col("c_cents") - col("s_cents")).as("diff_cents"))
   }
