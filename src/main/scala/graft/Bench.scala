@@ -157,6 +157,9 @@ object Bench {
     "ev27_stream_zscore",
     "t28_nfc_normalize",
     "m13_scene_cuts",
+    "ev28_stream_tdigest",
+    "a9_cube",
+    "e18_filtered_ann",
     "e3_embedding_dedup",
     "e6_ann_recall",
     "ev2_sessionize",

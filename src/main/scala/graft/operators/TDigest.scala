@@ -134,6 +134,57 @@ class TDigestAgg(compression: Int)
 }
 
 object TDigest {
+
+  /** Merge finished digests (e.g. per-micro-batch partials from a
+    * stream log) into one digest with the same k1 recompression the
+    * aggregator's merge path uses. Digests are mergeable state — so a
+    * log of per-batch digests resolves at read time to a valid digest
+    * over the union stream, the same merge-on-read algebra the
+    * integer-exact logs (histogram bins, daily counts) use, with the
+    * k1 rank-error CONTRACT as the invariant instead of bit-equality.
+    */
+  def mergeDigests(parts: Seq[(Seq[Double], Seq[Long])],
+      compression: Int): TDigestResult = {
+    val agg = new TDigestAgg(compression)
+    val folded = parts.foldLeft(agg.zero) { case (acc, (m, w)) =>
+      agg.merge(acc, TDigestBuf(m.toArray, w.toArray, Array.empty, 0))
+    }
+    agg.finish(folded)
+  }
+
+  /** The t27 gate-row shape from an EXTERNAL digest table: per (source,
+    * q) the exact interpolated quantile (replayable cross-engine) and
+    * the tie-robust achieved-rank check of the digest's estimate against
+    * a ±100 bp band — the invariant that holds for ANY merge order, so
+    * a streamed digest produces the identical report to a batch one.
+    * `docs` = (source, v); `digests` = (source, means, weights).
+    */
+  def quantileReport(docs: org.apache.spark.sql.DataFrame,
+      digests: org.apache.spark.sql.DataFrame,
+      qs: Seq[Int] = Seq(25, 50, 75, 95, 99)): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val exact = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      expr(s"percentile(v, array(${qs.map(_ / 100.0).mkString("D,")}D))").as("ex"))
+    val quant = udf((m: Seq[Double], w: Seq[Long], q: Int) =>
+      TDigest.quantile(m, w, q / 100.0))
+    val est = digests.join(exact, "source")
+      .crossJoin(broadcast(qs.zipWithIndex.toDF("q_pct", "qi")))
+      .select(col("source"), col("n_docs"), col("q_pct"),
+        round(element_at(col("ex"), col("qi") + 1), 4).as("exact_value"),
+        quant(col("means"), col("weights"), col("q_pct")).as("est"))
+    docs.join(broadcast(est), "source")
+      .groupBy("source", "q_pct", "n_docs", "exact_value", "est")
+      .agg(sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("r_lo"),
+        sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("r_hi"))
+      .select(col("source"), col("q_pct"), col("n_docs"), col("exact_value"),
+        (col("r_lo") * 100 <= (col("q_pct") + 1) * col("n_docs") &&
+          col("r_hi") * 100 >= (col("q_pct") - 1) * col("n_docs"))
+          .as("within_100bp"))
+  }
+
   /** Quantile estimate from a finished digest: the classic half-weight
     * interpolation — centroid i "occupies" the rank band centred at
     * (W_before + w_i/2); the target rank interpolates linearly between

@@ -179,6 +179,14 @@ object Oracles {
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
+    // full grouping-sets lattice with grouping() flags (data NULL vs
+    // rolled-up NULL disambiguation) — both engines follow the standard
+    "a9_cube" ->
+      """SELECT lang, source,
+        |  grouping(lang)::BIGINT AS g_lang, grouping(source)::BIGINT AS g_src,
+        |  count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
+
     "t5_json_extract" ->
       """SELECT event_id, (props->>'k')::INT AS k FROM events""".stripMargin,
 
@@ -1154,15 +1162,12 @@ object Oracles {
     // interpolated quantile (t10 semantics) and asserts the digest's
     // achieved-rank interval lands within ±100 bp of q — the engine
     // computes the actual boolean; a >1% rank error hash-fails
-    "t27_tdigest_quantiles" ->
-      """WITH e AS (SELECT source, count(*)::BIGINT AS n_docs,
-        |    quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.95, 0.99]) AS qv
-        |  FROM documents GROUP BY source),
-        |q AS (SELECT unnest([25, 50, 75, 95, 99]) AS q_pct,
-        |             unnest([1, 2, 3, 4, 5]) AS i)
-        |SELECT e.source, q.q_pct::INTEGER AS q_pct, e.n_docs,
-        |  round(qv[q.i], 4) AS exact_value, true AS within_100bp
-        |FROM e CROSS JOIN q""".stripMargin,
+    "t27_tdigest_quantiles" -> tdigestReportSql,
+
+    // the streaming digest log resolves to the identical t27 report —
+    // centroid bits are merge-order-dependent but the rank contract
+    // (and the exact side) are not
+    "ev28_stream_tdigest" -> tdigestReportSql,
 
     // PSI drift: replay the all-integer histBins on value cents per day
     // window, pool the reference, score (p-q)ln(p/q) with +1 smoothing
@@ -2210,6 +2215,7 @@ object Oracles {
     "e12_lsh_neardup" -> e12Sql,
     "e6_ann_recall" -> e6Sql,
     "e9_batch_ann" -> e9Sql,
+    "e18_filtered_ann" -> e18Sql,
     "ev12_stream_ann" -> ev12Sql,
     "e10_kmeans_train" -> e10Sql,
     "e11_pq_topk" -> e11Sql,
@@ -2319,6 +2325,20 @@ object Oracles {
     * take the row-min, top-20 by the total (est desc, token) order.
     * All-integer arithmetic, so both engines agree bit-for-bit.
     */
+  // t27/ev28 share this: the digest itself is not cross-engine
+  // replayable (merge-order-dependent centroids); the gate row carries
+  // the invariants — exact interpolated quantiles and the ±100 bp
+  // rank-error contract booleans
+  private def tdigestReportSql: String =
+    """WITH e AS (SELECT source, count(*)::BIGINT AS n_docs,
+      |    quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.95, 0.99]) AS qv
+      |  FROM documents GROUP BY source),
+      |q AS (SELECT unnest([25, 50, 75, 95, 99]) AS q_pct,
+      |             unnest([1, 2, 3, 4, 5]) AS i)
+      |SELECT e.source, q.q_pct::INTEGER AS q_pct, e.n_docs,
+      |  round(qv[q.i], 4) AS exact_value, true AS within_100bp
+      |FROM e CROSS JOIN q""".stripMargin
+
   // ev26/ev27 share this: trailing 7-day window stats per event type,
   // |z|>2 as the cross-multiplied long inequality (no float in the flag)
   private def zscoreSql: String =
@@ -2848,6 +2868,13 @@ object Oracles {
     */
   private def ev12Sql: String = batchAnnSql("vec_id % 100 = 7")
 
+  /** e18 = e9's probe with a corpus-side metadata predicate: the filter
+    * applies BEFORE any distance (pre-filtering); queries stay
+    * unfiltered.
+    */
+  private def e18Sql: String =
+    batchAnnSql("vec_id IN (0, 1, 2)", corpusPred = "b.label % 3 = 1")
+
   /** c13/ev13 CDC upsert: derived change batch → latest-(version, op)
     * winner per key → SCD-1 merge onto the doc_id%4!=3 base. One SQL
     * for both because the streaming path's log-wide resolve is
@@ -2931,7 +2958,8 @@ object Oracles {
       |SELECT doc_id, text, lang, source, n_chars FROM winners
       |WHERE op <> 'D'""".stripMargin
 
-  private def batchAnnSql(queryPred: String): String = {
+  private def batchAnnSql(queryPred: String,
+      corpusPred: String = "true"): String = {
     val planes = graft.operators.SimilaritySearch.hyperplanes(64, 4, 42)
     val planeLits = planes.map(_.map(_.toString).mkString("[", ", ", "]"))
     val margins = planeLits.zipWithIndex
@@ -2939,8 +2967,8 @@ object Oracles {
     val flipCost = (0 until 4)
       .map(i => s"(CASE WHEN (mask.range & ${1 << i}) > 0 THEN abs(q.m$i) ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |b AS (SELECT vec_id, v,
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, label, v,
        |  $lshBucketExpr AS bucket
        |  FROM e),
        |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb,
@@ -2955,7 +2983,7 @@ object Oracles {
        |  SELECT p.qid, b.vec_id,
        |    list_dot_product(b.v, p.qv)
        |      / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(p.qv, p.qv))) AS cos
-       |  FROM b JOIN p ON b.bucket = p.pb),
+       |  FROM b JOIN p ON b.bucket = p.pb WHERE $corpusPred),
        |ranked AS (
        |  SELECT qid, vec_id, cos,
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk

@@ -2556,4 +2556,55 @@ object Queries {
       t(spark, dir, "documents").select(col("doc_id"))
         .withColumn("payload", mk(col("doc_id").cast("long"))))
   }
+
+  /** T27 through Structured Streaming (EV28): per micro-batch each
+    * source's documents fold into a partial t-digest whose centroid
+    * state appends to a log; read-time resolve merges the partials
+    * (concat + k1 recompress — digests are mergeable state). Centroid
+    * BITS are merge-order-dependent, but the rank-error CONTRACT the
+    * t27-shaped gate row checks is not — so the streamed report equals
+    * the batch one whatever the batch boundaries. Shares t27's oracle.
+    */
+  def ev28_stream_tdigest(spark: SparkSession, dir: String): DataFrame =
+    withStagedTable(dir, "documents.parquet", "ev28_stream") { staged =>
+      val tmp = java.nio.file.Files.createTempDirectory("ev28_log").toString
+      graft.streaming.StreamingOps.tdigestLogStream(
+        graft.streaming.StreamingOps.readDocuments(spark, staged), s"$tmp/log")
+      graft.operators.TDigest.quantileReport(
+        t(spark, dir, "documents")
+          .select(col("source"), col("n_chars").cast("double").as("v")),
+        graft.streaming.StreamingOps.tdigestLogResolve(spark, s"$tmp/log"))
+    }
+
+  /** Cube with grouping flags (A9): the full grouping-sets lattice over
+    * (lang, source) — a8's rollup plus the cross slices — with
+    * `grouping()` flags disambiguating data NULLs from rolled-up rows.
+    * One expand + one hash aggregate; partial+final as any groupBy.
+    */
+  def a9_cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .cube("lang", "source")
+      .agg(grouping(col("lang")).cast("long").as("g_lang"),
+        grouping(col("source")).cast("long").as("g_src"),
+        count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+  /** Filtered vector search (E18): e9's batched multi-probe ANN with a
+    * metadata predicate (label ≡ 1 mod 3) applied to the CORPUS side
+    * before the bucket join — pre-filtering, the plan every vector
+    * store needs when the predicate is selective: the filter prunes at
+    * the scan (no distance computed for excluded vectors) and the
+    * bucket probe serves only survivors. Queries come from the
+    * unfiltered table (a query need not satisfy its own filter).
+    */
+  def e18_filtered_ann(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    SimilaritySearch.batchAnnTopK(
+      emb.where(pmod(col("label"), lit(3)) === 1), "vec_id", "embedding",
+      dim = 64, queries = queries, k = 10, nBits = 4, nProbes = 4)
+  }
 }

@@ -756,6 +756,50 @@ object StreamingOps {
     graft.operators.Anomaly.zscoreFlags(daily, "event_type", "day", "cnt")
   }
 
+  /** Streaming t-digest log: per micro-batch each source's documents
+    * fold into a partial digest (k1, δ=200) and the digest's centroid
+    * state appends to the log. Digests MERGE (concat + recompress), so
+    * the resolved log is a valid digest over the union stream — unlike
+    * the integer logs the bits are merge-order-dependent, but the k1
+    * rank-error CONTRACT is not, which is exactly what the t27-shaped
+    * gate row checks. Log volume: |sources| × ≤2δ centroids per batch.
+    */
+  def tdigestLogStream(docs: DataFrame, logDir: String,
+      compression: Int = 200): Unit = {
+    val td = udaf(new graft.operators.TDigestAgg(compression))
+    val q = docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.toDF
+          .select(col("source"), col("n_chars").cast("double").as("v"))
+          .groupBy("source").agg(td(col("v")).as("td"))
+          .select(col("source"), col("td.means").as("means"),
+            col("td.weights").as("weights"))
+          .write.mode("append").parquet(logDir)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Read-time resolve of [[tdigestLogStream]]: merge each source's
+    * per-batch digests (same k1 recompression as the aggregator's merge
+    * path) into one digest per source.
+    */
+  def tdigestLogResolve(spark: SparkSession, logDir: String,
+      compression: Int = 200): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(logDir)
+      .as[(String, Seq[Double], Seq[Long])]
+      .groupByKey(_._1)
+      .mapGroups { (src, it) =>
+        val d = graft.operators.TDigest.mergeDigests(
+          it.map(t => (t._2, t._3)).toSeq, compression)
+        (src, d.means.toSeq, d.weights.toSeq)
+      }
+      .toDF("source", "means", "weights")
+  }
+
   /** Streaming activity log for cohort retention — the merge-on-read
     * member for the retention triangle: per micro-batch the batch's
     * DISTINCT (user, week) pairs are appended. Both downstream

@@ -276,6 +276,45 @@ class MultiBatchStreamingSpec extends SparkSpec {
     assert(resolved.nonEmpty)
   }
 
+  test("t-digest log resolves to the batch quantile report across >= 3 batches") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${sf("0.001")}/documents.parquet")
+    val dir = stageSplitParquet(docs, parts = 3, sortCol = "doc_id")
+    val tmp = java.nio.file.Files.createTempDirectory("td_log").toString
+    StreamingOps.tdigestLogStream(
+      StreamingOps.readDocuments(spark, s"$dir/*.parquet", maxFilesPerTrigger = Some(1)),
+      s"$tmp/log")
+    val segs = new java.io.File(s"$tmp/log").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(segs >= 3, s"expected >= 3 appended digest segments, got $segs")
+    // every source appears in > 1 segment, so the resolve genuinely merges
+    val multi = spark.read.parquet(s"$tmp/log")
+      .groupBy("source").count().where(col("count") > 1).count()
+    assert(multi > 0, "fixture must split at least one source across batches")
+    val dv = docs.select(col("source"), col("n_chars").cast("double").as("v"))
+    val resolved = graft.operators.TDigest.quantileReport(
+      dv, StreamingOps.tdigestLogResolve(spark, s"$tmp/log"))
+      .as[(String, Int, Long, Double, Boolean)].collect().toSet
+    // merged digests conserve weight: centroids sum to the source count
+    val weights = StreamingOps.tdigestLogResolve(spark, s"$tmp/log")
+      .select(col("source"),
+        aggregate(col("weights"), lit(0L), (a, x) => a + x).as("w"))
+      .as[(String, Long)].collect().toMap
+    docs.groupBy("source").count().as[(String, Long)].collect().foreach {
+      case (src, n) => assert(weights(src) == n, s"source $src weight")
+    }
+    // the report (exact side + rank contract) is batch-boundary invariant
+    val td = org.apache.spark.sql.functions.udaf(
+      new graft.operators.TDigestAgg(200))
+    val batch = graft.operators.TDigest.quantileReport(
+      dv, dv.groupBy("source").agg(td(col("v")).as("td"))
+        .select(col("source"), col("td.means").as("means"),
+          col("td.weights").as("weights")))
+      .as[(String, Int, Long, Double, Boolean)].collect().toSet
+    assert(resolved === batch)
+    assert(resolved.forall(_._5), "rank contract must hold on the merged digest")
+  }
+
   test("retention activity log resolves to the batch triangle across >= 3 batches") {
     import spark.implicits._
     val events = StreamingOps.readEventsBatch(spark, s"${sf("0.001")}/events.parquet")
