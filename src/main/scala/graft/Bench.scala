@@ -160,6 +160,7 @@ object Bench {
     "ev28_stream_tdigest",
     "a9_cube",
     "e18_filtered_ann",
+    "e19_filtered_recall",
     "e3_embedding_dedup",
     "e6_ann_recall",
     "ev2_sessionize",

