@@ -127,9 +127,12 @@ case class IntervalJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper 
   }
 }
 
-/** Session extension registering the interval-join rewrite. */
+/** Session extension registering the interval-join and band-join
+  * rewrites.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => IntervalJoinRewrite())
+    e.injectOptimizerRule(_ => BandJoinRewrite())
   }
 }

@@ -1,0 +1,121 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The band-join optimizer rule must turn a raw SQL abs-difference join
+  * (normally a nested-loop plan) into a bucketed equi-join with
+  * identical results. Registered via experimental.extraOptimizations
+  * for the same shared-session reason as [[IntervalJoinRewriteSpec]].
+  */
+class BandJoinRewriteSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("BandJoinRewriteSpec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.experimental.extraOptimizations = Seq(BandJoinRewrite())
+    s
+  }
+
+  override def afterAll(): Unit = {
+    spark.experimental.extraOptimizations = Nil
+    super.afterAll()
+  }
+
+  private def mkTables(): Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(33)
+    // negatives included: the floor-div bucketing must not split a band
+    // across the zero boundary
+    (0 until 500).map(i => (i.toLong, rnd.nextLong() % 5000))
+      .toDF("lid", "lv").createOrReplaceTempView("lband")
+    (0 until 500).map(i => (i.toLong, rnd.nextLong() % 5000))
+      .toDF("rid", "rv").createOrReplaceTempView("rband")
+  }
+
+  test("SQL abs-band join is rewritten to an equi-join and stays correct") {
+    mkTables()
+    val q = "SELECT lid, rid FROM lband JOIN rband ON abs(lv - rv) <= 100"
+    val df = spark.sql(q)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"band join not rewritten:\n$plan")
+
+    import spark.implicits._
+    val l = spark.table("lband").as[(Long, Long)].collect()
+    val r = spark.table("rband").as[(Long, Long)].collect()
+    val want = (for {
+      (lid, lv) <- l; (rid, rv) <- r if math.abs(lv - rv) <= 100
+    } yield (lid, rid)).toSet
+    val got = df.as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("strict < and flipped >= forms rewrite too; extra equi keys survive") {
+    mkTables()
+    for (q <- Seq(
+      "SELECT lid, rid FROM lband JOIN rband ON abs(lv - rv) < 100",
+      "SELECT lid, rid FROM lband JOIN rband ON 100 >= abs(lv - rv)",
+      "SELECT lid, rid FROM lband JOIN rband ON abs(lv - rv) <= 100 AND lid % 3 = rid % 3")) {
+      val df = spark.sql(q)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"not rewritten: $q\n$plan")
+    }
+    // strictness preserved by the residual: < and <= genuinely differ
+    import spark.implicits._
+    val le = spark.sql("SELECT lid, rid FROM lband JOIN rband ON abs(lv - rv) <= 100")
+      .as[(Long, Long)].collect().toSet
+    val lt = spark.sql("SELECT lid, rid FROM lband JOIN rband ON abs(lv - rv) < 100")
+      .as[(Long, Long)].collect().toSet
+    assert(lt.subsetOf(le))
+    val l = spark.table("lband").as[(Long, Long)].collect()
+    val r = spark.table("rband").as[(Long, Long)].collect()
+    val boundary = (for {
+      (lid, lv) <- l; (rid, rv) <- r if math.abs(lv - rv) == 100
+    } yield (lid, rid)).toSet
+    assert((le diff lt) === boundary)
+  }
+
+  test("non-band joins are left alone (no spurious rewrite)") {
+    mkTables()
+    // a float eps over integral columns is CANONICALIZED by Spark
+    // (UnwrapCastInBinaryComparison: <= 100.5 over bigints becomes
+    // <= 100) before this rule runs — so it legitimately rewrites, and
+    // the residual keeps it correct
+    import spark.implicits._
+    val fl = spark.sql(
+      "SELECT lid, rid FROM lband JOIN rband ON abs(lv - rv) <= 100.5")
+      .as[(Long, Long)].collect().toSet
+    val le = spark.sql(
+      "SELECT lid, rid FROM lband JOIN rband ON abs(lv - rv) <= 100")
+      .as[(Long, Long)].collect().toSet
+    assert(fl === le, "canonicalized float band must equal the integer band")
+    // DOUBLE-typed columns: the matcher must refuse (exact-units only)
+    spark.sql("SELECT lid, lv / 2.0 AS lvd FROM lband")
+      .createOrReplaceTempView("lbandd")
+    spark.sql("SELECT rid, rv / 2.0 AS rvd FROM rband")
+      .createOrReplaceTempView("rbandd")
+    val dd = spark.sql(
+      "SELECT lid, rid FROM lbandd JOIN rbandd ON abs(lvd - rvd) <= 50.0")
+    assert(!dd.queryExecution.optimizedPlan.toString.contains("__lband"))
+    // OR condition: not a conjunctive band — refuse
+    val df2 = spark.sql(
+      "SELECT lid, rid FROM lband JOIN rband ON abs(lv - rv) <= 100 OR lid = rid")
+    assert(!df2.queryExecution.optimizedPlan.toString.contains("__lband"))
+  }
+
+  test("rule is idempotent: one Generate, applied once") {
+    mkTables()
+    val df = spark.sql("SELECT lid, rid FROM lband JOIN rband ON abs(lv - rv) <= 100")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("__rband"), opt)
+    assert("Generate".r.findAllIn(opt).size == 1,
+      s"expected exactly one Generate (rule must not re-fire):\n$opt")
+  }
+}
