@@ -161,6 +161,8 @@ object Bench {
     "a9_cube",
     "e18_filtered_ann",
     "e19_filtered_recall",
+    "c21_time_travel",
+    "c22_zorder_layout",
     "e3_embedding_dedup",
     "e6_ann_recall",
     "ev2_sessionize",

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout operators: how rows are ARRANGED across files decides
+  * how much of 100 TB a selective scan touches. Z-order clustering
+  * (the OPTIMIZE ZORDER primitive of the lakehouse formats) sorts on a
+  * space-filling curve so range predicates on EITHER clustered
+  * dimension prune files — a single-column sort gives perfect pruning
+  * on one dimension and none on the other; the curve trades a little of
+  * the first for a lot of the second.
+  */
+object Layout {
+
+  /** Cluster `df` on the z-order curve of two integer dimensions:
+    * compute the Morton key ([[graft.functions.ZInterleave]] — a
+    * codegen'd bit-twiddle, bit i → bits 2i/2i+1), range-partition on
+    * it (one pass, sampled bounds — the same exchange a global sort
+    * pays), and sort within partitions so per-file min/max statistics
+    * are tight on BOTH dimensions. Inputs must fit 31 bits (mask or
+    * bucket upstream — exact-units convention).
+    */
+  def zorder(df: DataFrame, aCol: Column, bCol: Column,
+      partitions: Int, zName: String = "zval"): DataFrame =
+    df.withColumn(zName,
+        graft.functions.NativeExpressions.z_interleave(aCol, bCol))
+      .repartitionByRange(partitions, col(zName))
+      .sortWithinPartitions(zName)
+
+  /** Locality audit: per partition the bounding box AREA over the two
+    * dimensions (max−min+1 each). The sum over partitions is what a
+    * min/max-pruned scan pays for a point/range query — smaller is
+    * better. Used by the spec to prove the curve beats a hash layout.
+    */
+  def boundingAreas(df: DataFrame, aCol: Column, bCol: Column): Seq[Long] = {
+    import df.sparkSession.implicits._
+    df.select(aCol.cast("long").as("a"), bCol.cast("long").as("b"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          var (aLo, aHi, bLo, bHi) = (Long.MaxValue, Long.MinValue,
+            Long.MaxValue, Long.MinValue)
+          it.foreach { case (a, b) =>
+            if (a < aLo) aLo = a; if (a > aHi) aHi = a
+            if (b < bLo) bLo = b; if (b > bHi) bHi = b
+          }
+          Iterator((aHi - aLo + 1) * (bHi - bLo + 1))
+        }
+      }.collect().toSeq
+  }
+}

@@ -1104,6 +1104,20 @@ object Oracles {
     "c13_cdc_upsert" -> cdcUpsertSql,
     "ev13_stream_cdc_upsert" -> cdcUpsertSql,
 
+    // time travel: the corpus AS OF version 1 = fold only the log
+    // prefix version <= 1 over the base
+    "c21_time_travel" -> cdcUpsertSqlUpTo(1),
+
+    // z-order key: Morton interleave replayed per bit — the engine's
+    // five-round mask-shift spread must equal the naive bit sum exactly
+    "c22_zorder_layout" ->
+      """SELECT event_id,
+        |  list_sum([(((user_id % 1048576) >> i) & 1)::BIGINT << (2 * i)
+        |            FOR i IN range(0, 31)])::BIGINT
+        |  + list_sum([((floor(epoch_ms(ts) / 86400000.0)::BIGINT >> i) & 1)::BIGINT
+        |              << (2 * i + 1) FOR i IN range(0, 31)])::BIGINT AS zval
+        |FROM events""".stripMargin,
+
     // corpus timeline: snapshot stats per checkpoint version replayed
     // naively (full winner set + snapshot per version — the oracle may
     // be quadratic; the engine is log-sized + one base pass). fp is a
@@ -2933,8 +2947,13 @@ object Oracles {
        |  sum(cnt * n_toks)::BIGINT AS n_bpe_tokens
        |FROM dw JOIN tok USING (w) GROUP BY 1""".stripMargin
 
-  private def cdcUpsertSql: String =
-    """WITH changes AS (
+  private def cdcUpsertSql: String = cdcUpsertSqlUpTo(2)
+
+  /** Time-travel flavor: only the log prefix version <= maxV applies
+    * (c21 reads the corpus AS OF version 1; c13/ev13 = full log).
+    */
+  private def cdcUpsertSqlUpTo(maxV: Int): String =
+    s"""WITH changes0 AS (
       |  SELECT doc_id, upper(text) AS text, lang, source, n_chars,
       |         'U' AS op, 1 AS version
       |  FROM documents WHERE doc_id % 2 = 0
@@ -2947,6 +2966,7 @@ object Oracles {
       |  UNION ALL
       |  SELECT doc_id, text || ' v2', lang, source, n_chars + 3, 'U', 2
       |  FROM documents WHERE doc_id % 12 = 7),
+      |changes AS (SELECT * FROM changes0 WHERE version <= $maxV),
       |winners AS (
       |  SELECT * FROM changes
       |  QUALIFY row_number() OVER (

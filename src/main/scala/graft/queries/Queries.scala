@@ -2645,4 +2645,31 @@ object Queries {
       nProbes = filteredProbes(emb, pmod(col("label"), lit(3)) === 1))
     SimilaritySearch.recallAt(exact, ann, "vec_id", k = 20)
   }
+
+  /** Time-travel read (C21): the corpus AS OF version 1 — fold only the
+    * log prefix `version <= 1` over the base ([[Merge.upsert]] on the
+    * filtered c13 log: v1 updates and inserts apply; v2 tombstones and
+    * re-updates do not exist yet). c16 answers the aggregate timeline
+    * without snapshots; this row materializes one historical snapshot
+    * exactly — together they are the two read paths of a versioned lake.
+    */
+  def c21_time_travel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Merge.upsert(docs.where(col("doc_id") % 4 =!= 3),
+      docChanges(docs).where(col("version") <= 1), "doc_id")
+  }
+
+  /** Z-order key (C22): the Morton interleave of (user bucket, day) —
+    * the space-filling-curve key behind two-dimensional data clustering
+    * ([[graft.functions.ZInterleave]], codegen'd bit-twiddle; layout +
+    * locality audit in [[Layout.zorder]], spec-gated: the curve's
+    * per-partition bounding boxes beat a hash layout's by >2x). The
+    * gate row pins the key math bit-for-bit against a per-bit oracle.
+    */
+  def c22_zorder_layout(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").select(
+      col("event_id"),
+      graft.functions.NativeExpressions.z_interleave(
+        pmod(col("user_id"), lit(1048576L)),
+        expr("ts div 86400000000000")).as("zval"))
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{NativeExpressions, ZInterleave}
+import org.apache.spark.sql.functions._
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Naive per-bit reference for the five-round mask-shift spread. */
+  private def zRef(a: Long, b: Long): Long =
+    (0 until 31).map { i =>
+      (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }.reduce(_ | _)
+
+  test("z_interleave equals the per-bit reference on random and edge inputs") {
+    val rnd = new scala.util.Random(7)
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (0x7FFFFFFFL, 0x7FFFFFFFL),
+      (0x55555555L, 0x2AAAAAAAL)) ++
+      Seq.fill(200)((rnd.nextLong() & 0x7FFFFFFFL, rnd.nextLong() & 0x7FFFFFFFL))
+    cases.foreach { case (a, b) =>
+      assert(ZInterleave.z(a, b) == zRef(a, b), s"($a, $b)")
+    }
+    // Column + SQL paths agree with the kernel; null propagates
+    val df = cases.toDF("a", "b")
+    df.select(col("a"), col("b"),
+      NativeExpressions.z_interleave(col("a"), col("b")).as("z"))
+      .as[(Long, Long, Long)].collect()
+      .foreach { case (a, b, z) => assert(z == ZInterleave.z(a, b)) }
+    NativeExpressions.register(spark)
+    assert(spark.sql("SELECT z_interleave(5, 3) AS z").head().getLong(0) ==
+      ZInterleave.z(5, 3))
+    assert(spark.sql(
+      "SELECT z_interleave(CAST(NULL AS BIGINT), 1) IS NULL AS n").head().getBoolean(0))
+  }
+
+  test("curve order is monotone per dimension (other held fixed)") {
+    val rnd = new scala.util.Random(11)
+    (0 until 100).foreach { _ =>
+      val b = rnd.nextLong() & 0x7FFFFFFFL
+      val a1 = rnd.nextLong() & 0x7FFFFFFFL
+      val a2 = rnd.nextLong() & 0x7FFFFFFFL
+      if (a1 != a2) {
+        val (lo, hi) = if (a1 < a2) (a1, a2) else (a2, a1)
+        assert(ZInterleave.z(lo, b) < ZInterleave.z(hi, b))
+        assert(ZInterleave.z(b, lo) < ZInterleave.z(b, hi))
+      }
+    }
+  }
+
+  test("z-order layout's per-partition bounding boxes beat a hash layout >2x") {
+    val ev = graft.streaming.StreamingOps
+      .readEventsBatch(spark, s"${sf("0.001")}/events.parquet")
+      .select(pmod(col("user_id"), lit(64L)).as("a"),
+        expr("ts div 86400000000000").as("b"))
+    val parts = 16
+    val zed = Layout.zorder(ev, col("a"), col("b"), parts)
+    val hashed = ev.repartition(parts)
+    val zArea = Layout.boundingAreas(zed, col("a"), col("b")).sum
+    val hArea = Layout.boundingAreas(hashed, col("a"), col("b")).sum
+    assert(zArea * 2 < hArea,
+      s"curve locality must beat hash layout: z=$zArea hash=$hArea")
+    // the layout is a pure rearrangement: no rows gained or lost
+    assert(zed.count() == ev.count())
+  }
+}
