@@ -163,6 +163,7 @@ object Bench {
     "e19_filtered_recall",
     "c21_time_travel",
     "c22_zorder_layout",
+    "c23_log_vacuum",
     "e3_embedding_dedup",
     "e6_ann_recall",
     "ev2_sessionize",

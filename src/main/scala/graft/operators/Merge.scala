@@ -199,6 +199,33 @@ object Merge {
       .where(col("status").isNotNull)
       .select(col(keyCol), col("status"), col("old_fp"), col("new_fp"))
 
+  /** Log vacuum / snapshot expire — the retention side of the lake
+    * trio ([[upsert]]+time travel reads, [[timeline]] stats, this):
+    * given the retained checkpoint versions, a log entry is REMOVABLE
+    * iff it is the winner at NO retained checkpoint — replaying the
+    * vacuumed log reproduces every retained snapshot exactly
+    * (spec-gated), while dropped entries only served versions nobody
+    * can read any more. Entries NEWER than the newest retained
+    * checkpoint are always kept (they are future state, not history).
+    *
+    * Winner sets are log-sized (one max per (checkpoint, key) —
+    * versions are distinct per key, [[winners]]' invariant), the
+    * anti-join shuffles on the key: log-sized work end to end, the
+    * petabyte base is never touched.
+    */
+  def vacuumLog(log: DataFrame, keyCol: String, retained: Seq[Long],
+      versionCol: String = "version", opCol: String = "op"): DataFrame = {
+    require(retained.nonEmpty, "need at least one retained checkpoint")
+    val win = log
+      .withColumn("__chk", explode(array(retained.map(lit(_)): _*)))
+      .where(col(versionCol) <= col("__chk"))
+      .groupBy(col("__chk"), col(keyCol))
+      .agg(max(col(versionCol)).as(versionCol))
+      .select(col(keyCol), col(versionCol)).distinct()
+    log.where(col(versionCol) <= retained.max)
+      .join(win, Seq(keyCol, versionCol), "left_anti")
+  }
+
   /** SCD-2 history build: where [[upsert]] keeps only the latest state
     * (SCD-1), this emits every version as a validity interval — the
     * dimension-table shape a lakehouse keeps for time travel per ROW

@@ -1108,6 +1108,11 @@ object Oracles {
     // prefix version <= 1 over the base
     "c21_time_travel" -> cdcUpsertSqlUpTo(1),
 
+    // log vacuum: an entry is removable iff it wins at NO retained
+    // checkpoint (winner = max version <= chk per key); entries newer
+    // than the newest retained checkpoint are always kept
+    "c23_log_vacuum" -> vacuumSql,
+
     // z-order key: Morton interleave replayed per bit — the engine's
     // five-round mask-shift spread must equal the naive bit sum exactly
     "c22_zorder_layout" ->
@@ -2952,8 +2957,9 @@ object Oracles {
   /** Time-travel flavor: only the log prefix version <= maxV applies
     * (c21 reads the corpus AS OF version 1; c13/ev13 = full log).
     */
-  private def cdcUpsertSqlUpTo(maxV: Int): String =
-    s"""WITH changes0 AS (
+  /** The c13/ev13/c16/c21/c23 CDC fixture as a SQL CTE body. */
+  private def docChangesCte: String =
+    """changes0 AS (
       |  SELECT doc_id, upper(text) AS text, lang, source, n_chars,
       |         'U' AS op, 1 AS version
       |  FROM documents WHERE doc_id % 2 = 0
@@ -2965,7 +2971,23 @@ object Oracles {
       |  FROM documents WHERE doc_id % 4 = 3
       |  UNION ALL
       |  SELECT doc_id, text || ' v2', lang, source, n_chars + 3, 'U', 2
-      |  FROM documents WHERE doc_id % 12 = 7),
+      |  FROM documents WHERE doc_id % 12 = 7)""".stripMargin
+
+  private def vacuumSql: String =
+    s"""WITH $docChangesCte,
+      |chks(chk) AS (VALUES (2)),
+      |win AS (
+      |  SELECT c.chk, ch.doc_id, max(ch.version) AS version
+      |  FROM chks c JOIN changes0 ch ON ch.version <= c.chk
+      |  GROUP BY 1, 2)
+      |SELECT ch.doc_id, ch.op, ch.version::BIGINT AS version
+      |FROM changes0 ch
+      |WHERE ch.version <= 2 AND NOT EXISTS (
+      |  SELECT 1 FROM win w
+      |  WHERE w.doc_id = ch.doc_id AND w.version = ch.version)""".stripMargin
+
+  private def cdcUpsertSqlUpTo(maxV: Int): String =
+    s"""WITH $docChangesCte,
       |changes AS (SELECT * FROM changes0 WHERE version <= $maxV),
       |winners AS (
       |  SELECT * FROM changes

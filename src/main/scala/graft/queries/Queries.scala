@@ -2672,4 +2672,18 @@ object Queries {
       graft.functions.NativeExpressions.z_interleave(
         pmod(col("user_id"), lit(1048576L)),
         expr("ts div 86400000000000")).as("zval"))
+
+  /** Log vacuum (C23): which c13 delta-log entries can be deleted when
+    * only the LATEST checkpoint (version 2) is retained — entries
+    * winning at no retained version ([[Merge.vacuumLog]]: the
+    * update-then-tombstone v1s and the insert-then-reupdate v1s);
+    * replaying the vacuumed log reproduces the retained snapshot
+    * exactly (spec-gated in MergeSpec, which also covers multi-version
+    * retention and the future-entry guard). Completes the lake trio:
+    * c21 reads history, c16 summarizes it, c23 expires it.
+    */
+  def c23_log_vacuum(spark: SparkSession, dir: String): DataFrame =
+    Merge.vacuumLog(docChanges(t(spark, dir, "documents")), "doc_id",
+      retained = Seq(2L))
+      .select(col("doc_id"), col("op"), col("version"))
 }

@@ -149,6 +149,43 @@ class MergeSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("vacuumLog: replaying the vacuumed log reproduces every retained snapshot") {
+    val retained = Seq(1L, 2L)
+    val removable = Merge.vacuumLog(changes, "k", retained)
+      .select("k", "version").as[(Long, Long)].collect().toSet
+    // fixture truth: (3,U,1) superseded by its v2 tombstone at every
+    // retained chk except chk=1... at chk=1 the winner for k=3 IS v1 —
+    // so nothing for k=3 v1; (6,I,1) wins at chk=1; nothing removable
+    // here until a checkpoint is dropped
+    val kept = changes.join(
+      Merge.vacuumLog(changes, "k", retained), Seq("k", "version"), "left_anti")
+    retained.foreach { v =>
+      val full = Merge.upsert(base, changes.where(col("version") <= v), "k")
+        .as[(Long, String, Long)].collect().toSet
+      val vac = Merge.upsert(base, kept.where(col("version") <= v), "k")
+        .as[(Long, String, Long)].collect().toSet
+      assert(vac === full, s"retained snapshot at version $v must survive vacuum")
+    }
+    // retain only the latest: every superseded entry becomes removable
+    val latestOnly = Merge.vacuumLog(changes, "k", Seq(2L))
+      .select("k", "version").as[(Long, Long)].collect().toSet
+    assert(latestOnly === Set((3L, 1L), (6L, 1L)),
+      s"superseded v1 entries must go when only v2 is retained: $latestOnly")
+    assert(removable.subsetOf(latestOnly),
+      "retaining more checkpoints can only keep more entries")
+    // and the latest snapshot survives the aggressive vacuum
+    val kept2 = changes.join(
+      Merge.vacuumLog(changes, "k", Seq(2L)), Seq("k", "version"), "left_anti")
+    assert(Merge.upsert(base, kept2, "k").as[(Long, String, Long)].collect().toSet
+      === Merge.upsert(base, changes, "k").as[(Long, String, Long)].collect().toSet)
+    // entries newer than the newest retained checkpoint are future
+    // state, never removable
+    val withFuture = changes.unionByName(
+      Seq((2L, "TWO v3", 3L, "U", 9L)).toDF("k", "body", "n", "op", "version"))
+    assert(!Merge.vacuumLog(withFuture, "k", Seq(2L))
+      .select("version").as[Long].collect().contains(9L))
+  }
+
   test("scd2History: is_current slice IS the SCD-1 upsert snapshot") {
     val docs = spark.read.parquet(s"${sf("0.001")}/documents.parquet")
     val base = docs.where(col("doc_id") % 4 =!= 3)
