@@ -18,6 +18,24 @@ class CubeFilteredAnnSpec extends SparkSpec {
     assert(byLevel((1L, 1L)).size == 1, "grand total is one row")
   }
 
+  test("e18 plan: the corpus predicate reaches the parquet scan (pre-filter, not post)") {
+    val plan = graft.queries.Queries.e18_filtered_ann(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    // the label filter must sit on the scan side: either pushed into the
+    // reader (PushedFilters) or as a Filter directly over the scan —
+    // never evaluated after the bucket join
+    assert(plan.contains("PushedFilters: [IsNotNull(label)]"),
+      s"label null-check must reach the reader:\n$plan")
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    val pmodFilterIdx = plan.indexOf("Filter (isnotnull(label")
+    assert(joinIdx >= 0, s"bucket probe must be a hash join:\n$plan")
+    assert(pmodFilterIdx > joinIdx,
+      s"predicate must sit below the join, on the scan side:\n$plan")
+    // and no nested-loop anywhere in the probe
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("e18 filtered ANN: every hit satisfies the predicate; ranking is exact on survivors") {
     val emb = spark.read.parquet(s"${sf("0.001")}/embeddings.parquet")
     val out = graft.queries.Queries.e18_filtered_ann(spark, sf("0.001"))
