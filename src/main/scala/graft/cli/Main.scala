@@ -60,6 +60,15 @@ object Main {
         _.isInstanceOf[graft.plans.IntervalJoinRewrite]))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ graft.plans.IntervalJoinRewrite()
+    // BandJoinRewrite additionally WANTS the extraOptimizations slot (the
+    // last optimizer batch): an EXISTS-spelled band becomes a LeftSemi
+    // join only at RewriteSubquery, AFTER the injected operator batch —
+    // only a late copy of the rule sees it. Idempotent (the __lband
+    // reference guard), so stacking with the injected copy is safe.
+    if (!s.experimental.extraOptimizations.exists(
+        _.isInstanceOf[graft.plans.BandJoinRewrite]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.BandJoinRewrite()
     s
   }
 

@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object BandJoin {
 
+  // integral division keeps the bucket id exact past 2^53 (matching
+  // BandJoinRewrite's IntegralDivide); pmod first → floor semantics
   private def fdiv(c: Column, d: Long): Column =
-    (c - pmod(c, lit(d))) / lit(d)
+    call_function("div", c - pmod(c, lit(d)), lit(d))
 
   /** All (left, right) pairs with |leftVal − rightVal| ≤ eps. Column
     * names must be disjoint across sides (project before calling).

@@ -47,9 +47,12 @@ import org.apache.spark.sql.functions._
 object BucketedJoin {
 
   /** Root for the bucketed copies (outside the repo tree; /tmp is the
-    * scratch area the scale legs already use).
+    * scratch area the scale legs already use). Scoped per-JVM (pid):
+    * `synchronized` below only serializes callers within one process,
+    * and concurrent test/bench JVMs racing one shared saveAsTable path
+    * would corrupt each other's layout.
     */
-  private val BucketRoot = "/tmp/graft_bkt"
+  private val BucketRoot = s"/tmp/graft_bkt_${ProcessHandle.current().pid()}"
 
   /** Deterministic per-(source-dir, table) catalog name, so repeated
     * calls inside one session reuse the already-written layout and

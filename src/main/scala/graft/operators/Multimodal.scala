@@ -440,27 +440,80 @@ object Multimodal {
     * already makes), then a lag + running-sum window per document over
     * its ≤n frames. No shuffle beyond the per-document window.
     */
-  def videoSceneCuts(df: DataFrame, idCol: String = "doc_id",
-      binCol: String = "payload", thrNum: Int = 3, thrDen: Int = 2): DataFrame = {
-    val frames = mp4FrameTable(df, idCol, binCol, keepPayload = true)
-      .withColumn("__fhex", hex(col(binCol).substr(
-        (col("frame_off") + 1).cast("int"), col("frame_size").cast("int"))))
-    val intensity = aggregate(
-      sequence(lit(1), col("frame_size").cast("int")), lit(0L),
+  /** Narrow per-frame ANALYSIS table shared by the m-family: the
+    * stsz/stco walk ([[mp4FrameTable]]) plus the per-frame byte-sum
+    * intensity, payload dropped — one pass produces everything the
+    * frame consumers (m7's fingerprint dump, m13's scene cuts) read,
+    * so the walk is computed once, not once per query. Columns:
+    * (idCol, frame_idx, frame_off, frame_size, frame_fp,
+    * frame_intensity).
+    */
+  def frameAnalysisTable(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "payload"): DataFrame = {
+    // frame_off/frame_size are payload-derived: clamp before the (ANSI)
+    // int casts — same contract as mp4FrameTable's safe() — so a corrupt
+    // chained-u32 walk past Int range degrades to an empty substr, not a
+    // cast error that fails the whole query
+    val fOff = least(col("frame_off") + 1, lit(1L << 30)).cast("int")
+    val fSize = least(col("frame_size"), lit(1L << 30)).cast("int")
+    // sequence(1, 0) descends; a zero-byte frame has intensity 0 by contract
+    val intensity = when(col("frame_size") <= 0L, lit(0L)).otherwise(aggregate(
+      sequence(lit(1), fSize), lit(0L),
       (acc, p) => acc +
-        conv(col("__fhex").substr(p * 2 - 1, lit(2)), 16, 10).cast("long"))
+        conv(col("__fhex").substr(p * 2 - 1, lit(2)), 16, 10).cast("long")))
+    mp4FrameTable(df, idCol, binCol, keepPayload = true)
+      .withColumn("__fhex", hex(col(binCol).substr(fOff, fSize)))
+      .withColumn("frame_intensity", intensity)
+      // narrow the row before any downstream shuffle: the payload and
+      // its hex rendering have done their work
+      .drop(binCol, "__fhex")
+  }
+
+  /** Session-memoized [[frameAnalysisTable]]: the first caller per
+    * (session, cacheKey) pays the walk and localCheckpoints the NARROW
+    * result; every later caller — another query in the same Verify /
+    * bench / notebook session — reads the materialized table. The
+    * honest-cost convention of BucketedJoin.ensureBucketed: the build
+    * belongs to whichever timed row runs first. Key the cache by the
+    * INPUT identity (data dir + payload scheme) — two different payload
+    * mappings must never share an entry.
+    */
+  def sharedFrameTable(df: DataFrame, cacheKey: String,
+      idCol: String = "doc_id", binCol: String = "payload"): DataFrame = {
+    val key = s"${System.identityHashCode(df.sparkSession)}|$idCol|$binCol|$cacheKey"
+    frameTableCache.computeIfAbsent(key,
+      _ => frameAnalysisTable(df, idCol, binCol).localCheckpoint(true))
+  }
+
+  private val frameTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Drop all memoized frame tables (spec hygiene). */
+  def clearFrameTableCache(): Unit = frameTableCache.clear()
+
+  def videoSceneCuts(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "payload", thrNum: Int = 3, thrDen: Int = 2,
+      cacheKey: String = ""): DataFrame = {
+    val frames =
+      if (cacheKey.isEmpty) frameAnalysisTable(df, idCol, binCol)
+      else sharedFrameTable(df, cacheKey, idCol, binCol)
+    videoSceneCutsFromFrames(frames, idCol, thrNum, thrDen)
+  }
+
+  /** The scene-cut tail over a prebuilt [[frameAnalysisTable]]: lag +
+    * running-sum window per document over its ≤n frames — no shuffle
+    * beyond the per-document window.
+    */
+  def videoSceneCutsFromFrames(frames: DataFrame, idCol: String = "doc_id",
+      thrNum: Int = 3, thrDen: Int = 2): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val byFrame = W.partitionBy(idCol).orderBy("frame_idx")
-    val prevI = lag(col("__i"), 1).over(byFrame)
+    val prevI = lag(col("frame_intensity"), 1).over(byFrame)
     val prevS = lag(col("frame_size"), 1).over(byFrame)
     val cut = when(prevI.isNull, lit(0L)).otherwise(
-      when(abs(col("__i") * prevS - prevI * col("frame_size")) * thrDen >
+      when(abs(col("frame_intensity") * prevS - prevI * col("frame_size")) * thrDen >
         lit(thrNum.toLong) * col("frame_size") * prevS, 1L).otherwise(0L))
     frames
-      .withColumn("__i", intensity)
-      // narrow the row before the per-document window shuffle: the
-      // payload and its hex rendering have done their work
-      .drop(binCol, "__fhex")
       .withColumn("seg_idx",
         sum(cut).over(byFrame.rowsBetween(W.unboundedPreceding, 0)))
       .groupBy(col(idCol), col("seg_idx"))

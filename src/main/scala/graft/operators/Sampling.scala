@@ -73,7 +73,7 @@ object Sampling {
           lit(1048576.0)).cast("long"))
     val norm = counts.agg(
       sum(col("__n")).as("__nn"), sum(col("__w")).as("__z"))
-    val acc = counts.crossJoin(norm)
+    val acc = counts.crossJoin(broadcast(norm))
       .select(col("__src"),
         least(lit(1.0),
           (floor(lit(targetFraction) * col("__nn")) * col("__w")).cast("double") /

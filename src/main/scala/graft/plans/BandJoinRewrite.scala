@@ -1,26 +1,39 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Automatic band-join planning — the numeric sibling of
   * [[IntervalJoinRewrite]]: a raw band join
   *
   *   SELECT ... FROM l JOIN r ON abs(l.v - r.v) <= eps [AND ...]
+  *   SELECT ... FROM l JOIN r ON l.v BETWEEN r.v - eps AND r.v + eps
   *
   * has no equi-condition, so Spark plans BroadcastNestedLoopJoin /
-  * CartesianProduct — O(n·m). This rule detects the absolute-difference
-  * band over integral columns, buckets each side at width eps (FLOOR
-  * division via pmod, so negatives land right — the same math as
+  * CartesianProduct — O(n·m). This rule detects the band — either the
+  * absolute-difference spelling or the BETWEEN/conjunct-pair spelling
+  * (`l.v >= r.v - e1 AND l.v <= r.v + e2`, asymmetric widths allowed) —
+  * over integral columns, buckets each side at the band half-width
+  * (FLOOR division via pmod, so negatives land right — the same math as
   * operators.BandJoin), expands the RIGHT side to its bucket and both
-  * neighbours (a band of width eps only reaches those three), equi-joins
-  * on the bucket, and keeps the ORIGINAL predicate as the residual. A
-  * (l, r) pair matches at most one (bucket_l = expanded bucket_r) pair —
-  * the three expanded buckets are distinct — so no dedup predicate is
-  * needed, unlike the interval rule's bin fan-out.
+  * neighbours (a band of half-width w only reaches those three),
+  * equi-joins on the bucket, and keeps the ORIGINAL predicate(s) as the
+  * residual. A (l, r) pair matches at most one (bucket_l = expanded
+  * bucket_r) pair — the three expanded buckets are distinct — so no
+  * dedup predicate is needed, unlike the interval rule's bin fan-out.
+  * For an asymmetric pair the bucket width is max(e1, e2): the band is
+  * contained in |l.v − r.v| ≤ max(e1, e2), so ±1-bucket coverage stays
+  * sound and the residual keeps exactness.
+  *
+  * Join types: Inner, LeftSemi, LeftAnti, LeftOuter. The right-side
+  * Generate fan-out preserves per-(l, r) match multiplicity exactly
+  * (at most one expanded copy satisfies the bucket equality), so inner
+  * and left-outer results are row-identical and existence (semi/anti)
+  * is preserved. Right/Full outer are refused: an UNMATCHED right row
+  * would surface once per expanded copy.
   *
   * Idempotent by guard: the rewritten join's condition references the
   * generated `__lband`/`__rband` attributes, which the matcher refuses.
@@ -33,6 +46,8 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, IntegerType, LongType, S
 case class BandJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
 
   private val bandNames = Set("__lband", "__rband")
+
+  private val supported: Set[JoinType] = Set(Inner, LeftSemi, LeftAnti, LeftOuter)
 
   private def isIntegral(e: Expression): Boolean = e.dataType match {
     case LongType | IntegerType | ShortType | ByteType => true
@@ -55,20 +70,21 @@ case class BandJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(left, right, Inner, Some(cond), hint)
-        if !cond.references.exists(a => bandNames.contains(a.name)) =>
+    case j @ Join(left, right, joinType, Some(cond), hint)
+        if supported.contains(joinType) &&
+          !cond.references.exists(a => bandNames.contains(a.name)) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      // abs(x - y) <= eps (or < eps): the band; strictness rides in the
-      // residual, bucket coverage at width eps is sound for both
+      def crossSides(a: Expression, b: Expression): Boolean =
+        ((sideOf(a, left, right), sideOf(b, left, right)) match {
+          case (Some(x), Some(y)) => x != y
+          case _ => false
+        }) && isIntegral(a) && isIntegral(b)
+      // abs(x - y) <= eps (or < eps): the one-conjunct band; strictness
+      // rides in the residual, bucket coverage at width eps is sound
+      // for both. Result is (x, y, eps) with x, y on opposite sides.
       def bandOf(e: Expression): Option[(Expression, Expression, Long)] = {
         def fromParts(a: Expression, b: Expression, eps: Long) =
-          (sideOf(a, left, right), sideOf(b, left, right)) match {
-            case (Some(true), Some(false)) if isIntegral(a) && isIntegral(b) =>
-              Some((a, b, eps))
-            case (Some(false), Some(true)) if isIntegral(a) && isIntegral(b) =>
-              Some((b, a, eps))
-            case _ => None
-          }
+          if (crossSides(a, b)) Some((a, b, eps)) else None
         e match {
           case LessThanOrEqual(Abs(Subtract(a, b, _), _), lim) =>
             epsOf(lim).filter(_ > 0).flatMap(fromParts(a, b, _))
@@ -79,10 +95,62 @@ case class BandJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
           case _ => None
         }
       }
-      val bands = conjuncts.flatMap(e => bandOf(e).map(b => (e, b)))
-      bands.headOption match {
-        case Some((bandPred, (lv, rv, eps))) =>
-          val rest = conjuncts.filterNot(_ eq bandPred)
+      // One-sided bound normalized to "a - b <= eps" (eps >= 0): the
+      // BETWEEN spelling arrives as two such conjuncts with opposite
+      // orientation. Strict forms are admitted with the same eps — for
+      // integers x - y < eps ⟹ x - y <= eps, so coverage is sound and
+      // the residual keeps the strictness.
+      def ubOf(e: Expression): Option[(Expression, Expression, Long)] = {
+        def mk(a: Expression, b: Expression, eps: Long) =
+          if (eps >= 0 && crossSides(a, b)) Some((a, b, eps)) else None
+        e match {
+          // x <= y + eps  /  x < y + eps
+          case LessThanOrEqual(x, Add(y, lim, _)) if epsOf(lim).isDefined =>
+            mk(x, y, epsOf(lim).get)
+          case LessThan(x, Add(y, lim, _)) if epsOf(lim).isDefined =>
+            mk(x, y, epsOf(lim).get)
+          // x >= y - eps  /  x > y - eps   ⟹   y - x <= eps
+          case GreaterThanOrEqual(x, Subtract(y, lim, _)) if epsOf(lim).isDefined =>
+            mk(y, x, epsOf(lim).get)
+          case GreaterThan(x, Subtract(y, lim, _)) if epsOf(lim).isDefined =>
+            mk(y, x, epsOf(lim).get)
+          // mirrored literal-on-left renderings
+          case GreaterThanOrEqual(Add(y, lim, _), x) if epsOf(lim).isDefined =>
+            mk(x, y, epsOf(lim).get)
+          case LessThanOrEqual(Subtract(y, lim, _), x) if epsOf(lim).isDefined =>
+            mk(y, x, epsOf(lim).get)
+          // x - y <= eps
+          case LessThanOrEqual(Subtract(x, y, _), lim) if epsOf(lim).isDefined =>
+            mk(x, y, epsOf(lim).get)
+          case LessThan(Subtract(x, y, _), lim) if epsOf(lim).isDefined =>
+            mk(x, y, epsOf(lim).get)
+          case _ => None
+        }
+      }
+      // A band is either one abs conjunct, or a PAIR of one-sided bounds
+      // with opposite orientation over the same (x, y): x - y <= e1 and
+      // y - x <= e2. Bucket width max(e1, e2) (> 0) contains the band.
+      def pairBand(): Option[(Seq[Expression], (Expression, Expression, Long))] = {
+        val ubs = conjuncts.flatMap(e => ubOf(e).map(u => (e, u)))
+        val found = ubs.iterator.flatMap { case (e1, (a1, b1, eps1)) =>
+          ubs.collectFirst {
+            case (e2, (a2, b2, eps2))
+                if !(e2 eq e1) && a2.semanticEquals(b1) && b2.semanticEquals(a1) &&
+                  math.max(eps1, eps2) > 0 =>
+              (Seq(e1, e2), (a1, b1, math.max(eps1, eps2)))
+          }
+        }
+        if (found.hasNext) Some(found.next()) else None
+      }
+      val band: Option[(Seq[Expression], (Expression, Expression, Long))] =
+        conjuncts.flatMap(e => bandOf(e).map(b => (Seq(e), b))).headOption
+          .orElse(pairBand())
+      band match {
+        case Some((bandPreds, (bx, by, eps))) =>
+          // orient: lv from the left child, rv from the right
+          val (lv, rv) =
+            if (sideOf(bx, left, right).contains(true)) (bx, by) else (by, bx)
+          val rest = conjuncts.filterNot(c => bandPreds.exists(_ eq c))
           val epsLit = Literal(eps, LongType)
           // floor-div bucket: (v - pmod(v, eps)) div eps — exact for
           // negatives (pmod is non-negative), division exact by
@@ -100,10 +168,9 @@ case class BandJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
               Subtract(rb, Literal(1L)), rb, Add(rb, Literal(1L))))),
             unrequiredChildIndex = Nil, outer = false, qualifier = None,
             generatorOutput = Seq(rAttr), child = right)
-          val newCond = (Seq(
-            EqualTo(lBand.toAttribute, rAttr),
-            bandPred) ++ rest).reduce(And)
-          Project(j.output, Join(lProj, rGen, Inner, Some(newCond), hint))
+          val newCond = (Seq(EqualTo(lBand.toAttribute, rAttr)) ++
+            bandPreds ++ rest).reduce(And)
+          Project(j.output, Join(lProj, rGen, joinType, Some(newCond), hint))
         case None => j
       }
   }

@@ -1554,10 +1554,12 @@ object Queries {
     BucketedJoin.revenueByPriority(spark, dir)
 
   /** Fuzzy entity join (J10): all supplier-name pairs within edit
-    * distance 1 via the q-gram count/prefix filter + levenshtein verify
-    * — exact recall, no O(N²) compare. Oracle is the naive quadratic
-    * join (supplier-sized, so it stays oracle-runnable; the bench times
-    * the customer-scale flavor, see [[j10_fuzzy_join_prod]]).
+    * distance 1 via deletion-neighborhood (FastSS) blocking — each name
+    * emits its ≤maxDist-deletion variants, candidates meet on a shared
+    * variant, levenshtein verifies — exact recall, no O(N²) compare.
+    * Oracle is the naive quadratic join (supplier-sized, so it stays
+    * oracle-runnable; the bench times the customer-scale flavor, see
+    * [[j10_fuzzy_join_prod]]).
     */
   def j10_fuzzy_join(spark: SparkSession, dir: String): DataFrame =
     FuzzyJoin.editDistanceSelfJoin(
@@ -1900,9 +1902,14 @@ object Queries {
     */
   def t23_hll_accuracy(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val vals = docs.select(col("lang"), explode(Sketch.docShingles()).as("sh"))
-    val est = Sketch.hllEstimate(Sketch.hllRegisters(vals, "lang", "sh"), "lang")
-    val exact = vals.groupBy("lang").agg(countDistinct(col("sh")).as("exact_distinct"))
+    // ONE explode + ONE distinct shuffle feeds BOTH sides (the r12 plan
+    // exploded the corpus twice): registers are duplicate-insensitive
+    // (max-rho), and over the distinct (lang, sh) set the exact count
+    // is a plain count — no second distinct aggregation
+    val dist = docs.select(col("lang"), explode(Sketch.docShingles()).as("sh"))
+      .distinct().localCheckpoint(true)
+    val est = Sketch.hllEstimate(Sketch.hllRegisters(dist, "lang", "sh"), "lang")
+    val exact = dist.groupBy("lang").agg(count(lit(1)).as("exact_distinct"))
     est.join(exact, "lang")
       .select(col("lang"), col("occupied"), col("est_distinct"),
         col("exact_distinct"),
@@ -1916,13 +1923,22 @@ object Queries {
     */
   def t24_hll_merge_accuracy(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val vals = docs.select(col("source"), explode(Sketch.docShingles()).as("sh"))
-    val regs = Sketch.hllRegisters(vals, "source", "sh").localCheckpoint(true)
+    // one explode + one distinct shuffle (t23's shape), then ONE rollup
+    // pass answers both exact scopes — per-source and the '__union'
+    // grand total (the r12 plan ran two separate countDistinct
+    // aggregations over two re-explodes of the corpus). countDistinct
+    // still guards the total row: a shingle can appear under several
+    // sources. rollup's null subtotal IS the union row (source is
+    // non-null in the corpus, so no collision).
+    val dist = docs.select(col("source"), explode(Sketch.docShingles()).as("sh"))
+      .distinct().localCheckpoint(true)
+    val regs = Sketch.hllRegisters(dist, "source", "sh").localCheckpoint(true)
     val est = Sketch.hllEstimate(
       regs.union(Sketch.hllMerge(regs, "source", "__union")), "source")
-    val exact = vals.groupBy("source").agg(countDistinct(col("sh")).as("exact_distinct"))
-      .union(vals.agg(countDistinct(col("sh")).as("exact_distinct"))
-        .select(lit("__union").as("source"), col("exact_distinct")))
+    val exact = dist.rollup("source")
+      .agg(countDistinct(col("sh")).as("exact_distinct"))
+      .select(coalesce(col("source"), lit("__union")).as("source"),
+        col("exact_distinct"))
     est.join(exact, "source")
       .select(col("source"), col("occupied"), col("est_distinct"),
         col("exact_distinct"),
@@ -2267,9 +2283,14 @@ object Queries {
     */
   def m7_mp4_frames(spark: SparkSession, dir: String): DataFrame = {
     val mk = udf((id: Long) => Multimodal.synthMp4(id))
-    Multimodal.mp4FrameTable(
+    // shared walk with m13 ([[Multimodal.sharedFrameTable]]): whichever
+    // of the two runs first in a session pays the stsz/stco pass; this
+    // row projects the fingerprint columns, m13 reads the intensity
+    Multimodal.sharedFrameTable(
       t(spark, dir, "documents").select(col("doc_id"))
-        .withColumn("payload", mk(col("doc_id").cast("long"))))
+        .withColumn("payload", mk(col("doc_id").cast("long"))),
+      cacheKey = s"$dir|synthMp4")
+      .select("doc_id", "frame_idx", "frame_off", "frame_size", "frame_fp")
   }
 
   /** Video near-dup via sampled-frame fingerprints (M10): the m4/m8
@@ -2554,7 +2575,8 @@ object Queries {
     val mk = udf((id: Long) => Multimodal.synthMp4(id))
     Multimodal.videoSceneCuts(
       t(spark, dir, "documents").select(col("doc_id"))
-        .withColumn("payload", mk(col("doc_id").cast("long"))))
+        .withColumn("payload", mk(col("doc_id").cast("long"))),
+      cacheKey = s"$dir|synthMp4")
   }
 
   /** T27 through Structured Streaming (EV28): per micro-batch each
@@ -2603,28 +2625,10 @@ object Queries {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
-    SimilaritySearch.batchAnnTopK(
-      emb.where(pmod(col("label"), lit(3)) === 1), "vec_id", "embedding",
-      dim = 64, queries = queries, k = 10, nBits = 4,
-      nProbes = filteredProbes(emb, pmod(col("label"), lit(3)) === 1))
-  }
-
-  /** Selectivity-aware probe widening for filtered vector search: a
-    * predicate keeping a fraction f of the corpus shrinks every probed
-    * bucket by f, so candidate volume (and with it recall) collapses
-    * unless the probe count scales back up — np = ceil(np0 / f), capped
-    * at the bucket count (ceil division in exact longs; f = 1 reduces
-    * to np0, so unfiltered probes are untouched). Measured on the e19
-    * fixture (f ~= 1/3): recall@20 0.40 at 4 probes, 0.85+ at the
-    * widened count. One cheap count aggregate; the e12-autoBits
-    * convention applied to probe width.
-    */
-  private def filteredProbes(emb: DataFrame, pred: org.apache.spark.sql.Column,
-      np0: Int = 4, nBits: Int = 4): Int = {
-    val row = emb.agg(count(lit(1)),
-      sum(when(pred, 1L).otherwise(0L))).head()
-    val (total, fcnt) = (row.getLong(0), row.getLong(1))
-    math.min(1 << nBits, ((np0 * total + fcnt - 1) / fcnt)).toInt
+    SimilaritySearch.filteredBatchAnnTopK(
+      emb, "vec_id", "embedding",
+      dim = 64, queries = queries, k = 10,
+      pred = pmod(col("label"), lit(3)) === 1, nBits = 4, np0 = 4)
   }
 
   /** Recall@20 of the FILTERED probe (E19): e6's recall artifact with
@@ -2638,11 +2642,12 @@ object Queries {
     val query = emb.where(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
-    val filt = emb.where(pmod(col("label"), lit(3)) === 1)
-    val exact = SimilaritySearch.topK(filt, "vec_id", "embedding", query, k = 20)
-    val ann = SimilaritySearch.annTopK(filt, "vec_id", "embedding",
-      dim = query.length, query = query, k = 20, nBits = 4,
-      nProbes = filteredProbes(emb, pmod(col("label"), lit(3)) === 1))
+    val pred = pmod(col("label"), lit(3)) === 1
+    val exact = SimilaritySearch.topK(emb.where(pred), "vec_id", "embedding",
+      query, k = 20)
+    val ann = SimilaritySearch.filteredAnnTopK(emb, "vec_id", "embedding",
+      dim = query.length, query = query, k = 20, pred = pred,
+      nBits = 4, np0 = 4)
     SimilaritySearch.recallAt(exact, ann, "vec_id", k = 20)
   }
 

@@ -36,6 +36,42 @@ class CubeFilteredAnnSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("filteredProbes: np = ceil(np0/f), capped at 2^nBits, total for empty match") {
+    val df = (0L until 120L).toDF("id")
+    // f = 1: an always-true predicate leaves np0 untouched
+    assert(SimilaritySearch.filteredProbes(df, lit(true), np0 = 4, nBits = 4) == 4)
+    // f = 1/3: ceil(4 / (1/3)) = 12
+    assert(SimilaritySearch.filteredProbes(df, col("id") % 3 === 1, np0 = 4, nBits = 4) == 12)
+    // f = 1/6: ceil(24) = 24 > 2^4 → capped at the bucket count
+    assert(SimilaritySearch.filteredProbes(df, col("id") % 6 === 1, np0 = 4, nBits = 4) == 16)
+    // uneven split: 120 total, 7 matching → ceil(480/7) = 69, cap 2^8 = 256 not hit
+    assert(SimilaritySearch.filteredProbes(df, col("id") < 7, np0 = 4, nBits = 8) == 69)
+    // predicate matching NOTHING: no division by zero — probe everything
+    assert(SimilaritySearch.filteredProbes(df, lit(false), np0 = 4, nBits = 4) == 16)
+  }
+
+  test("filteredAnnTopK: widened probes restore recall at f ~= 1/3") {
+    val emb = spark.read.parquet(s"${sf("0.001")}/embeddings.parquet")
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val pred = pmod(col("label"), lit(3)) === 1
+    val exact = SimilaritySearch.topK(emb.where(pred), "vec_id", "embedding",
+      query, k = 20)
+    val widened = SimilaritySearch.filteredAnnTopK(emb, "vec_id", "embedding",
+      dim = query.length, query = query, k = 20, pred = pred, nBits = 4, np0 = 4)
+    val rWide = SimilaritySearch.recallAt(exact, widened, "vec_id", k = 20)
+      .head().getDouble(0)
+    // the un-widened call the API now protects against
+    val narrow = SimilaritySearch.annTopK(emb.where(pred), "vec_id", "embedding",
+      dim = query.length, query = query, k = 20, nBits = 4, nProbes = 4)
+    val rNarrow = SimilaritySearch.recallAt(exact, narrow, "vec_id", k = 20)
+      .head().getDouble(0)
+    assert(rWide >= 0.85, s"widened recall $rWide")
+    assert(rWide >= rNarrow,
+      s"widening must not lose recall (wide $rWide vs narrow $rNarrow)")
+  }
+
   test("e18 filtered ANN: every hit satisfies the predicate; ranking is exact on survivors") {
     val emb = spark.read.parquet(s"${sf("0.001")}/embeddings.parquet")
     val out = graft.queries.Queries.e18_filtered_ann(spark, sf("0.001"))

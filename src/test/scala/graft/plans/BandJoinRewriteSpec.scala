@@ -110,6 +110,90 @@ class BandJoinRewriteSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterA
     assert(!df2.queryExecution.optimizedPlan.toString.contains("__lband"))
   }
 
+  test("BETWEEN spelling rewrites and equals the abs-form results") {
+    mkTables()
+    import spark.implicits._
+    val l = spark.table("lband").as[(Long, Long)].collect()
+    val r = spark.table("rband").as[(Long, Long)].collect()
+    val want = (for {
+      (lid, lv) <- l; (rid, rv) <- r if math.abs(lv - rv) <= 100
+    } yield (lid, rid)).toSet
+    for (q <- Seq(
+      "SELECT lid, rid FROM lband JOIN rband ON lv BETWEEN rv - 100 AND rv + 100",
+      "SELECT lid, rid FROM lband JOIN rband ON lv >= rv - 100 AND lv <= rv + 100",
+      "SELECT lid, rid FROM lband JOIN rband ON rv - 100 <= lv AND rv + 100 >= lv")) {
+      val df = spark.sql(q)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"BETWEEN band not rewritten: $q\n$plan")
+      assert(df.as[(Long, Long)].collect().toSet === want, q)
+    }
+  }
+
+  test("asymmetric conjunct-pair band: max-width bucket, residual keeps exactness") {
+    mkTables()
+    import spark.implicits._
+    val q = "SELECT lid, rid FROM lband JOIN rband ON lv >= rv - 40 AND lv <= rv + 100"
+    val df = spark.sql(q)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"asymmetric band not rewritten:\n$plan")
+    val l = spark.table("lband").as[(Long, Long)].collect()
+    val r = spark.table("rband").as[(Long, Long)].collect()
+    val want = (for {
+      (lid, lv) <- l; (rid, rv) <- r if lv >= rv - 40 && lv <= rv + 100
+    } yield (lid, rid)).toSet
+    assert(df.as[(Long, Long)].collect().toSet === want)
+  }
+
+  test("LeftSemi and LeftAnti band joins rewrite; existence preserved") {
+    mkTables()
+    import spark.implicits._
+    val l = spark.table("lband").as[(Long, Long)].collect()
+    val r = spark.table("rband").as[(Long, Long)].collect()
+    val matched = l.collect {
+      case (lid, lv) if r.exists { case (_, rv) => math.abs(lv - rv) <= 2 } => lid
+    }.toSet
+    val semi = spark.sql(
+      "SELECT lid FROM lband WHERE EXISTS (SELECT 1 FROM rband WHERE abs(lv - rv) <= 2)")
+    val anti = spark.sql(
+      "SELECT lid FROM lband WHERE NOT EXISTS (SELECT 1 FROM rband WHERE lv BETWEEN rv - 2 AND rv + 2)")
+    for ((df, name) <- Seq((semi, "semi"), (anti, "anti"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$name band join not rewritten:\n$plan")
+    }
+    assert(semi.as[Long].collect().toSet === matched)
+    assert(anti.as[Long].collect().toSet === (l.map(_._1).toSet diff matched))
+    assert(matched.nonEmpty && matched.size < l.length,
+      "fixture must exercise both matched and unmatched rows")
+  }
+
+  test("LeftOuter band join rewrites with exact multiplicity; RightOuter refused") {
+    mkTables()
+    import spark.implicits._
+    val louter = spark.sql(
+      "SELECT lid, rid FROM lband LEFT JOIN rband ON abs(lv - rv) <= 100")
+    val plan = louter.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"left-outer band not rewritten:\n$plan")
+    val l = spark.table("lband").as[(Long, Long)].collect()
+    val r = spark.table("rband").as[(Long, Long)].collect()
+    val want = l.toSeq.flatMap { case (lid, lv) =>
+      val rs = r.toSeq.collect { case (rid, rv) if math.abs(lv - rv) <= 100 => rid }
+      if (rs.isEmpty) Seq((lid, Option.empty[Long]))
+      else rs.map(rid => (lid, Option(rid)))
+    }.groupBy(x => x).view.mapValues(_.length).toMap
+    val got = louter.as[(Long, Option[Long])].collect().toSeq
+      .groupBy(x => x).view.mapValues(_.length).toMap
+    assert(got === want, "left-outer multiplicity must match the NL oracle exactly")
+    // RightOuter: an unmatched right row would surface once per expanded
+    // copy — the matcher must refuse
+    val router = spark.sql(
+      "SELECT lid, rid FROM lband RIGHT JOIN rband ON abs(lv - rv) <= 100")
+    assert(!router.queryExecution.optimizedPlan.toString.contains("__lband"))
+  }
+
   test("rule is idempotent: one Generate, applied once") {
     mkTables()
     val df = spark.sql("SELECT lid, rid FROM lband JOIN rband ON abs(lv - rv) <= 100")
