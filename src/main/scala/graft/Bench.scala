@@ -164,6 +164,7 @@ object Bench {
     "c21_time_travel",
     "c22_zorder_layout",
     "c23_log_vacuum",
+    "c24_zorder3_layout",
     "e3_embedding_dedup",
     "e6_ann_recall",
     "ev2_sessionize",

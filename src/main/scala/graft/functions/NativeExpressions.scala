@@ -96,6 +96,75 @@ object ZInterleave {
   def z(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
 }
 
+/** z_interleave_n(a, b, c, ...): VARIADIC Morton interleave — the
+  * N-dimensional generalization of [[ZInterleave]] (lakehouse OPTIMIZE
+  * ZORDER routinely clusters 3–4 columns). The 63-bit key budget splits
+  * evenly: each of the N inputs contributes its low ⌊63/N⌋ bits, bit i
+  * of input j landing at output bit i·N + j — for N = 2 exactly
+  * [[ZInterleave]]'s mapping, so the binary form is the N = 2 special
+  * case, kept for its 5-round twiddle. Exactly replayable in any engine
+  * as a per-bit sum (the c22-family oracle convention).
+  */
+case class ZInterleaveN(children: Seq[Expression])
+    extends Expression with ImplicitCastInputTypes {
+  require(children.size >= 2 && children.size <= 8,
+    s"z_interleave_n takes 2..8 dimensions, got ${children.size}")
+  override def inputTypes = Seq.fill(children.size)(LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val arr = new Array[Long](children.size)
+    var i = 0
+    while (i < arr.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      arr(i) = v.asInstanceOf[Long]
+      i += 1
+    }
+    ZInterleaveN.z(arr)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val gens = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("zdims")
+    val fills = gens.zipWithIndex
+      .map { case (g, i) => s"$arr[$i] = ${g.value};" }.mkString("\n")
+    val anyNull = gens.map(_.isNull.code).mkString(" || ")
+    ev.copy(code = code"""
+      ${gens.map(_.code).reduce(_ + _)}
+      boolean ${ev.isNull} = $anyNull;
+      long ${ev.value} = 0L;
+      if (!${ev.isNull}) {
+        long[] $arr = new long[${children.size}];
+        $fills
+        ${ev.value} = graft.functions.ZInterleaveN.z($arr);
+      }""")
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZInterleaveN =
+    copy(children = newChildren)
+}
+
+object ZInterleaveN {
+  /** Bits each dimension keeps at N dimensions (⌊63/N⌋). */
+  def bitsPer(n: Int): Int = 63 / n
+  def z(xs: Array[Long]): Long = {
+    val n = xs.length
+    val bp = 63 / n
+    var out = 0L
+    var i = 0
+    while (i < bp) {
+      var j = 0
+      while (j < n) {
+        out |= ((xs(j) >>> i) & 1L) << (i * n + j)
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+}
+
 object NfcNormalize {
   def nfc(s: UTF8String): UTF8String = {
     val str = s.toString
@@ -292,6 +361,9 @@ object NativeExpressions {
     ColumnBridge.column(ZInterleave(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  def z_interleave_n(cols: Column*): Column =
+    ColumnBridge.column(ZInterleaveN(cols.map(ColumnBridge.expression)))
+
   def fisher_phred(a: Column, b: Column, c: Column, d: Column): Column =
     ColumnBridge.column(FisherPhred(
       ColumnBridge.expression(a), ColumnBridge.expression(b),
@@ -309,6 +381,8 @@ object NativeExpressions {
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "z_interleave", exprs => ZInterleave(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "z_interleave_n", exprs => ZInterleaveN(exprs), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fisher_phred",
       exprs => FisherPhred(exprs.head, exprs(1), exprs(2), exprs(3)), "built-in")

@@ -28,6 +28,45 @@ object Layout {
       .repartitionByRange(partitions, col(zName))
       .sortWithinPartitions(zName)
 
+  /** N-dimensional [[zorder]]: cluster on the variadic Morton key
+    * ([[graft.functions.ZInterleaveN]] — ⌊63/N⌋ bits per dimension,
+    * bit i of dim j → bit i·N+j). Same plan shape as the 2-D form: one
+    * range exchange on the key, sort within partitions.
+    */
+  def zorderN(df: DataFrame, dims: Seq[Column],
+      partitions: Int, zName: String = "zval"): DataFrame =
+    df.withColumn(zName,
+        graft.functions.NativeExpressions.z_interleave_n(dims: _*))
+      .repartitionByRange(partitions, col(zName))
+      .sortWithinPartitions(zName)
+
+  /** N-dimensional locality audit: per partition the bounding-box
+    * VOLUME over the given dimensions (∏ max−min+1) — the N-dim
+    * generalization of [[boundingAreas]]'s pruning-cost proxy.
+    */
+  def boundingVolumes(df: DataFrame, dims: Seq[Column]): Seq[Long] = {
+    import df.sparkSession.implicits._
+    val n = dims.size
+    df.select(dims.map(_.cast("long")): _*)
+      .map(r => (0 until n).map(r.getLong).toArray)
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val lo = Array.fill(n)(Long.MaxValue)
+          val hi = Array.fill(n)(Long.MinValue)
+          it.foreach { a =>
+            var j = 0
+            while (j < n) {
+              if (a(j) < lo(j)) lo(j) = a(j)
+              if (a(j) > hi(j)) hi(j) = a(j)
+              j += 1
+            }
+          }
+          Iterator((0 until n).map(j => hi(j) - lo(j) + 1).product)
+        }
+      }.collect().toSeq
+  }
+
   /** Locality audit: per partition the bounding box AREA over the two
     * dimensions (max−min+1 each). The sum over partitions is what a
     * min/max-pruned scan pays for a point/range query — smaller is

@@ -1123,6 +1123,18 @@ object Oracles {
         |              << (2 * i + 1) FOR i IN range(0, 31)])::BIGINT AS zval
         |FROM events""".stripMargin,
 
+    // 3-D z-order key: the variadic interleave replayed per bit —
+    // 21 bits per dimension, bit i of dim j lands at 3i + j
+    "c24_zorder3_layout" ->
+      """SELECT event_id,
+        |  list_sum([(((user_id % 1048576) >> i) & 1)::BIGINT << (3 * i)
+        |            FOR i IN range(0, 21)])::BIGINT
+        |  + list_sum([((floor(epoch_ms(ts) / 86400000.0)::BIGINT >> i) & 1)::BIGINT
+        |              << (3 * i + 1) FOR i IN range(0, 21)])::BIGINT
+        |  + list_sum([((ascii(event_type)::BIGINT >> i) & 1)::BIGINT
+        |              << (3 * i + 2) FOR i IN range(0, 21)])::BIGINT AS zval
+        |FROM events""".stripMargin,
+
     // corpus timeline: snapshot stats per checkpoint version replayed
     // naively (full winner set + snapshot per version — the oracle may
     // be quadratic; the engine is log-sized + one base pass). fp is a

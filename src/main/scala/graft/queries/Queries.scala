@@ -2678,6 +2678,22 @@ object Queries {
         pmod(col("user_id"), lit(1048576L)),
         expr("ts div 86400000000000")).as("zval"))
 
+  /** 3-D z-order key (C24): the variadic Morton interleave
+    * ([[graft.functions.ZInterleaveN]], 21 bits per dimension at N = 3)
+    * over (user bucket, day, event-type code) — the 3–4-column OPTIMIZE
+    * ZORDER shape lakehouse tables actually run. ascii() of the type's
+    * first character is the cross-engine integer code. The gate row pins
+    * the N-dim key math bit-for-bit against a per-bit oracle; layout +
+    * locality audit in [[Layout.zorderN]] (spec-gated volume audit).
+    */
+  def c24_zorder3_layout(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").select(
+      col("event_id"),
+      graft.functions.NativeExpressions.z_interleave_n(
+        pmod(col("user_id"), lit(1048576L)),
+        expr("ts div 86400000000000"),
+        ascii(col("event_type")).cast("long")).as("zval"))
+
   /** Log vacuum (C23): which c13 delta-log entries can be deleted when
     * only the LATEST checkpoint (version 2) is retained — entries
     * winning at no retained version ([[Merge.vacuumLog]]: the

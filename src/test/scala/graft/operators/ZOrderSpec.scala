@@ -48,6 +48,77 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  /** Naive per-bit reference for the variadic interleave. */
+  private def zNRef(xs: Seq[Long]): Long = {
+    val n = xs.length
+    (0 until 63 / n).flatMap(i => xs.indices.map(j =>
+      ((xs(j) >> i) & 1L) << (i * n + j))).reduce(_ | _)
+  }
+
+  test("z_interleave_n equals the per-bit reference; N=2 equals the binary form") {
+    val rnd = new scala.util.Random(13)
+    for (n <- 2 to 5) {
+      val bp = 63 / n
+      val mask = (1L << bp) - 1
+      val cases = Seq.fill(100)(Seq.fill(n)(rnd.nextLong() & mask)) :+
+        Seq.fill(n)(0L) :+ Seq.fill(n)(mask)
+      cases.foreach { xs =>
+        assert(graft.functions.ZInterleaveN.z(xs.toArray) == zNRef(xs), s"n=$n $xs")
+      }
+    }
+    // N = 2 generic mapping IS the twiddled binary form (same bit plan)
+    (0 until 100).foreach { _ =>
+      val a = rnd.nextLong() & 0x7FFFFFFFL
+      val b = rnd.nextLong() & 0x7FFFFFFFL
+      assert(graft.functions.ZInterleaveN.z(Array(a, b)) == ZInterleave.z(a, b))
+    }
+    // codegen'd Column path + SQL registration + null propagation
+    val df3 = Seq((5L, 3L, 7L), (0L, 0L, 0L), (9L, 1L, 2L)).toDF("a", "b", "c")
+    df3.select(col("a"), col("b"), col("c"),
+      NativeExpressions.z_interleave_n(col("a"), col("b"), col("c")).as("z"))
+      .as[(Long, Long, Long, Long)].collect()
+      .foreach { case (a, b, c, z) =>
+        assert(z == graft.functions.ZInterleaveN.z(Array(a, b, c))) }
+    NativeExpressions.register(spark)
+    assert(spark.sql("SELECT z_interleave_n(5, 3, 7) AS z").head().getLong(0) ==
+      graft.functions.ZInterleaveN.z(Array(5L, 3L, 7L)))
+    assert(spark.sql(
+      "SELECT z_interleave_n(1, CAST(NULL AS BIGINT), 2) IS NULL AS n")
+      .head().getBoolean(0))
+  }
+
+  test("3-D curve order is monotone per dimension (others held fixed)") {
+    val rnd = new scala.util.Random(17)
+    val mask = (1L << 21) - 1
+    (0 until 100).foreach { _ =>
+      val base = Array.fill(3)(rnd.nextLong() & mask)
+      (0 until 3).foreach { j =>
+        val hi = base.clone()
+        hi(j) = math.min(mask, base(j) + 1 + (rnd.nextInt(1000)))
+        if (hi(j) > base(j))
+          assert(graft.functions.ZInterleaveN.z(base) <
+            graft.functions.ZInterleaveN.z(hi))
+      }
+    }
+  }
+
+  test("3-D z-order layout's bounding volumes beat a hash layout >2x") {
+    val ev = graft.streaming.StreamingOps
+      .readEventsBatch(spark, s"${sf("0.001")}/events.parquet")
+      .select(pmod(col("user_id"), lit(64L)).as("a"),
+        expr("ts div 86400000000000").as("b"),
+        ascii(col("event_type")).cast("long").as("c"))
+    val parts = 16
+    val dims = Seq(col("a"), col("b"), col("c"))
+    val zed = Layout.zorderN(ev, dims, parts)
+    val hashed = ev.repartition(parts)
+    val zVol = Layout.boundingVolumes(zed, dims).sum
+    val hVol = Layout.boundingVolumes(hashed, dims).sum
+    assert(zVol * 2 < hVol,
+      s"3-D curve locality must beat hash layout: z=$zVol hash=$hVol")
+    assert(zed.count() == ev.count())
+  }
+
   test("z-order layout's per-partition bounding boxes beat a hash layout >2x") {
     val ev = graft.streaming.StreamingOps
       .readEventsBatch(spark, s"${sf("0.001")}/events.parquet")
