@@ -372,12 +372,22 @@ object Bench {
     // SPARK_GRAFT_ONLY=g2,g4 (comma-separated name prefixes) restricts
     // the suite — the profiling path for a single drifting query without
     // paying the full 35-query run
-    val selected = sys.env.get("SPARK_GRAFT_ONLY") match {
+    val preSelected = sys.env.get("SPARK_GRAFT_ONLY") match {
       case Some(pfx) =>
         val ps = pfx.split(',').map(_.trim).filter(_.nonEmpty)
         headline.filter(n => ps.exists(n.startsWith))
       case None => headline
     }
+    // SPARK_GRAFT_SKIP=e3_embedding_dedup,m6_image_neardup (exact names)
+    // excludes rows from the suite — the declared-quadratic contracts
+    // whose scale twins (e12, m8) carry their family on the >= sf10
+    // legs. Skips are RECORDED in the output ("skipped"): a reader of a
+    // scale-leg artifact must see which contracts were swapped out, not
+    // infer it from missing keys.
+    val skipped = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val selected = preSelected.filterNot(skipped)
 
     // RDDs persisted BEFORE the suite belong to the caller (getOrCreate
     // can attach to an existing session): unpersisting a caller's
@@ -552,7 +562,7 @@ object Bench {
       else
         s""""convicted windows not cleanly re-measured: ${contUnremediated.mkString(",")}""""
     val memMidJ = memMids.map(v => f"$v%.2f").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"hash_family_overrides":$ov,"failed":$fj,"failed_count":${failed.size},"calibration_sec":[$calPre,$calPost],"calibration_mid":$mids,"mem_probe_gbps":{"pre":${f"$memPre%.2f"},"mid":$memMidJ,"post":${f"$memPost%.2f"}},"gc_reruns":${rerunJson(gcReruns)},"contention_reruns":${rerunJson(contReruns)},"contention_skipped":${namesJson(contSkipped)},"contention_unremediated":${namesJson(contUnremediated)},"calibration_ref_sec":$CalRefSec,"calibration_gate":$CalGate,"contended":$contended,"rejected":$rejected,"reject_reason":$rejectReason,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"hash_family_overrides":$ov,"skipped":${namesJson(skipped.toSeq.sorted)},"failed":$fj,"failed_count":${failed.size},"calibration_sec":[$calPre,$calPost],"calibration_mid":$mids,"mem_probe_gbps":{"pre":${f"$memPre%.2f"},"mid":$memMidJ,"post":${f"$memPost%.2f"}},"gc_reruns":${rerunJson(gcReruns)},"contention_reruns":${rerunJson(contReruns)},"contention_skipped":${namesJson(contSkipped)},"contention_unremediated":${namesJson(contUnremediated)},"calibration_ref_sec":$CalRefSec,"calibration_gate":$CalGate,"contended":$contended,"rejected":$rejected,"reject_reason":$rejectReason,"sf":"$sfDir"}"""
     // stdout (unprefixed via fork + StdoutOutput) AND a file artifact,
     // so the driver's parse can't be defeated by log interleaving
     println(json)
