@@ -470,23 +470,37 @@ object Multimodal {
   }
 
   /** Session-memoized [[frameAnalysisTable]]: the first caller per
-    * (session, cacheKey) pays the walk and localCheckpoints the NARROW
-    * result; every later caller — another query in the same Verify /
-    * bench / notebook session — reads the materialized table. The
-    * honest-cost convention of BucketedJoin.ensureBucketed: the build
-    * belongs to whichever timed row runs first. Key the cache by the
-    * INPUT identity (data dir + payload scheme) — two different payload
-    * mappings must never share an entry.
+    * (session, cacheKey) pays the walk and MATERIALIZES the narrow
+    * result as a parquet layout under the per-JVM scratch root; every
+    * later caller — another query in the same Verify / bench / notebook
+    * session — re-reads the persisted layout. A persisted LAYOUT, not a
+    * localCheckpoint: checkpoint blocks are storage the harness's
+    * per-query RDD cleanup may release (truncating lineage —
+    * unrecoverable), while a parquet file is re-readable by any later
+    * plan; it is also what a lakehouse would actually do with a derived
+    * frame table. The honest-cost convention of
+    * BucketedJoin.ensureBucketed: the build belongs to whichever timed
+    * row runs first. Key the cache by the INPUT identity (data dir +
+    * payload scheme) — two different payload mappings must never share
+    * an entry; the root is per-JVM (pid) so concurrent JVMs never race
+    * one path.
     */
   def sharedFrameTable(df: DataFrame, cacheKey: String,
       idCol: String = "doc_id", binCol: String = "payload"): DataFrame = {
-    val key = s"${System.identityHashCode(df.sparkSession)}|$idCol|$binCol|$cacheKey"
-    frameTableCache.computeIfAbsent(key,
-      _ => frameAnalysisTable(df, idCol, binCol).localCheckpoint(true))
+    val spark = df.sparkSession
+    val key = s"${System.identityHashCode(spark)}|$idCol|$binCol|$cacheKey"
+    val path = frameTableCache.computeIfAbsent(key, _ => {
+      val h = Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(key))
+      val p = s"/tmp/graft_frames_${ProcessHandle.current().pid()}/$h"
+      frameAnalysisTable(df, idCol, binCol).write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
   }
 
   private val frameTableCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Drop all memoized frame tables (spec hygiene). */
   def clearFrameTableCache(): Unit = frameTableCache.clear()
