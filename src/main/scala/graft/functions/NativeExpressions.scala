@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot scalar kernels (SURVEY.md
@@ -143,6 +143,45 @@ case class ZInterleaveN(children: Seq[Expression])
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): ZInterleaveN =
     copy(children = newChildren)
+}
+
+/** byte_sum(bin, off0, len): sum of UNSIGNED byte values over the slice
+  * [off0, off0+len) of a binary column (0-based offset, clamped to the
+  * payload bounds; len <= 0 → 0) — one fused primitive loop inside
+  * whole-stage codegen. This replaces the hex-render + per-byte
+  * conv(substr) HOF fold the frame-intensity pass originally ran: that
+  * fold is interpreted per element and allocates a string pair per
+  * byte, which at corpus scale costs more in GC than the arithmetic
+  * (observed: the r13 sf1 bench inflating every CPU-bound row that ran
+  * after the frame-table build). Values are identical by construction:
+  * both compute Σ unsigned bytes of the slice.
+  */
+case class ByteSum(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, LongType, LongType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(bin: Any, off: Any, len: Any): Any =
+    ByteSum.sum(bin.asInstanceOf[Array[Byte]],
+      off.asInstanceOf[Long], len.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, o, l) =>
+      s"graft.functions.ByteSum.sum($b, $o, $l)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): ByteSum =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object ByteSum {
+  def sum(bin: Array[Byte], off0: Long, len: Long): Long = {
+    if (bin == null || len <= 0) return 0L
+    val start = math.max(0L, math.min(off0, bin.length.toLong)).toInt
+    val end = math.min(bin.length.toLong, off0 + math.min(len, Int.MaxValue.toLong)).toInt
+    var s = 0L
+    var i = start
+    while (i < end) { s += (bin(i) & 0xFF); i += 1 }
+    s
+  }
 }
 
 object ZInterleaveN {
@@ -364,6 +403,10 @@ object NativeExpressions {
   def z_interleave_n(cols: Column*): Column =
     ColumnBridge.column(ZInterleaveN(cols.map(ColumnBridge.expression)))
 
+  def byte_sum(bin: Column, off0: Column, len: Column): Column =
+    ColumnBridge.column(ByteSum(ColumnBridge.expression(bin),
+      ColumnBridge.expression(off0), ColumnBridge.expression(len)))
+
   def fisher_phred(a: Column, b: Column, c: Column, d: Column): Column =
     ColumnBridge.column(FisherPhred(
       ColumnBridge.expression(a), ColumnBridge.expression(b),
@@ -383,6 +426,8 @@ object NativeExpressions {
       "z_interleave", exprs => ZInterleave(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "z_interleave_n", exprs => ZInterleaveN(exprs), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "byte_sum", exprs => ByteSum(exprs.head, exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fisher_phred",
       exprs => FisherPhred(exprs.head, exprs(1), exprs(2), exprs(3)), "built-in")

@@ -450,23 +450,20 @@ object Multimodal {
     */
   def frameAnalysisTable(df: DataFrame, idCol: String = "doc_id",
       binCol: String = "payload"): DataFrame = {
-    // frame_off/frame_size are payload-derived: clamp before the (ANSI)
-    // int casts — same contract as mp4FrameTable's safe() — so a corrupt
-    // chained-u32 walk past Int range degrades to an empty substr, not a
-    // cast error that fails the whole query
-    val fOff = least(col("frame_off") + 1, lit(1L << 30)).cast("int")
-    val fSize = least(col("frame_size"), lit(1L << 30)).cast("int")
-    // sequence(1, 0) descends; a zero-byte frame has intensity 0 by contract
-    val intensity = when(col("frame_size") <= 0L, lit(0L)).otherwise(aggregate(
-      sequence(lit(1), fSize), lit(0L),
-      (acc, p) => acc +
-        conv(col("__fhex").substr(p * 2 - 1, lit(2)), 16, 10).cast("long")))
+    // intensity = Σ unsigned bytes of the frame slice via the native
+    // codegen'd ByteSum (bounds-clamped, len <= 0 → 0, so payload-derived
+    // offsets degrade to 0 instead of ANSI-cast errors). The original
+    // hex-render + conv(substr) HOF fold computed the same sum but
+    // interpreted per byte with a string pair allocated per element —
+    // at sf1 its GC debris inflated every CPU-bound bench row that ran
+    // after the build.
     mp4FrameTable(df, idCol, binCol, keepPayload = true)
-      .withColumn("__fhex", hex(col(binCol).substr(fOff, fSize)))
-      .withColumn("frame_intensity", intensity)
-      // narrow the row before any downstream shuffle: the payload and
-      // its hex rendering have done their work
-      .drop(binCol, "__fhex")
+      .withColumn("frame_intensity",
+        graft.functions.NativeExpressions.byte_sum(
+          col(binCol), col("frame_off"), col("frame_size")))
+      // narrow the row before any downstream shuffle: the payload has
+      // done its work
+      .drop(binCol)
   }
 
   /** Session-memoized [[frameAnalysisTable]]: the first caller per
