@@ -87,6 +87,54 @@ object Sketch {
       .groupBy(col(groupCol), col("__idx"))
       .agg(max(col("__rho")).as("m_j"))
 
+  /** Register table FROM A DISTINCT (group, value) INPUT, carrying the
+    * per-register distinct-value count — the one-pass accuracy-artifact
+    * shape: because the input is distinct per (group, value), summing
+    * `__cnt` per group IS the exact distinct count, so the sketch and
+    * its ground truth come out of a single explode + distinct + one
+    * register aggregation (no re-scan, no checkpoint). The caller owns
+    * the distinctness contract.
+    */
+  def hllRegistersWithCounts(distinctDf: DataFrame, groupCol: String,
+      valueCol: String, hashFamily: String = "md5"): DataFrame =
+    distinctDf
+      .select(col(groupCol), h60Fam(col(valueCol), hashFamily).as("__h"))
+      .select(col(groupCol),
+        (col("__h") % HllM).as("__idx"),
+        expr(s"__h div $HllM").as("__w"))
+      .select(col(groupCol), col("__idx"),
+        when(col("__w") === 0, lit(HllBits + 1))
+          .otherwise(lit(HllBits + 1) - length(bin(col("__w")))).as("__rho"))
+      .groupBy(col(groupCol), col("__idx"))
+      .agg(max(col("__rho")).as("m_j"), count(lit(1)).as("__cnt"))
+
+  /** [[hllEstimate]] over a [[hllRegistersWithCounts]] table, emitting
+    * the exact distinct count alongside the estimate — the t23-shaped
+    * accuracy row in one aggregation chain.
+    */
+  def hllEstimateWithExact(registers: DataFrame, groupCol: String): DataFrame = {
+    val grouped = registers.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("occupied"),
+      sum(expr(s"shiftleft(1L, ${HllBits + 1} - m_j)")).as("__s"),
+      sum(col("__cnt")).as("exact_distinct"))
+    grouped.select(col(groupCol), col("occupied"),
+      round(estCol(col("occupied"), col("__s")), 4).as("est_distinct"),
+      col("exact_distinct"))
+  }
+
+  /** The bias-corrected estimate from (occupied, register sum) — shared
+    * by [[hllEstimate]] and [[hllEstimateWithExact]].
+    */
+  private def estCol(occupied: Column, s: Column): Column = {
+    val twoP53 = 9007199254740992L // 2^53
+    val zeros = lit(HllM.toLong) - occupied
+    val denom = (s + zeros * lit(twoP53)).cast("double")
+    val eRaw = lit(hllAlphaNum) / denom
+    when(eRaw <= lit(2.5 * HllM) && zeros > 0,
+      lit(HllM.toDouble) * log(lit(HllM.toDouble) / zeros.cast("double")))
+      .otherwise(eRaw)
+  }
+
   /** Collapse a register table to the per-group estimate. The register
     * sum is exact long arithmetic (`1 << (53 - M)`); empty registers
     * contribute 2^53 each via the occupancy count. Applies the standard
@@ -96,18 +144,11 @@ object Sketch {
     * cross-engine float contract.
     */
   def hllEstimate(registers: DataFrame, groupCol: String): DataFrame = {
-    val twoP53 = 9007199254740992L // 2^53
     val grouped = registers.groupBy(col(groupCol)).agg(
       count(lit(1)).as("occupied"),
       sum(expr(s"shiftleft(1L, ${HllBits + 1} - m_j)")).as("__s"))
-    val zeros = lit(HllM.toLong) - col("occupied")
-    val denom = (col("__s") + zeros * lit(twoP53)).cast("double")
-    val eRaw = lit(hllAlphaNum) / denom
-    val est = when(eRaw <= lit(2.5 * HllM) && zeros > 0,
-      lit(HllM.toDouble) * log(lit(HllM.toDouble) / zeros.cast("double")))
-      .otherwise(eRaw)
     grouped.select(col(groupCol), col("occupied"),
-      round(est, 4).as("est_distinct"))
+      round(estCol(col("occupied"), col("__s")), 4).as("est_distinct"))
   }
 
   /** Merge register tables ACROSS groups into one labeled sketch — the

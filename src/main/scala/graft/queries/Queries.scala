@@ -1902,15 +1902,16 @@ object Queries {
     */
   def t23_hll_accuracy(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    // ONE explode + ONE distinct shuffle feeds BOTH sides (the r12 plan
-    // exploded the corpus twice): registers are duplicate-insensitive
-    // (max-rho), and over the distinct (lang, sh) set the exact count
-    // is a plain count — no second distinct aggregation
+    // ONE aggregation chain feeds BOTH sides (the r12 plan exploded the
+    // corpus twice; an intermediate design checkpointed the distinct
+    // set and re-scanned it — slower than the explode it saved): over
+    // the distinct (lang, sh) set, per-register counts sum to the exact
+    // distinct count, so sketch and ground truth ride one register
+    // aggregation ([[Sketch.hllRegistersWithCounts]]).
     val dist = docs.select(col("lang"), explode(Sketch.docShingles()).as("sh"))
-      .distinct().localCheckpoint(true)
-    val est = Sketch.hllEstimate(Sketch.hllRegisters(dist, "lang", "sh"), "lang")
-    val exact = dist.groupBy("lang").agg(count(lit(1)).as("exact_distinct"))
-    est.join(exact, "lang")
+      .distinct()
+    Sketch.hllEstimateWithExact(
+      Sketch.hllRegistersWithCounts(dist, "lang", "sh"), "lang")
       .select(col("lang"), col("occupied"), col("est_distinct"),
         col("exact_distinct"),
         floor(abs(col("est_distinct") - col("exact_distinct")) /
