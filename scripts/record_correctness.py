@@ -1,0 +1,31 @@
+#!/usr/bin/env python3
+"""Convert a check_oracle.py log into a CORRECTNESS_rN_*.json artifact.
+
+Usage: python3 scripts/record_correctness.py <check_oracle.log> <out.json> <note>
+
+PASS lines become triple-green entries (the gate only prints PASS after
+rows+schema+hash all match); FAIL lines record the failure text in err.
+"""
+import json
+import re
+import sys
+
+log, out, note = sys.argv[1], sys.argv[2], sys.argv[3]
+entries = {}
+for line in open(log):
+    m = re.match(r"PASS (\S+) \((\d+) rows\)", line.strip())
+    if m:
+        entries[m.group(1)] = {
+            "rows_match": True, "schema_match": True, "hash_match": True,
+            "spark_rows": int(m.group(2)), "oracle_rows": int(m.group(2)),
+            "err": None, "note": note}
+        continue
+    m = re.match(r"FAIL (\S+): (.*)", line.strip())
+    if m:
+        entries[m.group(1)] = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None,
+            "err": m.group(2)[:300], "note": note}
+n_fail = sum(1 for v in entries.values() if v["err"])
+json.dump(dict(sorted(entries.items())), open(out, "w"), indent=1)
+print(f"wrote {out}: {len(entries)} queries, {n_fail} fail")
