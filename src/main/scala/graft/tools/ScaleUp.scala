@@ -18,18 +18,78 @@ import org.apache.spark.sql.functions._
   *    COVERAGE DEPTH 10× at fixed site count — the WGS-like regime the
   *    genotyper family must survive.
   *  - `documents`: each copy offsets `doc_id` by copy×stride and
-  *    vowel-rotates the text per copy (`translate` through a per-copy
-  *    vowel permutation). Length, token structure, and the WITHIN-copy
-  *    duplicate/near-dup structure are preserved exactly; across copies
-  *    most shingles differ, so the near-dup pair count scales ~N× (as a
-  *    real 10× corpus would), not N²× (as verbatim duplication would —
-  *    that would benchmark the generator's pathology, not the engine).
+  *    letter-permutes the text per copy (`translate` through a seeded
+  *    per-copy permutation of the full lowercase alphabet — see
+  *    [[letterPerm]] for why the cyclic vowel rotation it replaced
+  *    collapsed under chained invocations). Length, token structure,
+  *    and the WITHIN-copy duplicate/near-dup structure are preserved
+  *    exactly; across copies most shingles differ, so the near-dup pair
+  *    count scales ~N× (as a real 10× corpus would), not N²× (as
+  *    verbatim duplication would — that would benchmark the generator's
+  *    pathology, not the engine).
   *
   * Usage: `sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/sf1 10"`
   */
 object ScaleUp {
 
-  private val vowels = "aeiou"
+  private[tools] val letters = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Deterministic per-copy permutation of the lowercase alphabet
+    * (copy 0 = identity, so one copy always carries the input text
+    * verbatim). Drawn by seeded Fisher–Yates from S₂₆ (~4·10²⁶
+    * elements), so any two copies' permutations — and, crucially, any
+    * two COMPOSITIONS across chained ScaleUp invocations
+    * (sf0.1→sf1→sf10) — differ w.h.p.
+    *
+    * The original design rotated only the 5 vowels: a cyclic group of
+    * order 5, so copies i and i+5 produced IDENTICAL text, and the
+    * chained 10×10 step collapsed 100 copies onto 5 net rotations.
+    * Measured at sf10 (BENCH_r13_sf10): 500k docs but the SAME 24,960
+    * distinct texts as sf1, 4.77M identical cross-copy pairs vs sf1's
+    * 25k — a 189× quadratic step that benchmarked the generator's
+    * pathology, not the engine (d4 223×, d19 141× wall, while d20,
+    * which collapses identical sketches first, stepped 3.45×).
+    */
+  private[tools] def letterPerm(copy: Long): String =
+    if (copy == 0L) letters
+    else {
+      val arr = letters.toCharArray
+      val rnd = new java.util.Random(
+        0x5ca1ab1eL * (copy + 1L) ^ 0x9e3779b97f4a7c15L)
+      var i = arr.length - 1
+      while (i > 0) {
+        val j = rnd.nextInt(i + 1)
+        val t = arr(i); arr(i) = arr(j); arr(j) = t
+        i -= 1
+      }
+      new String(arr)
+    }
+
+  /** Per-copy permutation of embedding component order (copy 0 =
+    * identity), same rationale as [[letterPerm]]: the original cyclic
+    * SHIFT by the copy index composes additively (shift i then j =
+    * shift i+j mod dim), so a chained 10×10 step reused net shifts and
+    * produced identical cross-copy vectors — the embedding-side twin of
+    * the vowel-rotation collapse (d13_semantic_prune stepped 29.9× at
+    * sf10). A uniform permutation still preserves every within-copy dot
+    * product/distance exactly; random S_dim draws make chained
+    * compositions collide with probability ~0.
+    */
+  private[tools] def componentPerm(copy: Long, dim: Int): Array[Int] = {
+    val idx = Array.tabulate(dim)(identity)
+    if (copy == 0L) idx
+    else {
+      val rnd = new java.util.Random(
+        0xe3bed5caL * (copy + 1L) ^ 0x9e3779b97f4a7c15L)
+      var i = dim - 1
+      while (i > 0) {
+        val j = rnd.nextInt(i + 1)
+        val t = idx(i); idx(i) = idx(j); idx(j) = t
+        i -= 1
+      }
+      idx
+    }
+  }
 
   def scaleLineitem(df: DataFrame, copies: Int): DataFrame =
     scaleLineitem(df, copies, keyStride(df, "l_orderkey"))
@@ -81,35 +141,37 @@ object ScaleUp {
 
   def scaleDocuments(df: DataFrame, copies: Int): DataFrame = {
     val stride = df.agg(max("doc_id")).head.getLong(0) + 1
-    val rotated = (0 until copies).foldLeft(lit(null).cast("string")) {
+    val permuted = (0 until copies).foldLeft(lit(null).cast("string")) {
       case (acc, i) =>
-        val to = (0 until 5).map(j => vowels((j + i) % 5)).mkString
-        when(col("__copy") === i, translate(col("text"), vowels, to)).otherwise(acc)
+        val t = if (i == 0) col("text")
+                else translate(col("text"), letters, letterPerm(i))
+        when(col("__copy") === i, t).otherwise(acc)
     }
     explodeCopies(df, copies)
       .withColumn("doc_id", col("doc_id") + col("__copy") * stride)
-      .withColumn("text", rotated)
+      .withColumn("text", permuted)
       .drop("__copy")
   }
 
   /** embeddings: copy 0 is verbatim (fixed query/seed vectors — vec 0,
-    * seeds 1..16 — stay bit-identical), later copies cyclically SHIFT
-    * the component order by the copy index. A uniform permutation
+    * seeds 1..16 — stay bit-identical), later copies PERMUTE the
+    * component order through a seeded per-copy draw from S_dim
+    * ([[componentPerm]] — see it for why the cyclic shift it replaced
+    * collapsed under chained invocations). A uniform permutation
     * preserves every within-copy dot product/distance exactly (the
     * dup/neighbor structure the ANN family measures), while cross-copy
     * similarity decorrelates — neighbor counts scale ~N×, not N²×,
-    * mirroring the documents vowel-rotation rationale.
+    * mirroring the documents letter-permutation rationale.
     */
   def scaleEmbeddings(df: DataFrame, copies: Int): DataFrame = {
     val stride = df.agg(max("vec_id")).head.getLong(0) + 1
     val dim = df.select(size(col("embedding"))).head.getInt(0)
     val rotated = (0 until copies).foldLeft(lit(null).cast("array<float>")) {
       case (acc, i) =>
-        val s = i % dim
         val e =
-          if (s == 0) col("embedding")
-          else concat(slice(col("embedding"), s + 1, dim - s),
-            slice(col("embedding"), 1, s))
+          if (i == 0) col("embedding")
+          else array(componentPerm(i, dim).map(p =>
+            element_at(col("embedding"), p + 1)): _*)
         when(col("__copy") === i, e).otherwise(acc)
     }
     explodeCopies(df, copies)
