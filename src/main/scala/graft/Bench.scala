@@ -384,9 +384,15 @@ object Bench {
     // legs. Skips are RECORDED in the output ("skipped"): a reader of a
     // scale-leg artifact must see which contracts were swapped out, not
     // infer it from missing keys.
-    val skipped = sys.env.get("SPARK_GRAFT_SKIP")
+    val skipRequested = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // record only names that actually matched the selected suite: a
+    // typo'd skip must not appear in the artifact as if a real query
+    // had been excluded (coverage would read smaller than it was)
+    val skipped = skipRequested.intersect(preSelected.toSet)
+    for (miss <- (skipRequested -- skipped).toSeq.sorted)
+      System.err.println(s"[bench] WARNING: SPARK_GRAFT_SKIP name matched nothing: $miss")
     val selected = preSelected.filterNot(skipped)
 
     // RDDs persisted BEFORE the suite belong to the caller (getOrCreate

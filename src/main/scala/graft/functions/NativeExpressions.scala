@@ -104,8 +104,16 @@ object ZInterleave {
   * [[ZInterleave]]'s mapping, so the binary form is the N = 2 special
   * case, kept for its 5-round twiddle. Exactly replayable in any engine
   * as a per-bit sum (the c22-family oracle convention).
+  *
+  * RANGE CONTRACT: each input is silently TRUNCATED to its low
+  * ⌊63/N⌋ bits — two values differing only above the per-dimension bit
+  * budget alias to the same key (the layout still clusters, but the
+  * aliased pairs sort adjacently regardless of their true distance).
+  * Callers whose dimensions may exceed the budget should mask/bucket
+  * upstream, or pass `checked = true` (SQL: `z_interleave_n_checked`)
+  * to raise on the first out-of-range value instead of aliasing.
   */
-case class ZInterleaveN(children: Seq[Expression])
+case class ZInterleaveN(children: Seq[Expression], checked: Boolean = false)
     extends Expression with ImplicitCastInputTypes {
   require(children.size >= 2 && children.size <= 8,
     s"z_interleave_n takes 2..8 dimensions, got ${children.size}")
@@ -119,6 +127,7 @@ case class ZInterleaveN(children: Seq[Expression])
       val v = children(i).eval(input)
       if (v == null) return null
       arr(i) = v.asInstanceOf[Long]
+      if (checked) ZInterleaveN.check(arr(i), arr.length)
       i += 1
     }
     ZInterleaveN.z(arr)
@@ -127,8 +136,12 @@ case class ZInterleaveN(children: Seq[Expression])
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     val gens = children.map(_.genCode(ctx))
     val arr = ctx.freshName("zdims")
+    val chk = if (checked)
+      s"graft.functions.ZInterleaveN.check($arr[%d], ${children.size});" else ""
     val fills = gens.zipWithIndex
-      .map { case (g, i) => s"$arr[$i] = ${g.value};" }.mkString("\n")
+      .map { case (g, i) =>
+        s"$arr[$i] = ${g.value};" + (if (checked) chk.format(i) else "")
+      }.mkString("\n")
     val anyNull = gens.map(_.isNull.code).mkString(" || ")
     ev.copy(code = code"""
       ${gens.map(_.code).reduce(_ + _)}
@@ -187,6 +200,16 @@ object ByteSum {
 object ZInterleaveN {
   /** Bits each dimension keeps at N dimensions (⌊63/N⌋). */
   def bitsPer(n: Int): Int = 63 / n
+  /** Raise when `v` needs more than the per-dimension bit budget (or is
+    * negative — the sign bit survives no truncation): the `checked`
+    * flavor's guard against silent key aliasing.
+    */
+  def check(v: Long, n: Int): Unit = {
+    val bp = bitsPer(n)
+    if (v < 0L || (v >>> bp) != 0L)
+      throw new IllegalArgumentException(
+        s"z_interleave_n_checked: value $v exceeds the $bp-bit budget of $n dimensions")
+  }
   def z(xs: Array[Long]): Long = {
     val n = xs.length
     val bp = 63 / n
@@ -424,8 +447,13 @@ object NativeExpressions {
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "z_interleave", exprs => ZInterleave(exprs.head, exprs(1)), "built-in")
+    // z_interleave_n TRUNCATES each input to its low floor(63/N) bits
+    // (out-of-range values alias); the _checked flavor raises instead —
+    // see the ZInterleaveN scaladoc for the range contract
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "z_interleave_n", exprs => ZInterleaveN(exprs), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "z_interleave_n_checked", exprs => ZInterleaveN(exprs, checked = true), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "byte_sum", exprs => ByteSum(exprs.head, exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -52,7 +52,8 @@ object BucketedJoin {
     * and concurrent test/bench JVMs racing one shared saveAsTable path
     * would corrupt each other's layout.
     */
-  private val BucketRoot = s"/tmp/graft_bkt_${ProcessHandle.current().pid()}"
+  private val BucketRoot = graft.util.ScratchDirs.register(
+    s"/tmp/graft_bkt_${ProcessHandle.current().pid()}")
 
   /** Deterministic per-(source-dir, table) catalog name, so repeated
     * calls inside one session reuse the already-written layout and

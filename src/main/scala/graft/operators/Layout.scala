@@ -43,11 +43,17 @@ object Layout {
   /** N-dimensional locality audit: per partition the bounding-box
     * VOLUME over the given dimensions (∏ max−min+1) — the N-dim
     * generalization of [[boundingAreas]]'s pruning-cost proxy.
+    * BigInt: three dimensions near the 21-bit budget already put the
+    * product past 2⁶³ — a Long would silently wrap negative and the
+    * audit comparison would invert. Null dimension values are dropped
+    * (a box over absent coordinates is undefined, and the audit is a
+    * proxy over the rows a min/max-pruned scan would actually index).
     */
-  def boundingVolumes(df: DataFrame, dims: Seq[Column]): Seq[Long] = {
+  def boundingVolumes(df: DataFrame, dims: Seq[Column]): Seq[BigInt] = {
     import df.sparkSession.implicits._
     val n = dims.size
-    df.select(dims.map(_.cast("long")): _*)
+    df.select(dims.zipWithIndex.map { case (d, j) => d.cast("long").as(s"d$j") }: _*)
+      .filter(dims.indices.map(j => col(s"d$j").isNotNull).reduce(_ && _))
       .map(r => (0 until n).map(r.getLong).toArray)
       .mapPartitions { it =>
         if (it.isEmpty) Iterator.empty
@@ -62,9 +68,13 @@ object Layout {
               j += 1
             }
           }
-          Iterator((0 until n).map(j => hi(j) - lo(j) + 1).product)
+          // serialize as string: Spark has no BigInt encoder-friendly
+          // fixed type wide enough (Decimal(38) caps at ~2^126 which
+          // fits, but a string is unambiguous for an audit value)
+          Iterator((0 until n).map(j =>
+            BigInt(hi(j)) - BigInt(lo(j)) + 1).product.toString)
         }
-      }.collect().toSeq
+      }.collect().toSeq.map(BigInt(_))
   }
 
   /** Locality audit: per partition the bounding box AREA over the two

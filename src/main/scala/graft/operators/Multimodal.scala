@@ -489,18 +489,37 @@ object Multimodal {
     val path = frameTableCache.computeIfAbsent(key, _ => {
       val h = Integer.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(key))
-      val p = s"/tmp/graft_frames_${ProcessHandle.current().pid()}/$h"
+      // generation-suffixed path: a rebuild after clearFrameTableCache
+      // must never land on a path the session's FileStatusCache already
+      // listed (a same-path rewrite serves stale file names to the next
+      // scan — observed as FAILED_READ_FILE.FILE_NOT_EXIST)
+      val p = s"$frameTableRoot/$h-g${frameTableGen.incrementAndGet()}"
       frameAnalysisTable(df, idCol, binCol).write.mode("overwrite").parquet(p)
       p
     })
     spark.read.parquet(path)
   }
 
+  /** Per-JVM scratch root for the memoized frame layouts, registered
+    * with [[graft.util.ScratchDirs]] so a shutdown hook removes it at
+    * JVM exit — a long-lived session or a parade of bench JVMs must not
+    * accumulate dead layouts on local disk.
+    */
+  private lazy val frameTableRoot: String = graft.util.ScratchDirs.register(
+    s"/tmp/graft_frames_${ProcessHandle.current().pid()}")
+
   private val frameTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val frameTableGen = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Drop all memoized frame tables (spec hygiene). */
-  def clearFrameTableCache(): Unit = frameTableCache.clear()
+  /** Drop all memoized frame tables (spec hygiene) — removes the
+    * on-disk layouts too, not just the map entries, so a clear inside a
+    * long-lived session releases the disk it orphans.
+    */
+  def clearFrameTableCache(): Unit = {
+    frameTableCache.clear()
+    graft.util.ScratchDirs.deleteRecursively(frameTableRoot)
+  }
 
   def videoSceneCuts(df: DataFrame, idCol: String = "doc_id",
       binCol: String = "payload", thrNum: Int = 3, thrDen: Int = 2,

@@ -97,8 +97,25 @@ object Sketch {
     */
   def hllRegistersWithCounts(distinctDf: DataFrame, groupCol: String,
       valueCol: String, hashFamily: String = "md5"): DataFrame =
+    hllRegistersFromHashesWithCounts(
+      distinctDf.select(col(groupCol),
+        h60Fam(col(valueCol), hashFamily).as("__h")),
+      groupCol, "__h")
+
+  /** [[hllRegistersWithCounts]] from PRE-HASHED DISTINCT (group, hash)
+    * input — the t23/t24 floor shape: the corpus pass emits 8-byte
+    * hash longs (fused shingle+hash kernel), the distinct shuffle
+    * carries (group, long) instead of (group, shingle string), and the
+    * per-register `__cnt` sums to the exact distinct-HASH count. At a
+    * 60-bit hash space the expected collision count is ~n²/2⁶¹ (≪ 1 at
+    * any tested scale), and the oracle replays the same distinct-hash
+    * count, so the artifact stays bit-identical cross-engine. The
+    * caller owns the distinctness contract.
+    */
+  def hllRegistersFromHashesWithCounts(distinctDf: DataFrame,
+      groupCol: String, hashCol: String): DataFrame =
     distinctDf
-      .select(col(groupCol), h60Fam(col(valueCol), hashFamily).as("__h"))
+      .select(col(groupCol), col(hashCol).as("__h"))
       .select(col(groupCol),
         (col("__h") % HllM).as("__idx"),
         expr(s"__h div $HllM").as("__w"))

@@ -2599,11 +2599,15 @@ object Oracles {
        |  FROM mj GROUP BY lang)""".stripMargin
 
   /** Oracle for t23: t17's pipeline plus the exact distinct count and
-    * err_bp — the accuracy artifact row.
+    * err_bp — the accuracy artifact row. Exact side counts distinct
+    * 60-bit HASHES, matching the Spark plan's r14 floor shape (the
+    * distinct shuffle carries longs, not shingle strings); both engines
+    * hash identically so the count is bit-identical, and expected
+    * collisions are n²/2⁶¹ ≪ 1 at any tested scale.
     */
   private def t23Sql: String =
     s"""$hllLangRegSql,
-       |ex AS (SELECT lang, count(DISTINCT sh) AS exact_distinct FROM h GROUP BY lang),
+       |ex AS (SELECT lang, count(DISTINCT h) AS exact_distinct FROM h GROUP BY lang),
        |est AS (SELECT lang, occupied, $hllEstCase AS est_distinct FROM gr)
        |SELECT est.lang, occupied::BIGINT AS occupied, est_distinct,
        |  exact_distinct::BIGINT AS exact_distinct,
@@ -2648,11 +2652,13 @@ object Oracles {
        |SELECT source, occupied::BIGINT AS occupied, $hllEstCase AS est_distinct
        |FROM gr""".stripMargin
 
-  /** Oracle for t24: t18's pipeline plus exact counts per scope. */
+  /** Oracle for t24: t18's pipeline plus exact counts per scope —
+    * distinct-HASH counts, the t23 convention.
+    */
   private def t24Sql: String =
     s"""$hllSourceRegSql,
-       |exs AS (SELECT source, count(DISTINCT sh) AS exact_distinct FROM h GROUP BY source
-       |  UNION ALL SELECT '__union', count(DISTINCT sh) FROM h),
+       |exs AS (SELECT source, count(DISTINCT h) AS exact_distinct FROM h GROUP BY source
+       |  UNION ALL SELECT '__union', count(DISTINCT h) FROM h),
        |est AS (SELECT source, occupied, $hllEstCase AS est_distinct FROM gr)
        |SELECT est.source, occupied::BIGINT AS occupied, est_distinct,
        |  exact_distinct::BIGINT AS exact_distinct,

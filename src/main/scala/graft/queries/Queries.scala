@@ -1905,13 +1905,20 @@ object Queries {
     // ONE aggregation chain feeds BOTH sides (the r12 plan exploded the
     // corpus twice; an intermediate design checkpointed the distinct
     // set and re-scanned it — slower than the explode it saved): over
-    // the distinct (lang, sh) set, per-register counts sum to the exact
-    // distinct count, so sketch and ground truth ride one register
-    // aggregation ([[Sketch.hllRegistersWithCounts]]).
-    val dist = docs.select(col("lang"), explode(Sketch.docShingles()).as("sh"))
+    // the distinct (lang, hash) set, per-register counts sum to the
+    // exact distinct count, so sketch and ground truth ride one register
+    // aggregation. The r14 floor rework: hash INSIDE the corpus pass
+    // (fused shingle+md5 kernel — the docShingles-under-explode Generate
+    // re-evaluates its inline array per output row, O(len²)/doc) and
+    // make the distinct shuffle carry (lang, 8-byte long) instead of
+    // (lang, ~24-char string). `exact_distinct` thereby counts distinct
+    // 60-bit HASHES — expected collisions n²/2⁶¹ ≪ 1 at any tested
+    // scale, and the oracle counts the same hashes, bit-identically.
+    val dist = docs.select(col("lang"),
+      explode(Sketch.docShingleHashes("text", "md5")).as("__h"))
       .distinct()
     Sketch.hllEstimateWithExact(
-      Sketch.hllRegistersWithCounts(dist, "lang", "sh"), "lang")
+      Sketch.hllRegistersFromHashesWithCounts(dist, "lang", "__h"), "lang")
       .select(col("lang"), col("occupied"), col("est_distinct"),
         col("exact_distinct"),
         floor(abs(col("est_distinct") - col("exact_distinct")) /
@@ -1924,20 +1931,23 @@ object Queries {
     */
   def t24_hll_merge_accuracy(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    // one explode + one distinct shuffle (t23's shape), then ONE rollup
-    // pass answers both exact scopes — per-source and the '__union'
-    // grand total (the r12 plan ran two separate countDistinct
-    // aggregations over two re-explodes of the corpus). countDistinct
-    // still guards the total row: a shingle can appear under several
-    // sources. rollup's null subtotal IS the union row (source is
-    // non-null in the corpus, so no collision).
-    val dist = docs.select(col("source"), explode(Sketch.docShingles()).as("sh"))
+    // one fused-hash explode + one distinct shuffle over (source, long)
+    // (t23's r14 floor shape — see its scaladoc for the distinct-hash
+    // exactness argument), then ONE rollup pass answers both exact
+    // scopes — per-source and the '__union' grand total (the r12 plan
+    // ran two separate countDistinct aggregations over two re-explodes
+    // of the corpus). countDistinct still guards the total row: a
+    // shingle can appear under several sources. rollup's null subtotal
+    // IS the union row (source is non-null in the corpus, no collision).
+    val dist = docs.select(col("source"),
+      explode(Sketch.docShingleHashes("text", "md5")).as("__h"))
       .distinct().localCheckpoint(true)
-    val regs = Sketch.hllRegisters(dist, "source", "sh").localCheckpoint(true)
+    val regs = Sketch.hllRegistersFromHashes(dist, "source", "__h")
+      .localCheckpoint(true)
     val est = Sketch.hllEstimate(
       regs.union(Sketch.hllMerge(regs, "source", "__union")), "source")
     val exact = dist.rollup("source")
-      .agg(countDistinct(col("sh")).as("exact_distinct"))
+      .agg(countDistinct(col("__h")).as("exact_distinct"))
       .select(coalesce(col("source"), lit("__union")).as("source"),
         col("exact_distinct"))
     est.join(exact, "source")

@@ -34,9 +34,9 @@ object ScaleUp {
 
   private[tools] val letters = "abcdefghijklmnopqrstuvwxyz"
 
-  /** Deterministic per-copy permutation of the lowercase alphabet
-    * (copy 0 = identity, so one copy always carries the input text
-    * verbatim). Drawn by seeded Fisher–Yates from S₂₆ (~4·10²⁶
+  /** Deterministic per-(copy, invocation) permutation of the lowercase
+    * alphabet (copy 0 = identity, so one copy always carries the input
+    * text verbatim). Drawn by seeded Fisher–Yates from S₂₆ (~4·10²⁶
     * elements), so any two copies' permutations — and, crucially, any
     * two COMPOSITIONS across chained ScaleUp invocations
     * (sf0.1→sf1→sf10) — differ w.h.p.
@@ -49,13 +49,22 @@ object ScaleUp {
     * 25k — a 189× quadratic step that benchmarked the generator's
     * pathology, not the engine (d4 223×, d19 141× wall, while d20,
     * which collapses identical sketches first, stepped 3.45×).
+    *
+    * `salt` distinguishes INVOCATIONS (derived from the input path in
+    * [[main]]): without it, net(copy i step 1, copy 0 step 2) equals
+    * net(copy 0 step 1, copy i step 2) — P_i∘id = id∘P_i — so a chained
+    * 10×10 step gave every base doc 9 identical twins (measured on the
+    * first regenerated sf10 leg: 44,856 identical pairs vs sf1's 80, a
+    * 9.1% dup ratio where a real 10× corpus keeps sf1's 0.16%). With
+    * per-invocation salts the two steps draw unrelated non-identity
+    * families and the identical-pair count scales exactly N×.
     */
-  private[tools] def letterPerm(copy: Long): String =
+  private[tools] def letterPerm(copy: Long, salt: Long): String =
     if (copy == 0L) letters
     else {
       val arr = letters.toCharArray
       val rnd = new java.util.Random(
-        0x5ca1ab1eL * (copy + 1L) ^ 0x9e3779b97f4a7c15L)
+        0x5ca1ab1eL * (copy + 1L) ^ 0x9e3779b97f4a7c15L ^ (salt * 0xc2b2ae3d27d4eb4fL))
       var i = arr.length - 1
       while (i > 0) {
         val j = rnd.nextInt(i + 1)
@@ -73,14 +82,15 @@ object ScaleUp {
     * the vowel-rotation collapse (d13_semantic_prune stepped 29.9× at
     * sf10). A uniform permutation still preserves every within-copy dot
     * product/distance exactly; random S_dim draws make chained
-    * compositions collide with probability ~0.
+    * compositions collide with probability ~0. `salt` distinguishes
+    * invocations (see [[letterPerm]] — same identity-copy symmetry).
     */
-  private[tools] def componentPerm(copy: Long, dim: Int): Array[Int] = {
+  private[tools] def componentPerm(copy: Long, dim: Int, salt: Long): Array[Int] = {
     val idx = Array.tabulate(dim)(identity)
     if (copy == 0L) idx
     else {
       val rnd = new java.util.Random(
-        0xe3bed5caL * (copy + 1L) ^ 0x9e3779b97f4a7c15L)
+        0xe3bed5caL * (copy + 1L) ^ 0x9e3779b97f4a7c15L ^ (salt * 0xc2b2ae3d27d4eb4fL))
       var i = dim - 1
       while (i > 0) {
         val j = rnd.nextInt(i + 1)
@@ -139,12 +149,12 @@ object ScaleUp {
       .drop("__copy")
   }
 
-  def scaleDocuments(df: DataFrame, copies: Int): DataFrame = {
+  def scaleDocuments(df: DataFrame, copies: Int, salt: Long = 0L): DataFrame = {
     val stride = df.agg(max("doc_id")).head.getLong(0) + 1
     val permuted = (0 until copies).foldLeft(lit(null).cast("string")) {
       case (acc, i) =>
         val t = if (i == 0) col("text")
-                else translate(col("text"), letters, letterPerm(i))
+                else translate(col("text"), letters, letterPerm(i, salt))
         when(col("__copy") === i, t).otherwise(acc)
     }
     explodeCopies(df, copies)
@@ -163,14 +173,14 @@ object ScaleUp {
     * similarity decorrelates — neighbor counts scale ~N×, not N²×,
     * mirroring the documents letter-permutation rationale.
     */
-  def scaleEmbeddings(df: DataFrame, copies: Int): DataFrame = {
+  def scaleEmbeddings(df: DataFrame, copies: Int, salt: Long = 0L): DataFrame = {
     val stride = df.agg(max("vec_id")).head.getLong(0) + 1
     val dim = df.select(size(col("embedding"))).head.getInt(0)
     val rotated = (0 until copies).foldLeft(lit(null).cast("array<float>")) {
       case (acc, i) =>
         val e =
           if (i == 0) col("embedding")
-          else array(componentPerm(i, dim).map(p =>
+          else array(componentPerm(i, dim, salt).map(p =>
             element_at(col("embedding"), p + 1)): _*)
         when(col("__copy") === i, e).otherwise(acc)
     }
@@ -231,11 +241,16 @@ object ScaleUp {
     }
     // documents/embeddings ship as SINGLE FILES like the driver's
     // testdata (the streaming queries stage `<dir>/<table>.parquet` as a
-    // file-source path — a nested directory wouldn't be listed)
+    // file-source path — a nested directory wouldn't be listed).
+    // The permutation salt is the INPUT path: deterministic (re-running
+    // the same command reproduces the leg bit-identically) but distinct
+    // across the steps of a chain (sf0.1→sf1 vs sf1→sf10), so chained
+    // compositions never hit the identity-copy symmetry (see letterPerm).
+    val salt = scala.util.hashing.MurmurHash3.stringHash(in).toLong
     writeSingleFile(scaleDocuments(
-      spark.read.parquet(s"$in/documents.parquet"), copies), s"$out/documents.parquet")
+      spark.read.parquet(s"$in/documents.parquet"), copies, salt), s"$out/documents.parquet")
     writeSingleFile(scaleEmbeddings(
-      spark.read.parquet(s"$in/embeddings.parquet"), copies), s"$out/embeddings.parquet")
+      spark.read.parquet(s"$in/embeddings.parquet"), copies, salt), s"$out/embeddings.parquet")
     println(s"[scaleup] wrote $out at ${copies}x of $in")
     spark.stop()
   }

@@ -70,4 +70,20 @@ class SceneCutsSpec extends SparkSpec {
       .toDF("doc_id", "payload")
     assert(Multimodal.videoSceneCuts(junk).count() == 0)
   }
+
+  test("clearFrameTableCache removes the on-disk layouts it orphans") {
+    val mk = udf((id: Long) => Multimodal.synthMp4(id))
+    val df = (0L until 20L).toDF("doc_id").withColumn("payload", mk(col("doc_id")))
+    val nCached = Multimodal.sharedFrameTable(df, cacheKey = "lifecycle-spec").count()
+    assert(nCached > 0)
+    val root = new java.io.File(
+      s"/tmp/graft_frames_${ProcessHandle.current().pid()}")
+    assert(root.exists(), "materialized layout must exist while cached")
+    Multimodal.clearFrameTableCache()
+    assert(!root.exists(), "clearFrameTableCache must delete the scratch root")
+    // a later caller must be able to rebuild after the clear
+    val rebuilt = Multimodal.sharedFrameTable(df, cacheKey = "lifecycle-spec")
+    assert(rebuilt.count() == nCached)
+    Multimodal.clearFrameTableCache()
+  }
 }

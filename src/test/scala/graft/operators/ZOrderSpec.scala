@@ -87,6 +87,23 @@ class ZOrderSpec extends SparkSpec {
       .head().getBoolean(0))
   }
 
+  test("z_interleave_n truncates out-of-range inputs; _checked raises instead") {
+    // 3 dims -> 21-bit budget: 2^21 aliases to 0 in the unchecked form
+    val aliased = spark.sql(
+      s"SELECT z_interleave_n(${1L << 21}, 0, 0) = z_interleave_n(0, 0, 0) AS eq")
+      .head().getBoolean(0)
+    assert(aliased, "unchecked form must mask to the low 21 bits")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT z_interleave_n_checked(${1L << 21}, 0, 0)").head()
+    }
+    assert(e.getMessage.contains("exceeds the 21-bit budget") ||
+      Option(e.getCause).exists(_.getMessage.contains("exceeds the 21-bit budget")))
+    // in-range values agree between the two flavors
+    assert(spark.sql(
+      "SELECT z_interleave_n_checked(5, 9, 130) = z_interleave_n(5, 9, 130) AS eq")
+      .head().getBoolean(0))
+  }
+
   test("3-D curve order is monotone per dimension (others held fixed)") {
     val rnd = new scala.util.Random(17)
     val mask = (1L << 21) - 1
