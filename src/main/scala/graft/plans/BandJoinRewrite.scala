@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
@@ -28,12 +28,17 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * contained in |l.v − r.v| ≤ max(e1, e2), so ±1-bucket coverage stays
   * sound and the residual keeps exactness.
   *
-  * Join types: Inner, LeftSemi, LeftAnti, LeftOuter. The right-side
+  * Join types: Inner, LeftSemi, LeftAnti, LeftOuter, RightOuter. The
   * Generate fan-out preserves per-(l, r) match multiplicity exactly
   * (at most one expanded copy satisfies the bucket equality), so inner
-  * and left-outer results are row-identical and existence (semi/anti)
-  * is preserved. Right/Full outer are refused: an UNMATCHED right row
-  * would surface once per expanded copy.
+  * and outer results are row-identical and existence (semi/anti) is
+  * preserved — PROVIDED the expansion happens on the side whose
+  * unmatched rows the join type drops. Left-preserving types expand the
+  * RIGHT side (an unmatched left row surfaces once because the left is
+  * intact); RightOuter mirrors — it expands the LEFT side, so an
+  * unmatched right row surfaces exactly once. FullOuter is refused:
+  * both sides' unmatched rows survive, and whichever side is expanded
+  * would surface its unmatched rows once per copy.
   *
   * Idempotent by guard: the rewritten join's condition references the
   * generated `__lband`/`__rband` attributes, which the matcher refuses.
@@ -47,7 +52,8 @@ case class BandJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
 
   private val bandNames = Set("__lband", "__rband")
 
-  private val supported: Set[JoinType] = Set(Inner, LeftSemi, LeftAnti, LeftOuter)
+  private val supported: Set[JoinType] =
+    Set(Inner, LeftSemi, LeftAnti, LeftOuter, RightOuter)
 
   private def isIntegral(e: Expression): Boolean = e.dataType match {
     case LongType | IntegerType | ShortType | ByteType => true
@@ -159,18 +165,32 @@ case class BandJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
             val v = Cast(e, LongType)
             IntegralDivide(Subtract(v, Pmod(v, epsLit)), epsLit)
           }
-          val lBand = Alias(bucket(lv), "__lband")()
-          val lProj = Project(left.output :+ lBand, left)
-          val rAttr = AttributeReference("__rband", LongType, nullable = true)()
-          val rb = bucket(rv)
-          val rGen = Generate(
-            Explode(CreateArray(Seq(
-              Subtract(rb, Literal(1L)), rb, Add(rb, Literal(1L))))),
-            unrequiredChildIndex = Nil, outer = false, qualifier = None,
-            generatorOutput = Seq(rAttr), child = right)
-          val newCond = (Seq(EqualTo(lBand.toAttribute, rAttr)) ++
-            bandPreds ++ rest).reduce(And)
-          Project(j.output, Join(lProj, rGen, joinType, Some(newCond), hint))
+          def expand(b: Expression, out: AttributeReference, child: LogicalPlan) =
+            Generate(
+              Explode(CreateArray(Seq(
+                Subtract(b, Literal(1L)), b, Add(b, Literal(1L))))),
+              unrequiredChildIndex = Nil, outer = false, qualifier = None,
+              generatorOutput = Seq(out), child = child)
+          val rewritten = if (joinType == RightOuter) {
+            // mirror: expand the LEFT side so unmatched RIGHT rows (the
+            // ones RightOuter preserves) surface exactly once
+            val rBand = Alias(bucket(rv), "__rband")()
+            val rProj = Project(right.output :+ rBand, right)
+            val lAttr = AttributeReference("__lband", LongType, nullable = true)()
+            val lGen = expand(bucket(lv), lAttr, left)
+            val newCond = (Seq(EqualTo(lAttr, rBand.toAttribute)) ++
+              bandPreds ++ rest).reduce(And)
+            Join(lGen, rProj, joinType, Some(newCond), hint)
+          } else {
+            val lBand = Alias(bucket(lv), "__lband")()
+            val lProj = Project(left.output :+ lBand, left)
+            val rAttr = AttributeReference("__rband", LongType, nullable = true)()
+            val rGen = expand(bucket(rv), rAttr, right)
+            val newCond = (Seq(EqualTo(lBand.toAttribute, rAttr)) ++
+              bandPreds ++ rest).reduce(And)
+            Join(lProj, rGen, joinType, Some(newCond), hint)
+          }
+          Project(j.output, rewritten)
         case None => j
       }
   }

@@ -169,7 +169,7 @@ class BandJoinRewriteSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterA
       "fixture must exercise both matched and unmatched rows")
   }
 
-  test("LeftOuter band join rewrites with exact multiplicity; RightOuter refused") {
+  test("LeftOuter band join rewrites with exact multiplicity") {
     mkTables()
     import spark.implicits._
     val louter = spark.sql(
@@ -187,11 +187,38 @@ class BandJoinRewriteSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterA
     val got = louter.as[(Long, Option[Long])].collect().toSeq
       .groupBy(x => x).view.mapValues(_.length).toMap
     assert(got === want, "left-outer multiplicity must match the NL oracle exactly")
-    // RightOuter: an unmatched right row would surface once per expanded
-    // copy — the matcher must refuse
+  }
+
+  test("RightOuter band join rewrites via left-side expansion; FullOuter refused") {
+    mkTables()
+    import spark.implicits._
+    // eps 2, not 100: the fixture must leave some right rows UNMATCHED
+    // (at +-100 every value in [-5000, 5000] finds a partner)
     val router = spark.sql(
-      "SELECT lid, rid FROM lband RIGHT JOIN rband ON abs(lv - rv) <= 100")
-    assert(!router.queryExecution.optimizedPlan.toString.contains("__lband"))
+      "SELECT lid, rid FROM lband RIGHT JOIN rband ON abs(lv - rv) <= 2")
+    val plan = router.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"right-outer band not rewritten:\n$plan")
+    val l = spark.table("lband").as[(Long, Long)].collect()
+    val r = spark.table("rband").as[(Long, Long)].collect()
+    // NL oracle: every matched (l, r) pair once; every unmatched RIGHT
+    // row exactly once with a null left side
+    val want = r.toSeq.flatMap { case (rid, rv) =>
+      val ls = l.toSeq.collect { case (lid, lv) if math.abs(lv - rv) <= 2 => lid }
+      if (ls.isEmpty) Seq((Option.empty[Long], rid))
+      else ls.map(lid => (Option(lid), rid))
+    }.groupBy(x => x).view.mapValues(_.length).toMap
+    val got = router.as[(Option[Long], Long)].collect().toSeq
+      .groupBy(x => x).view.mapValues(_.length).toMap
+    assert(got === want, "right-outer multiplicity must match the NL oracle exactly")
+    assert(want.keys.exists(_._1.isEmpty) && want.keys.exists(_._1.nonEmpty),
+      "fixture must exercise both matched and unmatched right rows")
+    // FullOuter: both sides' unmatched rows survive the join, and the
+    // expanded side's would surface once per copy — the matcher refuses
+    val fouter = spark.sql(
+      "SELECT lid, rid FROM lband FULL JOIN rband ON abs(lv - rv) <= 100")
+    val fopt = fouter.queryExecution.optimizedPlan.toString
+    assert(!fopt.contains("__lband") && !fopt.contains("__rband"))
   }
 
   test("rule is idempotent: one Generate, applied once") {
