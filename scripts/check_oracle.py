@@ -4,6 +4,11 @@ compare each query's parquet dump against its DuckDB oracle SQL
 (columns sorted by name, rows sorted, value-level compare).
 
 Usage: python3 scripts/check_oracle.py [sfDir] [outDir] [--skip-verify]
+                                       [--only=name1,name2,...]
+
+--only restricts the compare to the named queries (spot-check mode for
+scale legs, where graft.Verify was run with its own subset arg and the
+remaining catalog has no parquet dump to compare).
 """
 import json
 import math
@@ -13,9 +18,14 @@ from pathlib import Path
 
 import duckdb
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF_DIR = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
+OUT_DIR = args[1] if len(args) > 1 else "/tmp/verify_out"
 SKIP = "--skip-verify" in sys.argv
+ONLY = None
+for a in sys.argv[1:]:
+    if a.startswith("--only="):
+        ONLY = set(n for n in a[len("--only="):].split(",") if n)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -68,6 +78,11 @@ def main():
                 con.execute("CREATE OR REPLACE VIEW events AS "
                             f"SELECT {sel} FROM '{p}'")
     oracle = json.loads(Path(f"{OUT_DIR}/oracle_sql.json").read_text())
+    if ONLY is not None:
+        missing = ONLY - set(oracle)
+        if missing:
+            print(f"WARNING: --only names not in oracle catalog: {sorted(missing)}")
+        oracle = {k: v for k, v in oracle.items() if k in ONLY}
     # Lint: DuckDB widens sum(BIGINT) to HUGEINT (and may produce DECIMAL),
     # which Spark never emits — an uncast window/agg sum hash-mismatches even
     # when every value is equal (bit r1 g4 and r3 c3). Flag them up front.
