@@ -743,21 +743,33 @@ object Dedup {
     * 3-gram sets, in integer basis points. High overlap between two
     * crawls means one is (near-)redundant; overlap against a benchmark
     * source is contamination pressure. State is the distinct
-    * (source, gram) index (vocabulary-bounded, not corpus-bounded); the
-    * pair join runs on the gram key co-partitioned, and the result is
-    * exactly |sources| choose 2 rows (sources = those with at least one
-    * shingle): a fully disjoint pair reports (common 0, jaccard_bp 0)
-    * rather than vanishing — in a diversity/contamination report,
+    * (source, gram-hash) index (vocabulary-bounded, not corpus-bounded);
+    * the pair join runs on the gram key co-partitioned, and the result
+    * is exactly |sources| choose 2 rows (sources = those with at least
+    * one shingle): a fully disjoint pair reports (common 0, jaccard_bp
+    * 0) rather than vanishing — in a diversity/contamination report,
     * "zero overlap" is a finding, not an absence. The pair frame is
     * built from the |sources|-row size table (bounded, broadcast), so
     * the inequality join costs nothing at any corpus size.
+    *
+    * PERF (the t23 floor pattern): the corpus pass hashes each shingle
+    * inside the fused shingle kernel ([[Sketch.docShingleHashes]] —
+    * one walk, no Generate re-evaluation), so BOTH heavy exchanges —
+    * the distinct over the (src, gram) index and the gram-keyed
+    * self-join — carry (src, 8-byte long) instead of (src, ~24-char
+    * string). `common` and `n` thereby count distinct 60-bit gram
+    * HASHES: expected collisions n²/2⁶¹ ≪ 1 at any tested scale, and
+    * the oracle hashes identically (md5 family), so the report is
+    * bit-identical to the gate — the same exactness contract as
+    * t23/t24 and the d2 candidate keys.
     */
   def sourceOverlap(
       df: DataFrame,
       srcCol: String,
-      textCol: String): DataFrame = {
+      textCol: String,
+      hashFamily: String = "xx64"): DataFrame = {
     val sg = df.select(col(srcCol).as("src"),
-        explode(Sketch.docShingles(textCol)).as("g"))
+        explode(Sketch.docShingleHashes(textCol, hashFamily)).as("g"))
       .distinct()
     val sizes = sg.groupBy("src").agg(count(lit(1)).as("n"))
     val pairs = sg.alias("a")

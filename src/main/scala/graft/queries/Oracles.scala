@@ -1639,12 +1639,17 @@ object Oracles {
 
     // cross-source shingle-overlap matrix: distinct (source, 3-gram)
     // index, pair join on the gram key, exact Jaccard in integer bp;
-    // every choose-2 source pair reports, disjoint pairs as 0
+    // every choose-2 source pair reports, disjoint pairs as 0. Grams
+    // are counted as their 60-bit md5 hashes — the Spark plan's
+    // distinct and self-join exchanges carry (src, 8-byte long), and
+    // this SQL hashes identically, so the report is bit-identical
+    // (the t23 distinct-hash convention; collisions n²/2⁶¹ ≪ 1).
     "d18_source_overlap" ->
-      """WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT source AS src, unnest(list_distinct(
-        |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)])) AS g
+      s"""WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |sh0 AS (SELECT source AS src, unnest(list_distinct(
+        |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)])) AS gs
         |  FROM tok WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT src, ${h60("gs")} AS g FROM sh0),
         |sz AS (SELECT src, count(*) AS n FROM sh GROUP BY src),
         |pr AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS common
         |  FROM sh a JOIN sh b ON a.g = b.g AND a.src < b.src

@@ -1081,9 +1081,19 @@ object Queries {
 
   /** Cross-source overlap matrix (D18): exact shingle Jaccard between
     * every source pair in integer bp — redundancy between crawls,
-    * contamination pressure against benchmark sources.
+    * contamination pressure against benchmark sources. md5 family so
+    * the oracle counts the identical 60-bit gram hashes (the t23
+    * distinct-hash convention — see [[Dedup.sourceOverlap]]'s scaladoc
+    * for the collision bound).
     */
   def d18_source_overlap(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(t(spark, dir, "documents"), "source", "text",
+      hashFamily = "md5")
+
+  /** d18 on the production path (xx64, the t17/t18 prod convention) —
+    * what Bench times; same plan, cheaper per-string digest.
+    */
+  def d18_source_overlap_prod(spark: SparkSession, dir: String): DataFrame =
     Dedup.sourceOverlap(t(spark, dir, "documents"), "source", "text")
 
   /** Fixed-chunk simhash near-dup (D4) — the oracle-checkable 60-bit
