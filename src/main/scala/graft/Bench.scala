@@ -354,6 +354,7 @@ object Bench {
         "t17_hll_distinct" -> (queries.Queries.t17_hll_distinct_prod _),
         "t18_hll_merge" -> (queries.Queries.t18_hll_merge_prod _),
         "t20_cms_heavy_hitters" -> (queries.Queries.t20_cms_heavy_hitters_prod _),
+        "d18_source_overlap" -> (queries.Queries.d18_source_overlap_prod _),
         // scale flavor: same operator on the 10x customer table
         "j10_fuzzy_join" -> (queries.Queries.j10_fuzzy_join_prod _))
 
@@ -446,6 +447,9 @@ object Bench {
     // values recorded (`contention_reruns`), min wins — self-documented
     // re-measurement, not cherry-picking.
     val midProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // query-index position of each mid probe, for the host-speed
+    // normalization interpolation below
+    val probePos = scala.collection.mutable.ArrayBuffer.empty[Double]
     val memMids = scala.collection.mutable.ArrayBuffer.empty[Double]
     val memPre = memProbeGbps()
     val gcReruns = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
@@ -499,6 +503,7 @@ object Bench {
       if (qi > 0 && qi % 6 == 0) {
         val p = calibrate(spark)
         midProbes += p
+        probePos += qi.toDouble
         memMids += memProbeGbps()
         if (p > 1.5 * CalRefSec) remeasureWindow()
         window.clear()
@@ -532,6 +537,7 @@ object Bench {
     locally {
       val p = calibrate(spark)
       midProbes += p
+      probePos += selected.size.toDouble
       memMids += memProbeGbps()
       if (p > 1.5 * CalRefSec) remeasureWindow()
     }
@@ -554,6 +560,38 @@ object Bench {
     // family; the oracle gate verifies the md5 flavor of the same plan)
     val ov = overrides.keys.toSeq.sorted
       .map(k => "\"" + k + "\":\"xx64\"").mkString("{", ",", "}")
+    // Host-speed normalization (r14: host drift produced a fake +14%
+    // headline that took a worktree control experiment to refute). The
+    // CPU calibration probes already bracket the run — pre, every-6-rows
+    // mid, final, post; interpolate that series piecewise-linearly in
+    // query-index space and scale each row by ref/cal at its position.
+    // RAW seconds remain the primary metric; `normalized_value` exists
+    // so round-over-round comparison divides out the box, not the code.
+    // Probes are short CPU loops and re-measured rows run after their
+    // window's probe, so positions are approximate — this is a drift
+    // corrector, not a precision instrument.
+    val probeSamples: Seq[(Double, Double)] = {
+      val raw = ((0.0, calPre) +: probePos.toSeq.zip(midProbes.toSeq)) :+
+        (selected.size.toDouble, calPost)
+      raw.groupBy(_._1).map { case (x, vs) => (x, vs.map(_._2).sum / vs.size) }
+        .toSeq.sortBy(_._1)
+    }
+    def calAt(x: Double): Double =
+      if (probeSamples.isEmpty) CalRefSec
+      else if (x <= probeSamples.head._1) probeSamples.head._2
+      else if (x >= probeSamples.last._1) probeSamples.last._2
+      else {
+        val i = probeSamples.lastIndexWhere(_._1 <= x)
+        val (x0, y0) = probeSamples(i)
+        val (x1, y1) = probeSamples(i + 1)
+        y0 + (y1 - y0) * ((x - x0) / (x1 - x0))
+      }
+    val idxOf = selected.zipWithIndex.toMap
+    val normalized = results.collect { case (k, v) if v >= 0 =>
+      // floor the interpolated probe at ref/8: a probe glitching near
+      // zero must not inflate a row without bound
+      v * CalRefSec / math.max(calAt(idxOf(k) + 0.5), CalRefSec / 8)
+    }.sum
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val mids = midProbes.map(v => f"$v%.3f").mkString("[", ",", "]")
     def rerunJson(m: scala.collection.Map[String, (Double, Double)]): String =
@@ -568,7 +606,7 @@ object Bench {
       else
         s""""convicted windows not cleanly re-measured: ${contUnremediated.mkString(",")}""""
     val memMidJ = memMids.map(v => f"$v%.2f").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"hash_family_overrides":$ov,"skipped":${namesJson(skipped.toSeq.sorted)},"failed":$fj,"failed_count":${failed.size},"calibration_sec":[$calPre,$calPost],"calibration_mid":$mids,"mem_probe_gbps":{"pre":${f"$memPre%.2f"},"mid":$memMidJ,"post":${f"$memPost%.2f"}},"gc_reruns":${rerunJson(gcReruns)},"contention_reruns":${rerunJson(contReruns)},"contention_skipped":${namesJson(contSkipped)},"contention_unremediated":${namesJson(contUnremediated)},"calibration_ref_sec":$CalRefSec,"calibration_gate":$CalGate,"contended":$contended,"rejected":$rejected,"reject_reason":$rejectReason,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"normalized_value":${f"$normalized%.3f"},"unit":"sec","queries":$qs,"hash_family_overrides":$ov,"skipped":${namesJson(skipped.toSeq.sorted)},"failed":$fj,"failed_count":${failed.size},"calibration_sec":[$calPre,$calPost],"calibration_mid":$mids,"mem_probe_gbps":{"pre":${f"$memPre%.2f"},"mid":$memMidJ,"post":${f"$memPost%.2f"}},"gc_reruns":${rerunJson(gcReruns)},"contention_reruns":${rerunJson(contReruns)},"contention_skipped":${namesJson(contSkipped)},"contention_unremediated":${namesJson(contUnremediated)},"calibration_ref_sec":$CalRefSec,"calibration_gate":$CalGate,"contended":$contended,"rejected":$rejected,"reject_reason":$rejectReason,"sf":"$sfDir"}"""
     // stdout (unprefixed via fork + StdoutOutput) AND a file artifact,
     // so the driver's parse can't be defeated by log interleaving
     println(json)
