@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical.JoinHint
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
@@ -28,17 +29,29 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * contained in |l.v − r.v| ≤ max(e1, e2), so ±1-bucket coverage stays
   * sound and the residual keeps exactness.
   *
-  * Join types: Inner, LeftSemi, LeftAnti, LeftOuter, RightOuter. The
-  * Generate fan-out preserves per-(l, r) match multiplicity exactly
-  * (at most one expanded copy satisfies the bucket equality), so inner
-  * and outer results are row-identical and existence (semi/anti) is
-  * preserved — PROVIDED the expansion happens on the side whose
-  * unmatched rows the join type drops. Left-preserving types expand the
-  * RIGHT side (an unmatched left row surfaces once because the left is
-  * intact); RightOuter mirrors — it expands the LEFT side, so an
-  * unmatched right row surfaces exactly once. FullOuter is refused:
-  * both sides' unmatched rows survive, and whichever side is expanded
-  * would surface its unmatched rows once per copy.
+  * Join types: Inner, LeftSemi, LeftAnti, LeftOuter, RightOuter,
+  * FullOuter. The Generate fan-out preserves per-(l, r) match
+  * multiplicity exactly (at most one expanded copy satisfies the bucket
+  * equality), so inner and outer results are row-identical and
+  * existence (semi/anti) is preserved — PROVIDED the expansion happens
+  * on the side whose unmatched rows the join type drops. Left-preserving
+  * types expand the RIGHT side (an unmatched left row surfaces once
+  * because the left is intact); RightOuter mirrors — it expands the
+  * LEFT side, so an unmatched right row surfaces exactly once.
+  * FullOuter preserves unmatched rows on BOTH sides, so no single
+  * expansion side works: it is decomposed as
+  *
+  *   FullOuter(l, r) = LeftOuter(l, r)  UNION ALL
+  *                     nullExtend(Anti(r, l))
+  *
+  * — the LeftOuter branch (right-side expansion) carries every matched
+  * pair at exact multiplicity plus each unmatched LEFT row once; the
+  * anti branch streams the RIGHT side against the expanded left (the
+  * existence side, where fan-out is harmless — bucket coverage means
+  * "no match over the expansion" iff "no true band match") and
+  * null-extends the survivors, each unmatched RIGHT row exactly once.
+  * The two branches partition FullOuter's output, so the union is
+  * row-identical to the nested-loop result.
   *
   * Idempotent by guard: the rewritten join's condition references the
   * generated `__lband`/`__rband` attributes, which the matcher refuses.
@@ -53,7 +66,7 @@ case class BandJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
   private val bandNames = Set("__lband", "__rband")
 
   private val supported: Set[JoinType] =
-    Set(Inner, LeftSemi, LeftAnti, LeftOuter, RightOuter)
+    Set(Inner, LeftSemi, LeftAnti, LeftOuter, RightOuter, FullOuter)
 
   private def isIntegral(e: Expression): Boolean = e.dataType match {
     case LongType | IntegerType | ShortType | ByteType => true
@@ -171,6 +184,36 @@ case class BandJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
                 Subtract(b, Literal(1L)), b, Add(b, Literal(1L))))),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(out), child = child)
+          if (joinType == FullOuter) {
+            // LeftOuter branch: right-side expansion (matched pairs at
+            // exact multiplicity + each unmatched LEFT row once)
+            val lBand = Alias(bucket(lv), "__lband")()
+            val lProj = Project(left.output :+ lBand, left)
+            val rAttr = AttributeReference("__rband", LongType, nullable = true)()
+            val rGen = expand(bucket(rv), rAttr, right)
+            val loCond = (Seq(EqualTo(lBand.toAttribute, rAttr)) ++
+              bandPreds ++ rest).reduce(And)
+            val lo = Project(j.output,
+              Join(lProj, rGen, LeftOuter, Some(loCond), hint))
+            // Anti branch: unmatched RIGHT rows, found by streaming the
+            // right side against the expanded LEFT (existence side — the
+            // RightOuter mirror's expansion, demoted to a semi-test),
+            // then null-extended to the join schema. Sides are swapped
+            // relative to the original join, so the hint does not carry.
+            val rBand = Alias(bucket(rv), "__rband")()
+            val rProj = Project(right.output :+ rBand, right)
+            val lAttr = AttributeReference("__lband", LongType, nullable = true)()
+            val lGen = expand(bucket(lv), lAttr, left)
+            val antiCond = (Seq(EqualTo(lAttr, rBand.toAttribute)) ++
+              bandPreds ++ rest).reduce(And)
+            val anti = Join(rProj, lGen, LeftAnti, Some(antiCond), JoinHint.NONE)
+            // null-extend under the LEFT side's output ids so the union
+            // keeps j.output's attribute ids (union output = head child's)
+            val nullLeft = left.output.map(a =>
+              Alias(Literal.create(null, a.dataType), a.name)(exprId = a.exprId))
+            val extended = Project(nullLeft ++ right.output, anti)
+            Union(lo, extended)
+          } else {
           val rewritten = if (joinType == RightOuter) {
             // mirror: expand the LEFT side so unmatched RIGHT rows (the
             // ones RightOuter preserves) surface exactly once
@@ -191,6 +234,7 @@ case class BandJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
             Join(lProj, rGen, joinType, Some(newCond), hint)
           }
           Project(j.output, rewritten)
+          }
         case None => j
       }
   }

@@ -189,7 +189,7 @@ class BandJoinRewriteSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterA
     assert(got === want, "left-outer multiplicity must match the NL oracle exactly")
   }
 
-  test("RightOuter band join rewrites via left-side expansion; FullOuter refused") {
+  test("RightOuter band join rewrites via left-side expansion") {
     mkTables()
     import spark.implicits._
     // eps 2, not 100: the fixture must leave some right rows UNMATCHED
@@ -213,12 +213,36 @@ class BandJoinRewriteSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterA
     assert(got === want, "right-outer multiplicity must match the NL oracle exactly")
     assert(want.keys.exists(_._1.isEmpty) && want.keys.exists(_._1.nonEmpty),
       "fixture must exercise both matched and unmatched right rows")
-    // FullOuter: both sides' unmatched rows survive the join, and the
-    // expanded side's would surface once per copy — the matcher refuses
+  }
+
+  test("FullOuter band join rewrites as LeftOuter union null-extended anti") {
+    mkTables()
+    import spark.implicits._
+    // eps 2 so BOTH sides keep unmatched rows (at +-100 every value in
+    // the fixture range finds a partner)
     val fouter = spark.sql(
-      "SELECT lid, rid FROM lband FULL JOIN rband ON abs(lv - rv) <= 100")
-    val fopt = fouter.queryExecution.optimizedPlan.toString
-    assert(!fopt.contains("__lband") && !fopt.contains("__rband"))
+      "SELECT lid, rid FROM lband FULL JOIN rband ON abs(lv - rv) <= 2")
+    val plan = fouter.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"full-outer band not rewritten:\n$plan")
+    val l = spark.table("lband").as[(Long, Long)].collect()
+    val r = spark.table("rband").as[(Long, Long)].collect()
+    // NL oracle: every matched (l, r) pair once; every unmatched row of
+    // EITHER side exactly once, null-extended
+    val matchedPairs = for {
+      (lid, lv) <- l.toSeq; (rid, rv) <- r.toSeq if math.abs(lv - rv) <= 2
+    } yield (Option(lid), Option(rid))
+    val matchedL = matchedPairs.map(_._1.get).toSet
+    val matchedR = matchedPairs.map(_._2.get).toSet
+    val want = (matchedPairs ++
+      l.toSeq.collect { case (lid, _) if !matchedL(lid) => (Option(lid), Option.empty[Long]) } ++
+      r.toSeq.collect { case (rid, _) if !matchedR(rid) => (Option.empty[Long], Option(rid)) })
+      .groupBy(x => x).view.mapValues(_.length).toMap
+    val got = fouter.as[(Option[Long], Option[Long])].collect().toSeq
+      .groupBy(x => x).view.mapValues(_.length).toMap
+    assert(got === want, "full-outer multiplicity must match the NL oracle exactly")
+    assert(want.keys.exists(_._1.isEmpty) && want.keys.exists(_._2.isEmpty),
+      "fixture must exercise unmatched rows on BOTH sides")
   }
 
   test("rule is idempotent: one Generate, applied once") {
