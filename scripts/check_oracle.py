@@ -32,7 +32,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def run_verify():
-    cmd = ["sbt", f'runMain graft.Verify {SF_DIR} {OUT_DIR}']
+    # forward the --only subset to graft.Verify's subset arg so spot-check
+    # runs dump only the queries they will compare (the full catalog dump
+    # is exactly the expensive run --only exists to avoid on scale legs)
+    subset = f" {','.join(sorted(ONLY))}" if ONLY else ""
+    cmd = ["sbt", f'runMain graft.Verify {SF_DIR} {OUT_DIR}{subset}']
     r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True)
     for line in r.stdout.splitlines():
         if "[verify]" in line or "error" in line.lower():
@@ -79,10 +83,15 @@ def main():
                             f"SELECT {sel} FROM '{p}'")
     oracle = json.loads(Path(f"{OUT_DIR}/oracle_sql.json").read_text())
     if ONLY is not None:
+        # a typo'd --only name is a gate failure, not a warning — otherwise
+        # a mistyped list filters the compare set down (possibly to zero)
+        # and the gate exits 0 having checked nothing
         missing = ONLY - set(oracle)
         if missing:
-            print(f"WARNING: --only names not in oracle catalog: {sorted(missing)}")
+            sys.exit(f"FAIL: --only names not in oracle catalog: {sorted(missing)}")
         oracle = {k: v for k, v in oracle.items() if k in ONLY}
+        if not oracle:
+            sys.exit("FAIL: --only filtered the oracle set to nothing")
     # Lint: DuckDB widens sum(BIGINT) to HUGEINT (and may produce DECIMAL),
     # which Spark never emits — an uncast window/agg sum hash-mismatches even
     # when every value is equal (bit r1 g4 and r3 c3). Flag them up front.
