@@ -411,6 +411,15 @@ object Bench {
       java.lang.management.ManagementFactory
         .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     }
+    // cumulative JIT wall (all compiler threads): the other cumulative-
+    // state mechanism candidate for in-suite inflation (r14 note #3 —
+    // d15 +39% in-suite vs solo). Logged per row so a suite run doubles
+    // as the diagnostic.
+    def jitMs: Long = {
+      val c = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported)
+        c.getTotalCompilationTime else 0L
+    }
     def runOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
       // release localCheckpoint blocks deterministically: queries that
@@ -431,10 +440,11 @@ object Bench {
       // CPU-only calibration probe cannot see (heap debris from prior
       // queries surfaces as collection pauses inside later ones)
       val gc0 = gcMs
+      val jit0 = jitMs
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       val gcSec = (gcMs - gc0) / 1e3
-      System.err.println(f"[bench] $name $sec%.2fs gc=${(gcSec * 1e3).toLong}ms")
+      System.err.println(f"[bench] $name $sec%.2fs gc=${(gcSec * 1e3).toLong}ms jit=${jitMs - jit0}ms")
       (sec, gcSec)
     }
     // mid-run probes (every 6 queries): the r7 inflation arrived BETWEEN

@@ -477,7 +477,11 @@ object Dedup {
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       return (corpus, releaseEmpty)
     }
-    val bf = bench.stat.bloomFilter("g", nGrams, fpp)
+    // pure-sketch distributed build, NOT stat.bloomFilter: the
+    // BloomFilterAggregate path clamps to 2^26 bits and is broken at
+    // size above it (measured fp 0.76 at the 30M-key/288M-bit point —
+    // see BloomJoin.buildBloom's scaladoc for the r15 evidence)
+    val bf = BloomJoin.buildBloomString(bench, "g", nGrams, fpp)
     val bcast = sc.broadcast(bf)
     val might = udf((g: String) => g != null && bcast.value.mightContainString(g))
     val candidates = shingleSets(corpus, idCol, textCol, n)

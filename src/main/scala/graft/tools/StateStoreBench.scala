@@ -84,10 +84,21 @@ object StateStoreBench {
     }
     spark.streams.addListener(listener)
 
-    val rows = Seq(
+    // optional 2nd arg: comma-separated subset (e.g. just ev4 on the
+    // sf100 leg, where ev9's state would make the full trio an hour)
+    val all = Seq(
       "ev4_stream_sessions" -> (graft.queries.Queries.ev4_stream_sessions _),
       "ev6_stream_dedup" -> (graft.queries.Queries.ev6_stream_dedup _),
       "ev9_stream_stream_join" -> (graft.queries.Queries.ev9_stream_stream_join _))
+    val rows = args.lift(1) match {
+      case Some(names) =>
+        val want = names.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        val sel = all.filter { case (n, _) => want(n) }
+        require(sel.map(_._1).toSet == want,
+          s"unknown row name(s): ${want -- sel.map(_._1)}")
+        sel
+      case None => all
+    }
 
     val providers = Seq(
       "hdfs" -> "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
