@@ -215,6 +215,13 @@ object Bench {
   // lands well over it
   val CalRefSec = 0.40
 
+  // reference WARM probe (r15, idle target box, min over mid+post
+  // probes of a suite run): the denominator anchor for
+  // `normalized_value`. Distinct from CalRefSec, which is the COLD
+  // acceptance-gate reference — a warm in-run probe on the same box
+  // lands ~0.13-0.15 s once JIT has settled.
+  val CalWarmRefSec = 0.13
+
   /** Hard acceptance gate (round 8, VERDICT r7 #6): a run whose best
     * pre- or post-suite probe exceeds 1.25x the reference REFUSES to
     * write `bench_out.json` — the r7 artifact was accepted with a 0.51s
@@ -571,37 +578,21 @@ object Bench {
     val ov = overrides.keys.toSeq.sorted
       .map(k => "\"" + k + "\":\"xx64\"").mkString("{", ",", "}")
     // Host-speed normalization (r14: host drift produced a fake +14%
-    // headline that took a worktree control experiment to refute). The
-    // CPU calibration probes already bracket the run — pre, every-6-rows
-    // mid, final, post; interpolate that series piecewise-linearly in
-    // query-index space and scale each row by ref/cal at its position.
-    // RAW seconds remain the primary metric; `normalized_value` exists
-    // so round-over-round comparison divides out the box, not the code.
-    // Probes are short CPU loops and re-measured rows run after their
-    // window's probe, so positions are approximate — this is a drift
-    // corrector, not a precision instrument.
-    val probeSamples: Seq[(Double, Double)] = {
-      val raw = ((0.0, calPre) +: probePos.toSeq.zip(midProbes.toSeq)) :+
-        (selected.size.toDouble, calPost)
-      raw.groupBy(_._1).map { case (x, vs) => (x, vs.map(_._2).sum / vs.size) }
-        .toSeq.sortBy(_._1)
-    }
-    def calAt(x: Double): Double =
-      if (probeSamples.isEmpty) CalRefSec
-      else if (x <= probeSamples.head._1) probeSamples.head._2
-      else if (x >= probeSamples.last._1) probeSamples.last._2
-      else {
-        val i = probeSamples.lastIndexWhere(_._1 <= x)
-        val (x0, y0) = probeSamples(i)
-        val (x1, y1) = probeSamples(i + 1)
-        y0 + (y1 - y0) * ((x - x0) / (x1 - x0))
-      }
-    val idxOf = selected.zipWithIndex.toMap
-    val normalized = results.collect { case (k, v) if v >= 0 =>
-      // floor the interpolated probe at ref/8: a probe glitching near
-      // zero must not inflate a row without bound
-      v * CalRefSec / math.max(calAt(idxOf(k) + 0.5), CalRefSec / 8)
-    }.sum
+    // headline that took a worktree control experiment to refute).
+    // One WARM scalar per run: the MIN over the in-run probes (mid +
+    // post). The pre-probe is deliberately excluded — it runs on a
+    // JIT-cold JVM and measures warmup, not host speed (observed 0.39
+    // pre vs 0.14 post on an idle box), and per-row interpolation
+    // would smear that warmup gradient into a fake 2-3x late-row
+    // inflation. Min, not mean: transient load only ever makes probes
+    // SLOWER, and mid-run contention has its own conviction/re-run
+    // machinery. CalWarmRefSec pins the reference warm probe (r15
+    // measurement on an idle host); future rounds divide out their
+    // host's drift against it. RAW seconds remain the primary metric.
+    val warmProbes = midProbes.toSeq :+ calPost
+    val hostWarm = math.max(warmProbes.min, CalWarmRefSec / 8)
+    val normalized = results.collect { case (_, v) if v >= 0 => v }.sum *
+      CalWarmRefSec / hostWarm
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val mids = midProbes.map(v => f"$v%.3f").mkString("[", ",", "]")
     def rerunJson(m: scala.collection.Map[String, (Double, Double)]): String =

@@ -1226,6 +1226,16 @@ object Queries {
   /** Exact embedding-cosine near-dup pairs (threshold join) — the
     * oracle-checkable flavor; the LSH candidate path is the same
     * operator with exact=false.
+    *
+    * CATALOG DECISION (r15, closing the standing e3/m6 asterisk): this
+    * row STAYS in the gate catalog as the ORACLE ANCHOR for the family
+    * — it is the exact ground truth e12's LSH recall artifact is
+    * measured against, and demoting it to a spec fixture would leave
+    * the scale path's recall claim anchored to nothing the driver
+    * re-verifies. Its declared contract is unchanged: exact all-pairs,
+    * quadratic by definition, benched through sf1 and SKIPPED (recorded
+    * in the artifact's `skipped`) on >= sf10 legs, where e12 is the
+    * canonical scale row for the family. Same decision for m6/m8.
     */
   def e3_embedding_dedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(t(spark, dir, "embeddings"), "vec_id", "embedding",
@@ -2366,6 +2376,12 @@ object Queries {
     * pigeonhole LSH candidates, exact Hamming verify <= 3 — the SimHash
     * dedup scheme on the multimodal surface. Fixture collision groups via
     * doc_id % 97 give real distance-0 pairs.
+    *
+    * CATALOG DECISION (r15): stays as the family's oracle anchor —
+    * the exact pair set m8's scaled flavor is judged against — with
+    * the declared pairwise contract unchanged: benched through sf1,
+    * skipped-with-record on >= sf10 legs where m8 is the canonical
+    * scale row. See [[e3_embedding_dedup]] for the rationale.
     */
   def m6_image_neardup(spark: SparkSession, dir: String): DataFrame =
     Multimodal.dHashNearDupPairs(
