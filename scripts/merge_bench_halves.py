@@ -9,14 +9,26 @@ provenance: the combined record carries every chunk's calibration/
 contention/normalization gates verbatim and is honest about being
 sequential fresh-JVM runs, not one suite.
 
-Usage: merge_bench_halves.py out.json chunk1.json chunk2.json [...]
+Deliberate contract exclusions (queries no chunk was ever asked to
+run — e.g. quadratic-output rows skipped on scale legs) are passed via
+--skip name[,name...] and unioned into the merged "skipped" list, so
+the combined artifact distinguishes "excluded by contract" from "not
+measured" without a reader needing the campaign prose.
+
+Usage: merge_bench_halves.py out.json [--skip n1,n2] chunk1.json chunk2.json [...]
 """
 import json
 import sys
 
 
 def main():
-    out_path, chunk_paths = sys.argv[1], sys.argv[2:]
+    argv = sys.argv[1:]
+    declared_skips = set()
+    if "--skip" in argv:
+        i = argv.index("--skip")
+        declared_skips = {s for s in argv[i + 1].split(",") if s}
+        argv = argv[:i] + argv[i + 2:]
+    out_path, chunk_paths = argv[0], argv[1:]
     chunks = []
     for p in chunk_paths:
         lines = [ln for ln in open(p).read().strip().splitlines() if ln.strip()]
@@ -29,6 +41,16 @@ def main():
         if overlap:
             sys.exit(f"chunk {p} overlaps earlier chunks: {sorted(overlap)}")
         seen |= set(c["queries"])
+    # a stray chunk from a different leg or gate config must not merge
+    # into a silently mislabeled artifact
+    for key in ("sf", "calibration_ref_sec", "calibration_gate"):
+        vals = {json.dumps(c.get(key)) for _, c in chunks}
+        if len(vals) > 1:
+            sys.exit(f"chunks disagree on {key}: {sorted(vals)} — refusing to merge")
+    measured_skips = declared_skips & seen
+    if measured_skips:
+        sys.exit(f"--skip names were actually measured by a chunk: "
+                 f"{sorted(measured_skips)}")
     gate_keys = ("value", "normalized_value", "calibration_sec",
                  "calibration_mid", "gc_reruns", "contention_reruns",
                  "contention_skipped", "contention_unremediated",
@@ -43,7 +65,8 @@ def main():
         "hash_family_overrides": {
             k: v for _, c in chunks
             for k, v in c.get("hash_family_overrides", {}).items()},
-        "skipped": sorted({s for _, c in chunks for s in c.get("skipped", [])}),
+        "skipped": sorted({s for _, c in chunks
+                           for s in c.get("skipped", [])} | declared_skips),
         "failed": sorted({f for _, c in chunks for f in c.get("failed", [])}),
         "failed_count": sum(c.get("failed_count", 0) for _, c in chunks),
         "contended": any(c.get("contended", False) for _, c in chunks),

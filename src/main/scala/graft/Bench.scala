@@ -43,6 +43,7 @@ object Bench {
     "ev7_asof_enrich",
     "ev8_stream_asof_enrich",
     "ev9_stream_stream_join",
+    "ev29_stream_join_agg",
     "t10_length_quantiles",
     "d8_dup_spans",
     "c4_temperature_mix",
@@ -331,10 +332,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // bytes-derived shuffle sizing (graft.util.Tuning): the r15 w2 proof
+    // (370.5s -> 73.0s at 256 partitions, sf100) applied engine-wide
+    val shufflePartitions = graft.util.Tuning.shufflePartitions(sfDir, cpus.toInt)
+    System.err.println(s"[bench] shuffle partitions: $shufflePartitions " +
+      s"(leg ${graft.util.Tuning.legBytes(sfDir) >> 20} MB, cpus $cpus)")
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -464,9 +470,6 @@ object Bench {
     // values recorded (`contention_reruns`), min wins — self-documented
     // re-measurement, not cherry-picking.
     val midProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
-    // query-index position of each mid probe, for the host-speed
-    // normalization interpolation below
-    val probePos = scala.collection.mutable.ArrayBuffer.empty[Double]
     val memMids = scala.collection.mutable.ArrayBuffer.empty[Double]
     val memPre = memProbeGbps()
     val gcReruns = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
@@ -520,7 +523,6 @@ object Bench {
       if (qi > 0 && qi % 6 == 0) {
         val p = calibrate(spark)
         midProbes += p
-        probePos += qi.toDouble
         memMids += memProbeGbps()
         if (p > 1.5 * CalRefSec) remeasureWindow()
         window.clear()
@@ -554,7 +556,6 @@ object Bench {
     locally {
       val p = calibrate(spark)
       midProbes += p
-      probePos += selected.size.toDouble
       memMids += memProbeGbps()
       if (p > 1.5 * CalRefSec) remeasureWindow()
     }

@@ -14,7 +14,9 @@ object Verify {
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // bytes-derived, not pinned to cpus: graft.util.Tuning scaladoc
+      .config("spark.sql.shuffle.partitions",
+        graft.util.Tuning.shufflePartitions(sfDir, cpus.toInt))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type,

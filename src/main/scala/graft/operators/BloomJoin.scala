@@ -31,12 +31,19 @@ object BloomJoin {
       bigKey: String,
       smallKey: String,
       fpp: Double = 0.01): DataFrame = {
-    // one count job sizes the sketch; the build side is by contract the
-    // small(er) relation, and stat.bloomFilter NPEs on an empty frame
-    val nKeys = small.count()
-    if (nKeys == 0L)
+    // size the sketch from NON-NULL keys (nulls never insert — counting
+    // them oversizes the filter on null-heavy keys), and cache the
+    // projected build side so the count job and the insert pass scan the
+    // small relation once, not twice
+    val keys = small.select(col(smallKey).cast("long")).na.drop().cache()
+    val nKeys = keys.count()
+    if (nKeys == 0L) {
+      keys.unpersist()
       return big.join(small, big(bigKey) === small(smallKey))
-    val bf = buildBloom(small, smallKey, nKeys, fpp)
+    }
+    val bf =
+      try buildWith[Long](keys.rdd.map(_.getLong(0)), nKeys, fpp)(_ putLong _)
+      finally keys.unpersist()
     val bcast = big.sparkSession.sparkContext.broadcast(bf)
     val might = udf((k: Long) => bcast.value.mightContainLong(k))
     big.where(col(bigKey).isNotNull && might(col(bigKey)))

@@ -431,9 +431,13 @@ object Dedup {
     * at 100 TB that is the difference between a broadcast-probe scan
     * and an all-grams shuffle.
     *
-    * The sketch itself is driver-built ([[org.apache.spark.sql.DataFrameStatFunctions.bloomFilter]]
-    * aggregates partial sketches), which is the intended pattern: it is
-    * a size-bounded summary, not data.
+    * The sketch builds distributed on the pure `util.sketch` library —
+    * partition-local filters OR-merged up a `treeReduce`
+    * ([[BloomJoin.buildBloomString]]) — NOT `stat.bloomFilter`, whose
+    * aggregate path clamps to 2^26 bits and is numerically broken past
+    * the clamp (r15 finding, evidence in [[BloomJoin]]'s scaladoc). The
+    * merged filter is still a size-bounded summary the driver
+    * broadcasts, not data.
     */
   def bloomDecontaminate(
       corpus: DataFrame,

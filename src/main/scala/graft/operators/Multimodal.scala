@@ -917,20 +917,27 @@ object Multimodal {
                   en(t / window) += s * s
                   t += 1
                 }
-                (0 until nW).iterator.map(w => (id, w.toLong, en(w)))
+                // a doc's whole payload is THIS row, so the per-doc
+                // stats (window count, total energy) fall out of the
+                // same pass — emitting them per window row makes the
+                // above-mean filter a plain pre-shuffle predicate.
+                // The r15 flavor computed nw/tot as two unordered
+                // windows over the exploded frame table instead, and
+                // at sf100 the per-task window sorts spilled the whole
+                // table (995 s, the round's most expensive gated row).
+                val tot = en.sum
+                (0 until nW).iterator.map(w => (id, w.toLong, en(w), nW.toLong, tot))
               }
             }
           } catch {
             case scala.util.control.NonFatal(_) => badAcc.add(1); Iterator.empty
           }
         }
-      }.toDF("doc_id", "w", "energy")
+      }.toDF("doc_id", "w", "energy", "nw", "tot")
     val W = org.apache.spark.sql.expressions.Window
-    val perDoc = W.partitionBy("doc_id")
-    val active = frames
-      .withColumn("nw", count(lit(1)).over(perDoc))
-      .withColumn("tot", sum(col("energy")).over(perDoc))
-      .where(col("energy") * col("nw") > col("tot"))
+    // only above-mean windows survive to the single remaining shuffle
+    // (the run-grouping row_number window below)
+    val active = frames.where(col("energy") * col("nw") > col("tot"))
     val grp = col("w") -
       (row_number().over(W.partitionBy("doc_id").orderBy("w")) - 1)
     active.withColumn("grp", grp)

@@ -450,6 +450,20 @@ object Oracles {
         |  AND epoch_us(c.ts) <= epoch_us(p.ts)
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000""".stripMargin,
 
+    // ev9's join aggregated per (user, tumbling 30-minute purchase
+    // window): Spark's tumbling windows align to the epoch, so the
+    // window start is plain floor division of the purchase micros
+    "ev29_stream_join_agg" ->
+      """SELECT (epoch_us(p.ts) // 1800000000) * 1800000000 AS win_us,
+        |  p.user_id AS user_id, count(*) AS n_pairs,
+        |  sum(epoch_us(p.ts) - epoch_us(c.ts))::BIGINT AS sum_gap_us
+        |FROM events p JOIN events c
+        |ON p.user_id = c.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+        |GROUP BY 1, 2""".stripMargin,
+
     "g1_discover_variants" ->
       """SELECT concat('chr', l_returnflag) AS contigName,
         |  (l_partkey % 1000) * 20 + (l_suppkey % 10) AS start,

@@ -707,6 +707,95 @@ object Queries {
         expr("(p_ts div 1000) - (c_ts div 1000)").as("gap_us"))
     }
 
+  /** Stream-stream interval join with BOUNDED output (EV29): ev9's
+    * purchases-join-clicks-within-30-minutes, aggregated per (user,
+    * tumbling 30-minute purchase window) BEFORE the sink — pair count
+    * and summed purchase-click gap. Chained stateful operators
+    * (watermarked join, then windowed agg, append mode — watermark
+    * propagates through the join), so the JOIN's state machinery runs
+    * at full volume while the output stays linear in (user, window)
+    * cells: ev9's memory sink materializes every pair (quadratic at
+    * scaled legs — user_id is verbatim under ScaleUp, so pairs/user
+    * grow ~100x/decade; contract-skipped at sf100), this row is the
+    * same operator's scale story. A far-future sentinel pair (user -1)
+    * pushes both side watermarks past every real window so the finite
+    * source flushes ALL windows — the streamed result equals the full
+    * batch oracle, not a watermark-truncated prefix.
+    */
+  def ev29_stream_join_agg(spark: SparkSession, dir: String): DataFrame =
+    withStagedEventsAndSentinel(spark, dir, "ev29_stream", sentinelUser = -1L) { staged =>
+      val p = graft.streaming.StreamingOps.readEvents(spark, staged)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_time").as("p_time"))
+      val c = graft.streaming.StreamingOps.readEvents(spark, staged)
+        .where(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+          col("event_time").as("c_time"))
+      val joined = graft.streaming.StreamingOps.intervalJoinStreams(
+        p, c, "user_id", "c_uid", "p_time", "c_time", lookback = "30 minutes")
+      val agg = joined
+        .groupBy(window(col("p_time"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("(p_ts div 1000) - (c_ts div 1000)")).as("sum_gap_us"))
+      val name = "ev29_" + java.lang.Long.toHexString(System.nanoTime())
+      val q = agg.writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name)
+        .where(col("user_id") =!= -1L)
+        .select(unix_micros(col("window").getField("start")).as("win_us"),
+          col("user_id"), col("n_pairs"), col("sum_gap_us"))
+    }
+
+  /** [[withStagedTable]] for events PLUS a watermark-flushing sentinel
+    * file: one purchase + one click for `sentinelUser` three hours past
+    * the table's max ts, written in the table's OWN physical ts
+    * encoding (the streaming source's sniffed schema must match every
+    * file). Finite-source append-mode windowed aggregation only emits
+    * windows the final watermark has passed; the sentinel advances both
+    * filtered sides' watermarks (max - 1h) beyond every real window,
+    * and Spark's no-data final micro-batch flushes them. Callers filter
+    * the sentinel user back out.
+    */
+  private def withStagedEventsAndSentinel[T](spark: SparkSession, dir: String,
+      prefix: String, sentinelUser: Long)(f: String => T): T = {
+    import java.nio.file.{Files, Paths}
+    val staged = Files.createTempDirectory(prefix)
+    try {
+      Files.createSymbolicLink(
+        staged.resolve("events.parquet"),
+        Paths.get(dir, "events.parquet").toAbsolutePath)
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val bumped = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          col("mx") + lit(3L * 3600L * 1000000000L) // epoch-nanos long
+        case _ => col("mx") + expr("INTERVAL 3 HOURS") // timestamp
+      }
+      val sentinel = raw.agg(max(col("ts")).as("mx"))
+        .select(
+          lit(-1L).as("event_id"), bumped.as("ts"),
+          lit(sentinelUser).as("user_id"),
+          explode(array(lit("purchase"), lit("click"))).as("event_type"),
+          lit(0.0).as("value"), lit("").as("props"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val tmp = Files.createTempDirectory(prefix + "_sent")
+      try {
+        sentinel.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.copy(part, staged.resolve("zz_sentinel.parquet"))
+      } finally {
+        Files.list(tmp).forEach(Files.delete(_)); Files.delete(tmp)
+      }
+      f(staged.toString)
+    } finally {
+      Files.deleteIfExists(staged.resolve("zz_sentinel.parquet"))
+      Files.deleteIfExists(staged.resolve("events.parquet"))
+      Files.deleteIfExists(staged)
+    }
+  }
+
   // ---- genomics pipeline on synthesized reads (G1, G2) -----------------
 
   /** Reads synthesized deterministically from lineitem: 10bp reads, all-A

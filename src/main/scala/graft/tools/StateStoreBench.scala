@@ -59,18 +59,21 @@ object StateStoreBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // one listener for the whole run: progress events carry the query
-    // name, so stats bucket by the catalog row that started the query
-    // (ev4_..., ev6_..., ev9_... memory-sink names are prefixed)
-    val live = new mutable.LinkedHashMap[String, StoreStats]
-    var activePrefix: String = ""
+    // one listener for the whole run: progress events are delivered
+    // ASYNCHRONOUSLY on the listener bus, so stats bucket by the
+    // event's OWN identity (the query runId — unambiguous however late
+    // the event lands), never by mutable which-cell-is-running state: a
+    // final-batch event arriving after the collect returned must still
+    // count toward ITS run, not the next cell's
+    val statsByRun = new java.util.concurrent.ConcurrentHashMap[
+      java.util.UUID, StoreStats]
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
-        synchronized {
-          val s = live.getOrElseUpdate(activePrefix, StoreStats())
-          val p = e.progress
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        val s = statsByRun.computeIfAbsent(p.runId, _ => StoreStats())
+        s.synchronized {
           s.batches += 1
           Option(p.durationMs.get("triggerExecution")).foreach(s.triggerMs += _)
           p.stateOperators.foreach { op =>
@@ -81,8 +84,42 @@ object StateStoreBench {
             s.memPeak = math.max(s.memPeak, op.memoryUsedBytes)
           }
         }
+      }
     }
     spark.streams.addListener(listener)
+
+    // there is no public bus-drain API, so drain by quiescence: wait
+    // until no streaming query is active AND the progress-event count
+    // has been stable across two consecutive polls (bounded)
+    def drainBus(): Unit = {
+      import scala.jdk.CollectionConverters._
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      var last = -1L
+      var stable = 0
+      while (System.nanoTime() < deadline && stable < 2) {
+        val now = statsByRun.values.asScala.map(_.batches).sum
+        if (now == last && spark.streams.active.isEmpty) stable += 1
+        else stable = 0
+        last = now
+        Thread.sleep(150)
+      }
+    }
+
+    // telemetry for one attempt = the union over every run the attempt
+    // started (identified by runId set difference around the attempt)
+    def sumStats(runs: Iterable[StoreStats]): StoreStats = {
+      val m = StoreStats()
+      runs.foreach { s =>
+        s.synchronized {
+          m.batches += s.batches; m.commitMs += s.commitMs
+          m.updatesMs += s.updatesMs; m.removalsMs += s.removalsMs
+          m.triggerMs += s.triggerMs
+          m.rowsTotal = math.max(m.rowsTotal, s.rowsTotal)
+          m.memPeak = math.max(m.memPeak, s.memPeak)
+        }
+      }
+      m
+    }
 
     // optional 2nd arg: comma-separated subset (e.g. just ev4 on the
     // sf100 leg, where ev9's state would make the full trio an hour)
@@ -115,8 +152,8 @@ object StateStoreBench {
       var fp: (Long, Long) = (0L, 0L)
       for (_ <- 1 to 2) {
         System.gc()
-        activePrefix = s"$provName/$name"
-        live.remove(activePrefix)
+        import scala.jdk.CollectionConverters._
+        val runsBefore = statsByRun.keySet.asScala.toSet
         val t0 = System.nanoTime()
         val df = fn(spark, dir)
         // order-insensitive content fingerprint: count + xor of row hashes
@@ -124,9 +161,14 @@ object StateStoreBench {
         val agg = df.selectExpr("xxhash64(*) AS h")
           .selectExpr("count(*) AS n", "bit_xor(h) AS s").collect()(0)
         val sec = (System.nanoTime() - t0) / 1e9
+        // the drain is OUTSIDE the timed window: it waits on listener
+        // delivery, not query execution
+        drainBus()
         if (sec < best) {
           best = sec
-          bestStats = live.getOrElse(activePrefix, StoreStats())
+          bestStats = sumStats(statsByRun.asScala.collect {
+            case (id, s) if !runsBefore(id) => s
+          })
         }
         fp = (agg.getLong(0), agg.getLong(1))
         System.err.println(f"[ssb] $provName $name $sec%.2fs")
