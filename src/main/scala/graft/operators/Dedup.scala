@@ -1197,10 +1197,21 @@ object Dedup {
     * doc sharing one idiom 13-gram and a doc embedding a whole eval
     * answer are different problems.
     *
-    * Scale: same shape as [[decontaminate]] — the benchmark gram set is
-    * eval-set-sized and broadcasts; the corpus side is one explode +
-    * broadcast left-probe + per-doc partial+final agg keyed on doc_id.
-    * No corpus-keyed gram shuffle.
+    * Scale: the r15 shape — `join(broadcast(benchGrams), "left")` —
+    * carried a hidden ceiling the sf100 campaign tripped (r16): an
+    * explicit broadcast of a relation that GROWS with the data
+    * collects it through the driver, and at sf100 the distinct
+    * benchmark gram table blew `spark.driver.maxResultSize` (1 GiB; 25
+    * serialized tasks = 1038.8 MiB, job aborted). Same defect family
+    * as the r15 `stat.bloomFilter` clamp: green at every small leg,
+    * broken exactly at size. Now it is the [[bloomDecontaminate]]
+    * shape: the only driver-sized object is the Bloom SKETCH of the
+    * gram set (~1.2 bytes/key — size-bounded by construction), the
+    * corpus side probes it map-side, and only probable hits reach the
+    * distributed exact-verify join (which kills the fp survivors, so
+    * output is bit-identical). Per-doc gram counts come from the
+    * exploded index (shingles are per-doc distinct), not a second
+    * evaluation of the shingle expression.
     */
   def contaminationScore(
       corpus: DataFrame,
@@ -1210,16 +1221,26 @@ object Dedup {
       n: Int = 13): DataFrame = {
     val bench = shingleSets(benchmark, idCol, textCol, n)
       .select(explode(col("shingles")).as("g")).distinct()
-      .withColumn("__hit", lit(1L))
-    shingleSets(corpus, idCol, textCol, n)
-      .select(col("doc_id"), explode(col("shingles")).as("g"))
-      .join(broadcast(bench), Seq("g"), "left")
-      .groupBy("doc_id")
-      // shingles are per-doc distinct, so count == distinct-gram count
-      .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
-      .select(col("doc_id"), col("n_grams"), col("n_hit"),
-        expr("(n_hit * 10000) div n_grams").as("frac_bp"))
+      // referenced twice (sketch build + exact verify join)
+      .localCheckpoint()
+    val (ex, nsh) = shingleIndex(corpus, idCol, textCol, n)
+    val nGrams = bench.count()
+    val scored =
+      if (nGrams == 0L)
+        nsh.select(col("doc_id"), col("n_sh"), lit(0L).as("n_hit"))
+      else {
+        val bf = BloomJoin.buildBloomString(bench, "g", nGrams, 0.01)
+        val bcast = corpus.sparkSession.sparkContext.broadcast(bf)
+        val might = udf((g: String) => g != null && bcast.value.mightContainString(g))
+        val hits = ex.where(might(col("g")))
+          .join(bench, Seq("g"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        nsh.join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_sh"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      }
+    scored.select(col("doc_id"), col("n_sh").as("n_grams"), col("n_hit"),
+      expr("(n_hit * 10000) div n_sh").as("frac_bp"))
   }
 
   /** 60-bit SimHash per document from token hashes: bit j of the simhash
