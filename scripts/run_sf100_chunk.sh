@@ -7,9 +7,9 @@ LIST=$(cat "$1")
 OUT="$2"
 SKIP="${3:-}"
 cd /root/repo
-SPARK_GRAFT_SF_DIR=/tmp/sf100 SPARK_GRAFT_CPUS=32 \
-SPARK_GRAFT_ONLY="$LIST" ${SKIP:+SPARK_GRAFT_SKIP="$SKIP"} \
-java -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+env SPARK_GRAFT_SF_DIR=/tmp/sf100 SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_ONLY="$LIST" ${SKIP:+SPARK_GRAFT_SKIP="$SKIP"} \
+  java -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   -Xmx100g -XX:+UseG1GC graft.Bench 2>"${OUT%.json}.err"
 rc=$?
 if [ -f bench_out.json ]; then mv bench_out.json "$OUT"; fi

@@ -399,10 +399,17 @@ object Dedup {
 
   /** Benchmark decontamination: drop every corpus document sharing any
     * n-gram with the benchmark (held-out eval) set — the hygiene step
-    * that keeps eval data out of a training corpus. The benchmark gram
-    * set is eval-set-sized, so it broadcasts; the corpus side is one
-    * explode + broadcast semi-probe + anti-join — no corpus-keyed
-    * shuffle at all.
+    * that keeps eval data out of a training corpus. The gram-probe join
+    * strategy is LEFT TO AQE, deliberately: the r15 shape forced
+    * `broadcast(benchGrams)`, and the r16 sf100 campaign measured that
+    * ceiling — the distinct gram table of a benchmark that grows with
+    * the leg blew `spark.driver.maxResultSize` (25 tasks, 1035.0 MiB >
+    * 1 GiB) while every smaller leg was green. Unhinted, AQE broadcasts
+    * the gram table while it fits (identical plan to r15 at small legs)
+    * and shuffles when it does not (correct at size). Past the point
+    * where even the SHUFFLE of exact gram strings is the bottleneck,
+    * [[bloomDecontaminate]] is the declared scale path (byte-identical
+    * output, sketch-sized driver footprint).
     */
   def decontaminate(
       corpus: DataFrame,
@@ -414,7 +421,7 @@ object Dedup {
       .select(explode(col("shingles")).as("g")).distinct()
     val contaminated = shingleSets(corpus, idCol, textCol, n)
       .select(col("doc_id"), explode(col("shingles")).as("g"))
-      .join(broadcast(bench), "g")
+      .join(bench, "g")
       .select("doc_id").distinct()
     corpus.join(contaminated.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
   }
