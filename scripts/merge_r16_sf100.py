@@ -55,10 +55,25 @@ def main():
     tmp_files = []
     fixed_chunks = []
     r16_rows = set()
+
+    def pop_row(c, name):
+        """Pop a query row AND its time contribution, so chunk totals
+        (which merge_bench_halves.py sums) never double-count a row
+        that another chunk re-measured. Failed rows are recorded as
+        -1.0 and contribute nothing to 'value', so only subtract
+        non-negative times; 'normalized_value' is value scaled by the
+        chunk's host-drift factor, so rescale it proportionally."""
+        t = c["queries"].pop(name)
+        if isinstance(t, (int, float)) and t > 0 and c.get("value", 0) > 0:
+            factor = c.get("normalized_value", c["value"]) / c["value"]
+            c["value"] -= t
+            c["normalized_value"] = round(c["value"] * factor, 3)
+        return t
+
     for p, c in chunks:
         for name in strip.get(p, []):
             if name in c["queries"]:
-                superseded[name + "@" + p.split("/")[-1]] = c["queries"].pop(name)
+                superseded[name + "@" + p.split("/")[-1]] = pop_row(c, name)
                 c["failed"] = [f for f in c.get("failed", []) if f != name]
                 c["failed_count"] = len(c["failed"])
         r16_rows |= set(c["queries"])
@@ -71,13 +86,15 @@ def main():
         dropped = {}
         for name in list(c["queries"]):
             if name in r16_rows:
-                dropped[name] = c["queries"].pop(name)
+                dropped[name] = pop_row(c, name)
         c["failed"] = [f for f in c.get("failed", []) if f not in r16_rows]
         c["failed_count"] = len(c["failed"])
-        # r14's artifact predates the calibration-config keys — align
-        c["calibration_ref_sec"] = 0.4
-        c["calibration_gate"] = 1.25
-        c["sf"] = "/tmp/sf100"
+        # r14's artifact predates the calibration-config keys — backfill
+        # ONLY when absent, so a genuine r15 config mismatch still trips
+        # merge_bench_halves.py's assertion
+        c.setdefault("calibration_ref_sec", 0.4)
+        c.setdefault("calibration_gate", 1.25)
+        c.setdefault("sf", "/tmp/sf100")
         superseded.update({k + "@" + prior: v for k, v in dropped.items()})
         r16_rows |= set(c["queries"])
         t = tempfile.NamedTemporaryFile("w", suffix=".json", delete=False)

@@ -36,14 +36,17 @@ object BloomJoin {
     // projected build side so the count job and the insert pass scan the
     // small relation once, not twice
     val keys = small.select(col(smallKey).cast("long")).na.drop().cache()
-    val nKeys = keys.count()
-    if (nKeys == 0L) {
-      keys.unpersist()
+    // count + build both inside the try: a failed count job must not
+    // leave the projection persisted for the rest of the session
+    val bfOpt =
+      try {
+        val nKeys = keys.count()
+        if (nKeys == 0L) None
+        else Some(buildWith[Long](keys.rdd.map(_.getLong(0)), nKeys, fpp)(_ putLong _))
+      } finally keys.unpersist()
+    val bf = bfOpt.getOrElse {
       return big.join(small, big(bigKey) === small(smallKey))
     }
-    val bf =
-      try buildWith[Long](keys.rdd.map(_.getLong(0)), nKeys, fpp)(_ putLong _)
-      finally keys.unpersist()
     val bcast = big.sparkSession.sparkContext.broadcast(bf)
     val might = udf((k: Long) => bcast.value.mightContainLong(k))
     big.where(col(bigKey).isNotNull && might(col(bigKey)))
