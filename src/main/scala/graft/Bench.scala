@@ -364,6 +364,7 @@ object Bench {
         "d11_incremental_minhash" -> (queries.Queries.d11_incremental_minhash_prod _),
         "d12_cluster_keepers" -> (queries.Queries.d12_cluster_keepers_prod _),
         "e12_lsh_neardup" -> (queries.Queries.e12_lsh_neardup_prod _),
+        "ev12_stream_ann" -> (queries.Queries.ev12_stream_ann_prod _),
         "t17_hll_distinct" -> (queries.Queries.t17_hll_distinct_prod _),
         "t18_hll_merge" -> (queries.Queries.t18_hll_merge_prod _),
         "t20_cms_heavy_hitters" -> (queries.Queries.t20_cms_heavy_hitters_prod _),

@@ -183,18 +183,39 @@ object SimilaritySearch {
     // single-probe short-circuit: no mask enumeration, and no nBits cap
     // (the pre-multi-probe behavior for any nBits)
     if (nProbes <= 1) return Seq(queryBucket(query, dim, nBits, seed))
-    require(nBits <= 16, s"multi-probe enumerates 2^nBits flip masks; nBits=$nBits > 16")
+    require(nProbes <= 20, s"probe family enumerates 2^nProbes flip masks; nProbes=$nProbes > 20")
     val planes = hyperplanes(dim, nBits, seed)
     val margins = planes.map(p => p.zip(query).map { case (a, b) => a * b }.sum)
     val qBucket = margins.zipWithIndex.map { case (d, i) => if (d >= 0) 1 << i else 0 }.sum
-    (0 until (1 << nBits))
-      .sortBy { mask =>
-        val cost = (0 until nBits)
-          .collect { case i if (mask & (1 << i)) != 0 => math.abs(margins(i)) }.sum
-        (cost, mask)
+    // The i-th cheapest flip mask (cost = sum of flipped |margins|,
+    // ties by mask value) flips only planes among the i smallest
+    // |margins|: a mask using a plane of |margin| rank > p costs at
+    // least that plane's |margin|, which the empty mask and the p
+    // cheaper single flips all undercut, so it cannot enter the first
+    // p+1. Enumerating the 2^p subsets of the p = min(nBits, nProbes)
+    // smallest margins therefore reproduces the full 2^nBits
+    // enumeration's top-nProbes at ANY width. (The full scan made
+    // probe generation O(2^nBits log 2^nBits) per query on the driver
+    // — the ceiling that wedged ev12's serving path once autoBits
+    // sizes the index past 16 bits.) For nBits <= nProbes the family
+    // IS the full enumeration, so existing fixed-width oracles are
+    // bit-unchanged.
+    val ranked = margins.zipWithIndex
+      .map { case (m, i) => (math.abs(m), i) }
+      .sortBy(identity)
+      .take(math.min(nBits, nProbes))
+    val family = (0 until (1 << ranked.size)).map { sub =>
+      var cost = 0.0
+      var mask = 0
+      var j = 0
+      while (j < ranked.size) {
+        if ((sub & (1 << j)) != 0) { cost += ranked(j)._1; mask |= 1 << ranked(j)._2 }
+        j += 1
       }
-      .take(math.min(nProbes, 1 << nBits))
-      .map(_ ^ qBucket)
+      (cost, mask)
+    }
+    val cap = if (nBits >= 31) Int.MaxValue else 1 << nBits
+    family.sortBy(identity).take(math.min(nProbes, cap)).map(_._2 ^ qBucket)
   }
 
   /** Approximate top-k: probe only rows in the query's LSH bucket —
@@ -292,12 +313,14 @@ object SimilaritySearch {
       queries: Seq[(Long, Array[Double])], k: Int,
       nBits: Int = 8, seed: Long = 42, nProbes: Int = 1): DataFrame = {
     require(queries.nonEmpty, "need at least one query vector")
+    val meta = readBucketedMeta(spark, path)
+    val nb = meta.map(_.nBits).getOrElse(nBits)
+    val sd = meta.map(_.seed).getOrElse(seed)
     val allBuckets = queries
-      .flatMap { case (_, qv) => probeBuckets(qv, dim, nBits, seed, nProbes) }
+      .flatMap { case (_, qv) => probeBuckets(qv, dim, nb, sd, nProbes) }
       .distinct
-    val bucketed = spark.read.parquet(path)
-      .where(col("bucket").isin(allBuckets: _*))
-    batchTopKOverBuckets(bucketed, idCol, embCol, dim, queries, k, nBits, seed, nProbes)
+    val bucketed = prunedIndexScan(spark, path, meta, allBuckets)
+    batchTopKOverBuckets(bucketed, idCol, embCol, dim, queries, k, nb, sd, nProbes)
   }
 
   /** Shared candidate-join + bounded-top-K tail of the batched ANN
@@ -327,28 +350,112 @@ object SimilaritySearch {
       .withColumn("cos_sim", round(col("cos_sim"), 4))
   }
 
-  /** The 100 TB storage path: write the corpus LSH-bucketed, parquet
-    * partitioned by bucket, so a probe's scan is partition-PRUNED to
-    * the query's bucket directory (PartitionFilters in the scan, not a
-    * post-scan filter). Write once, probe many.
+  /** Persisted parameters of a bucketed ANN index: the probe side MUST
+    * hash with the width/seed the index was built with, so they travel
+    * WITH the index (`_graft_ann_meta.json` beside the parquet — the
+    * underscore prefix keeps it invisible to the scan), not in serving
+    * configs. The ev12 sf100 wedge was exactly a serving config pinning
+    * a width (4 bits ⇒ 1/16-corpus scan per query at every scale) that
+    * the index build had outgrown.
+    */
+  case class BucketedMeta(nBits: Int, dirBits: Int, seed: Long, dim: Int)
+
+  private val MetaFile = "_graft_ann_meta.json"
+
+  private def writeBucketedMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, m: BucketedMeta): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"nBits":${m.nBits},"dirBits":${m.dirBits},"seed":${m.seed},"dim":${m.dim}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def readBucketedMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[BucketedMeta] = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      def field(k: String): Long =
+        s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s)
+          .getOrElse(sys.error(s"bucketed index meta at $p missing '$k': $s"))
+          .group(1).toLong
+      Some(BucketedMeta(field("nBits").toInt, field("dirBits").toInt,
+        field("seed"), field("dim").toInt))
+    }
+  }
+
+  /** The 100 TB storage path: write the corpus LSH-bucketed so a
+    * probe's scan is partition-PRUNED toward the query's buckets.
+    * Write once, probe many.
+    *
+    * `targetOccupancy > 0` derives the width from the corpus
+    * ([[autoBits]] — one count job) instead of the pinned `nBits`: a
+    * fixed width makes per-probe work a constant FRACTION of the
+    * corpus, so serving cost grows as queries x corpus (the ev12 sf100
+    * disk-spill wedge); occupancy-driven width keeps per-probe work a
+    * constant ROW COUNT. The chosen width is persisted with the index
+    * and read back by every probe path, so build and serve can never
+    * disagree.
+    *
+    * Layout is two-level so the directory count stays bounded when
+    * autoBits sizes past 2^maxDirBits buckets: the partition column is
+    * the bucket's top `dirBits` bits (partition pruning), the full
+    * bucket is a data column sorted within each file (parquet row-group
+    * stats prune the rest). At widths <= maxDirBits this degenerates to
+    * one directory per bucket, the original layout.
     */
   def writeBucketed(df: DataFrame, idCol: String, embCol: String, dim: Int,
-      path: String, nBits: Int = 8, seed: Long = 42): Unit =
-    lshBuckets(df, idCol, embCol, dim, nBits, seed)
+      path: String, nBits: Int = 8, seed: Long = 42,
+      targetOccupancy: Long = 0L, maxDirBits: Int = 12): Unit = {
+    val nb = if (targetOccupancy > 0L) autoBits(df.count(), targetOccupancy)
+      else nBits
+    val dirBits = math.min(nb, maxDirBits)
+    lshBuckets(df, idCol, embCol, dim, nb, seed)
+      .withColumn("pbucket", shiftrightunsigned(col("bucket"), nb - dirBits))
+      .repartition(col("pbucket"))
+      .sortWithinPartitions("pbucket", "bucket")
       .write.mode("overwrite")
-      .partitionBy("bucket")
+      .partitionBy("pbucket")
       .parquet(path)
+    writeBucketedMeta(df.sparkSession, path, BucketedMeta(nb, dirBits, seed, dim))
+  }
 
-  /** Probe a bucketed table written by writeBucketed: the bucket
-    * predicate prunes to one partition directory; only those rows are
-    * scored.
+  /** Prune a bucketed-index scan to a probe set: partition pruning on
+    * the directory prefix, then bucket equality pushed to the parquet
+    * row-group stats (files are bucket-sorted).
+    */
+  private def prunedIndexScan(spark: org.apache.spark.sql.SparkSession,
+      path: String, meta: Option[BucketedMeta], buckets: Seq[Int]): DataFrame = {
+    val base = spark.read.parquet(path)
+    meta match {
+      case Some(m) =>
+        val pbs = buckets.map(_ >>> (m.nBits - m.dirBits)).distinct
+        base.where(col("pbucket").isin(pbs: _*) && col("bucket").isin(buckets: _*))
+      case None => // pre-meta layout: bucket IS the partition column
+        base.where(col("bucket").isin(buckets: _*))
+    }
+  }
+
+  /** Probe a bucketed table written by writeBucketed: the index's
+    * persisted width/seed override the caller's (they must — the probe
+    * has to hash like the build); partition + row-group pruning reach
+    * only the probed buckets' rows.
     */
   def annTopKBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, embCol: String, dim: Int, query: Array[Double], k: Int,
       nBits: Int = 8, seed: Long = 42, nProbes: Int = 1): DataFrame = {
-    val buckets = probeBuckets(query, dim, nBits, seed, nProbes)
-    spark.read.parquet(path)
-      .where(col("bucket").isin(buckets: _*))
+    val meta = readBucketedMeta(spark, path)
+    val nb = meta.map(_.nBits).getOrElse(nBits)
+    val sd = meta.map(_.seed).getOrElse(seed)
+    val buckets = probeBuckets(query, dim, nb, sd, nProbes)
+    prunedIndexScan(spark, path, meta, buckets)
       .select(col(idCol), cosine(col(embCol), query).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)

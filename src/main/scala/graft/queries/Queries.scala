@@ -2271,6 +2271,31 @@ object Queries {
       spark.read.parquet(s"$tmp/out")
     }
 
+  /** ev12 on the production sizing (the e12_prod convention): the
+    * serving index is written with `targetOccupancy` so [[SimilaritySearch
+    * .autoBits]] sets the width from the corpus, persists it with the
+    * index, and the per-batch probe reads it back — per-query work is a
+    * constant candidate COUNT (nProbes x occupancy), not a constant
+    * corpus FRACTION. The fixed-4-bit flavor above stays the
+    * correctness row (its oracle inlines the 4-bit planes); the bench
+    * times this flavor, which is the one that survives the sf100 leg —
+    * at 4 bits every query scanned 1/16 of a millions-vector corpus
+    * and the probe sort spilled past the disk.
+    */
+  def ev12_stream_ann_prod(spark: SparkSession, dir: String): DataFrame =
+    withStagedTable(dir, "embeddings.parquet", "ev12_stream") { staged =>
+      val tmp = java.nio.file.Files.createTempDirectory("ev12_idx").toString
+      SimilaritySearch.writeBucketed(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, path = s"$tmp/corpus",
+        targetOccupancy = 125L)
+      val queries = graft.streaming.StreamingOps.readEmbeddings(spark, staged)
+        .where(col("vec_id") % 100 === 7)
+      graft.streaming.StreamingOps.annServeStream(
+        queries, "vec_id", "embedding", s"$tmp/corpus", s"$tmp/out",
+        dim = 64, k = 10, nProbes = 4)
+      spark.read.parquet(s"$tmp/out")
+    }
+
   /** Streaming CDC ingest (the merge-on-read twin of c13): the same
     * change batch arrives as a stream; each micro-batch's per-key
     * winners are appended to a delta log (the base is NEVER rewritten

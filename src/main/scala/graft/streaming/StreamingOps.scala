@@ -486,6 +486,16 @@ object StreamingOps {
     * batch-boundary invariant — the oracle is the batch rule over all
     * streamed queries. Returns the number of non-empty micro-batches
     * served (multi-batch evidence for specs).
+    *
+    * The index's persisted width/seed (`SimilaritySearch.readBucketedMeta`)
+    * override the `nBits`/`seed` parameters inside the per-batch probe
+    * (they must — the probe has to hash like the build); the parameters
+    * are only the fallback for a pre-meta index. Serving a pinned width
+    * the build had outgrown is what wedged the sf100 leg: 4 bits means
+    * every query scans 1/16 of the corpus at ANY scale. Production
+    * indexes are written with `targetOccupancy` so the width — and with
+    * it the per-query candidate count — is set by the corpus, not the
+    * config.
     */
   def annServeStream(
       queryStream: DataFrame,

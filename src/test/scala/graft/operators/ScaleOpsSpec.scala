@@ -1341,4 +1341,53 @@ class ScaleOpsSpec extends SparkSpec {
       .select("doc_id", "width", "height").collect().map(r => r.getLong(0) -> r.toSeq).toMap
     assert(via === direct)
   }
+
+  test("probeBuckets: subset-family generation equals the full 2^nBits enumeration") {
+    val rnd = new scala.util.Random(31)
+    for (nBits <- Seq(2, 5, 8, 13, 16); nProbes <- Seq(2, 4, 8); trial <- 1 to 3) {
+      val q = Array.fill(16)(rnd.nextGaussian())
+      val got = SimilaritySearch.probeBuckets(q, 16, nBits, 42L, nProbes)
+      // reference: the pre-subset full enumeration of every flip mask,
+      // ranked by (total flipped |margin|, mask)
+      val planes = SimilaritySearch.hyperplanes(16, nBits, 42L)
+      val margins = planes.map(p => p.zip(q).map { case (a, b) => a * b }.sum)
+      val qb = margins.zipWithIndex.map { case (d, i) => if (d >= 0) 1 << i else 0 }.sum
+      val want = (0 until (1 << nBits))
+        .sortBy { mask =>
+          ((0 until nBits)
+            .collect { case i if (mask & (1 << i)) != 0 => math.abs(margins(i)) }.sum,
+            mask)
+        }
+        .take(math.min(nProbes, 1 << nBits))
+        .map(_ ^ qb)
+      assert(got === want, s"nBits=$nBits nProbes=$nProbes trial=$trial")
+    }
+  }
+
+  test("occupancy-sized index: meta persisted, probe reads it, two-level pruning matches in-memory") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 3000L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ann_auto").toString + "/buckets"
+    // occupancy 12 over 3000 rows -> 250 buckets -> 8 bits, above
+    // maxDirBits=4: forces the two-level layout (16 partition dirs,
+    // full bucket a data column sorted within each file)
+    SimilaritySearch.writeBucketed(df, "vec_id", "embedding", dim, dir,
+      targetOccupancy = 12L, maxDirBits = 4)
+    val meta = SimilaritySearch.readBucketedMeta(spark, dir).get
+    assert(meta.nBits === 8 && meta.dirBits === 4 && meta.dim === dim)
+    val queries = rows.take(3).map { case (id, v) => (id, v.map(_.toDouble)) }
+    // the caller passes a STALE width (4): the index's persisted width wins
+    val fromDisk = SimilaritySearch.batchAnnTopKBucketed(spark, dir,
+      "vec_id", "embedding", dim, queries, k = 5, nBits = 4, nProbes = 4)
+    val inMem = SimilaritySearch.batchAnnTopK(df, "vec_id", "embedding", dim,
+      queries, k = 5, nBits = 8, nProbes = 4)
+    assert(fromDisk.as[(Long, Long, Double)].collect().toSet ===
+      inMem.as[(Long, Long, Double)].collect().toSet)
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("pbucket"),
+      s"expected partition pruning on the pbucket prefix in:\n$plan")
+  }
 }

@@ -434,6 +434,25 @@ class MultiBatchStreamingSpec extends SparkSpec {
       "per-query top-k must be batch-boundary invariant")
   }
 
+  test("ev12 prod flavor: occupancy-sized serving equals the batch rule at the index width") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val out = graft.queries.Queries.ev12_stream_ann_prod(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nb = graft.operators.SimilaritySearch.autoBits(emb.count(), 125L)
+    val queries = emb.where(col("vec_id") % 100 === 7)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    val want = graft.operators.SimilaritySearch.batchAnnTopK(
+      emb, "vec_id", "embedding", dim = 64, queries = queries, k = 10,
+      nBits = nb, nProbes = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out === want,
+      "prod serving must equal the one-shot batch rule at the persisted width")
+  }
+
   test("budget-fill admission state carries across >= 3 micro-batches") {
     import spark.implicits._
     val docs = spark.read.parquet(s"${sf("0.001")}/documents.parquet")
