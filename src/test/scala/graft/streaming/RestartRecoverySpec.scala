@@ -157,4 +157,35 @@ class RestartRecoverySpec extends SparkSpec {
     assert(got.exists(_._2 <= splitId) && got.exists(_._2 > splitId),
       "admissions must land on both sides of the crash boundary")
   }
+
+  test("state-store shard count follows the session's sized shuffle partitions and is pinned in the checkpoint") {
+    // The Tuning partition rule reaches streaming state through
+    // spark.sql.shuffle.partitions at FIRST query start: the state
+    // store shards once, then the checkpoint pins that count for the
+    // query's lifetime (restarts under a differently-sized session keep
+    // the original layout). Entry points set the sized value on the
+    // session before any stream starts, so this is the wiring proof.
+    val s2 = spark.newSession() // isolated SQLConf, shared context
+    s2.conf.set("spark.sql.shuffle.partitions", "7")
+    import s2.implicits._
+    val src = java.nio.file.Files.createTempDirectory("sized_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sized_ckpt").toString + "/ckpt"
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "k")
+      .write.mode("overwrite").parquet(src)
+    val q = s2.readStream.schema("id LONG, k STRING").parquet(src)
+      .groupBy("k").count()
+      .writeStream.outputMode("complete").format("noop")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable(); q.stop()
+    // numeric dirs are the shards; state/0 also holds _metadata
+    val shards = Option(new java.io.File(s"$ckpt/state/0").listFiles())
+      .map(_.count(f => f.isDirectory && f.getName.forall(_.isDigit))).getOrElse(-1)
+    assert(shards === 7,
+      s"state store must shard at the session's sized partition count, got $shards")
+    val offsets = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$ckpt/offsets/0")), "UTF-8")
+    assert(offsets.contains("\"spark.sql.shuffle.partitions\":\"7\""),
+      s"checkpoint offset log must pin the sized partition count:\n$offsets")
+  }
 }
