@@ -190,34 +190,52 @@ object Queries {
       .where(col("n_obs") >= 40)
 
   def a3_wide_agg(spark: SparkSession, dir: String): DataFrame = {
-    // money terms as exact decimals (the j3 lesson, applied before it
-    // bites): a double sum over millions of rows per group is
-    // summation-order-dependent in its last ulp, so a rounded total can
-    // flip at a .005 boundary under a different partitioning. Decimal
-    // sums are exact — bit-identical at any scale, any plan. Quantity
-    // is integral, its double sum is already exact.
-    val price = col("l_extendedprice").cast("decimal(12,2)")
-    val discF = lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")
-    val taxF = lit(1).cast("decimal(3,2)") + col("l_tax").cast("decimal(3,2)")
+    // Exact money sums WITHOUT decimal aggregation buffers (the j3
+    // exactness lesson kept, its cost moved): summing decimals widens
+    // the buffer 10 digits, and past 18 digits a decimal stops being a
+    // mutable fixed-width agg field — every per-row update then
+    // ser/des a BigDecimal and the hash agg leaves its fast path
+    // (A3Probe, sf100 solo: decimal 30.2 s vs an identical-shape
+    // double twin 4.4 s). The inputs are 2-decimal money values, so
+    // the SAME exact sums are long sums of scaled integers — cents,
+    // x100 more per discount/tax factor — reconstructed into decimals
+    // AFTER the 6-group agg: the hot path is codegen'd long adds, and
+    // the output is bit-identical to the decimal formulation at any
+    // scale, any partitioning (each division below is an exact
+    // rational at the result scale; rounding only in the final
+    // projection, same as before). Overflow headroom: the charge term
+    // is <= ~1.3e11 per row at scale 1e6, so Long.Max covers ~2e9
+    // filtered rows (sf300); past that, split each sum into
+    // quotient/remainder longs at 1e6 and recombine — same boundary,
+    // two columns. Quantity is integral; its double sum is exact to
+    // 2^53 (sf ~4e5).
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val d = round(col("l_discount") * 100).cast("long")
+    val tx = round(col("l_tax") * 100).cast("long")
     t(spark, dir, "lineitem")
       .where(col("l_shipdate") <= lit("2000-09-02"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(col("l_quantity")).as("__sq"),
-        sum(price).as("__sb"),
-        sum(price * discF).as("__sdp"),
-        sum(price * discF * taxF).as("__sch"),
-        sum(col("l_discount").cast("decimal(3,2)")).as("__sd"),
+        sum(cents).as("__sb_c"),
+        sum(cents * (lit(100L) - d)).as("__sdp_c"),
+        sum(cents * (lit(100L) - d) * (lit(100L) + tx)).as("__sch_c"),
+        sum(d).as("__sd_c"),
         count(lit(1)).as("count_order"))
       .select(
         col("l_returnflag"), col("l_linestatus"),
         round(col("__sq"), 2).as("sum_qty"),
-        round(col("__sb"), 2).cast("double").as("sum_base"),
-        round(col("__sdp"), 2).cast("double").as("sum_disc_price"),
-        round(col("__sch"), 2).cast("double").as("sum_charge"),
+        round(col("__sb_c").cast("decimal(38,0)") / 100, 2)
+          .cast("double").as("sum_base"),
+        round(col("__sdp_c").cast("decimal(38,0)") / 10000, 2)
+          .cast("double").as("sum_disc_price"),
+        round(col("__sch_c").cast("decimal(38,0)") / 1000000, 2)
+          .cast("double").as("sum_charge"),
         round(col("__sq") / col("count_order"), 4).as("avg_qty"),
-        round(col("__sb").cast("double") / col("count_order"), 4).as("avg_price"),
-        round(col("__sd").cast("double") / col("count_order"), 6).as("avg_disc"),
+        round((col("__sb_c").cast("decimal(38,0)") / 100).cast("double")
+          / col("count_order"), 4).as("avg_price"),
+        round((col("__sd_c").cast("decimal(38,0)") / 100).cast("double")
+          / col("count_order"), 6).as("avg_disc"),
         col("count_order"))
   }
 

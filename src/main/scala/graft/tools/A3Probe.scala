@@ -62,6 +62,35 @@ object A3Probe {
         count(lit(1)).as("count_order"))
   }
 
+  /** The pre-r17 catalog formulation: exact decimal sums (widened
+    * buffers, BigDecimal per-row updates). Kept as the probe's
+    * reference so the cents rewrite's bit-equality stays checkable.
+    */
+  def decimalVariant(spark: SparkSession, leg: String): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val discF = lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")
+    val taxF = lit(1).cast("decimal(3,2)") + col("l_tax").cast("decimal(3,2)")
+    base(spark, leg)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("__sq"),
+        sum(price).as("__sb"),
+        sum(price * discF).as("__sdp"),
+        sum(price * discF * taxF).as("__sch"),
+        sum(col("l_discount").cast("decimal(3,2)")).as("__sd"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        round(col("__sq"), 2).as("sum_qty"),
+        round(col("__sb"), 2).cast("double").as("sum_base"),
+        round(col("__sdp"), 2).cast("double").as("sum_disc_price"),
+        round(col("__sch"), 2).cast("double").as("sum_charge"),
+        round(col("__sq") / col("count_order"), 4).as("avg_qty"),
+        round(col("__sb").cast("double") / col("count_order"), 4).as("avg_price"),
+        round(col("__sd").cast("double") / col("count_order"), 6).as("avg_disc"),
+        col("count_order"))
+  }
+
   def main(args: Array[String]): Unit = {
     val legs = args.toSeq
     val b = SparkSession.builder()
@@ -78,9 +107,21 @@ object A3Probe {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val variants: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      "decimal" -> ((s, l) => graft.queries.Queries.a3_wide_agg(s, l)),
+      "catalog" -> ((s, l) => graft.queries.Queries.a3_wide_agg(s, l)),
+      "decimal" -> (decimalVariant _),
       "double" -> (doubleVariant _),
       "cents" -> (centsVariant _))
+    for (leg <- legs) {
+      // the catalog (cents) rewrite must be BIT-identical to the
+      // decimal formulation it replaced — on every leg probed
+      val got = graft.queries.Queries.a3_wide_agg(spark, leg)
+        .orderBy("l_returnflag", "l_linestatus").collect().toSeq
+      val want = decimalVariant(spark, leg)
+        .orderBy("l_returnflag", "l_linestatus").collect().toSeq
+      require(got == want,
+        s"[a3-probe] $leg catalog != decimal reference:\n got=$got\nwant=$want")
+      println(s"[a3-probe] $leg catalog == decimal reference (bit-identical)")
+    }
     for (leg <- legs; (vname, fn) <- variants) {
       def run(): Double = {
         val t0 = System.nanoTime()
