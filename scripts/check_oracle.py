@@ -4,11 +4,19 @@ compare each query's parquet dump against its DuckDB oracle SQL
 (columns sorted by name, rows sorted, value-level compare).
 
 Usage: python3 scripts/check_oracle.py [sfDir] [outDir] [--skip-verify]
-                                       [--only=name1,name2,...]
+                                       [--only=name1,name2,...] [--agg]
 
 --only restricts the compare to the named queries (spot-check mode for
 scale legs, where graft.Verify was run with its own subset arg and the
 remaining catalog has no parquet dump to compare).
+
+--agg replaces the Python-side row materialization (fetchall + sort)
+with an in-DuckDB order-insensitive aggregate compare: both sides are
+normalized identically (doubles rounded to 9 places, everything cast
+to VARCHAR) and reduced to (count(*), sum(hash(row-struct))). Value
+coverage is equivalent — every cell feeds the hash — but the compare
+stays vectorized and spill-able, so 100M+-row outputs (g3/w2 at sf100)
+are checkable where fetchall would exhaust driver memory.
 """
 import json
 import math
@@ -22,6 +30,7 @@ args = [a for a in sys.argv[1:] if not a.startswith("--")]
 SF_DIR = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
 OUT_DIR = args[1] if len(args) > 1 else "/tmp/verify_out"
 SKIP = "--skip-verify" in sys.argv
+AGG = "--agg" in sys.argv
 ONLY = None
 for a in sys.argv[1:]:
     if a.startswith("--only="):
@@ -117,6 +126,57 @@ def main():
         if not Path(pq).exists():
             print(f"FAIL {name}: no parquet output")
             n_fail += 1
+            continue
+        if AGG:
+            try:
+                got_cols = [c[0] for c in con.execute(
+                    f"DESCRIBE SELECT * FROM read_parquet('{pq}/*.parquet')"
+                ).fetchall()]
+                want_cols = [c[0] for c in con.execute(
+                    f"DESCRIBE {sql}").fetchall()]
+                if sorted(got_cols) != sorted(want_cols):
+                    print(f"FAIL {name}: cols {sorted(got_cols)} != "
+                          f"{sorted(want_cols)}")
+                    n_fail += 1
+                    continue
+
+                def digest(src, cols):
+                    # quote every identifier (catalog has reserved-word
+                    # column names like "order"); represent each cell as
+                    # VARCHAR with doubles rounded as the classic compare
+                    # rounds, NULL kept distinct from '' via a sentinel,
+                    # and rows joined on a separator no cell contains
+                    types = dict(
+                        (c[0], c[1]) for c in con.execute(
+                            f"DESCRIBE SELECT * FROM ({src})").fetchall())
+                    cells = ", ".join(
+                        "COALESCE(" + (
+                            f'CAST(round("{c}", 9) AS VARCHAR)'
+                            if types[c].upper() in ("DOUBLE", "FLOAT", "REAL")
+                            else f'CAST("{c}" AS VARCHAR)')
+                        + ", chr(1))"
+                        for c in sorted(cols))
+                    return con.execute(
+                        f"SELECT count(*), sum(hash(concat_ws(chr(31), "
+                        f"{cells}))) FROM ({src})"
+                    ).fetchone()
+
+                gn, gh = digest(
+                    f"SELECT * FROM read_parquet('{pq}/*.parquet')", got_cols)
+                wn, wh = digest(sql, want_cols)
+            except Exception as e:
+                print(f"FAIL {name}: exec error {e}")
+                n_fail += 1
+                continue
+            if gn != wn:
+                print(f"FAIL {name}: rows {gn} != {wn}")
+                n_fail += 1
+            elif gh != wh:
+                print(f"FAIL {name}: agg hash mismatch over {gn} rows")
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({gn} rows)")
+                n_pass += 1
             continue
         try:
             got = con.execute(
