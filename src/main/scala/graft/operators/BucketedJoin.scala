@@ -55,14 +55,34 @@ object BucketedJoin {
   private val BucketRoot = graft.util.ScratchDirs.register(
     s"/tmp/graft_bkt_${ProcessHandle.current().pid()}")
 
-  /** Deterministic per-(source-dir, table) catalog name, so repeated
-    * calls inside one session reuse the already-written layout and
-    * distinct SF dirs never collide.
+  /** Deterministic per-(source-dir, table, bucket-count) catalog name,
+    * so repeated calls inside one session reuse the already-written
+    * layout and distinct SF dirs (or differently-sized layouts — specs
+    * pin explicit counts while the catalog query derives its own) never
+    * collide.
     */
-  private[graft] def tableName(parquetPath: String): String = {
+  private[graft] def tableName(parquetPath: String, nBuckets: Int): String = {
     val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(parquetPath))
     val base = parquetPath.split('/').last.stripSuffix(".parquet")
-    s"graft_bkt_${base}_$h"
+    s"graft_bkt_${base}_${h}_b$nBuckets"
+  }
+
+  /** Bytes-derived bucket count for a co-located layout: one bucket per
+    * ~64 MB of the LARGER side's on-disk parquet (both sides must agree
+    * on the count), clamped to [4, 4096] — the guide §6 file-sizing rule
+    * (output files in the 128 MB–1 GB range) applied to bucket files. A
+    * constant count is wrong at both ends: 32 buckets of an 11 MB table
+    * are 350 KB files whose per-task writer/commit overhead dominates
+    * the write, and 32 buckets of a 6 TB table are 200 GB files no
+    * executor can sort. Scale posture: the count grows with the data
+    * (sf100 lineitem ≈ 6.4 GB -> ~100 buckets), so the layout write
+    * stays right-sized without a local-mode constant.
+    */
+  private[graft] def deriveBuckets(paths: Seq[String]): Int = {
+    val maxBytes = paths.map(graft.util.Tuning.legBytes).max
+    val by = ((maxBytes + graft.util.Tuning.BytesPerPartition - 1) /
+      graft.util.Tuning.BytesPerPartition).toInt
+    math.max(4, math.min(graft.util.Tuning.MaxLocalPartitions, by))
   }
 
   /** Idempotently materialize `parquetPath` as a bucketed+sorted managed
@@ -76,7 +96,7 @@ object BucketedJoin {
       parquetPath: String,
       key: String,
       nBuckets: Int): String = synchronized {
-    val tbl = tableName(parquetPath)
+    val tbl = tableName(parquetPath, nBuckets)
     if (!spark.catalog.tableExists(tbl)) {
       spark.read.parquet(parquetPath)
         // one task per bucket => one FILE per bucket => the scan
@@ -101,12 +121,13 @@ object BucketedJoin {
   def colocatedJoin(
       spark: SparkSession,
       dir: String,
-      nBuckets: Int = 32): DataFrame = {
-    val li = spark.table(
-      ensureBucketed(spark, s"$dir/lineitem.parquet", "l_orderkey", nBuckets))
-    val ord = spark.table(
-      ensureBucketed(spark, s"$dir/orders.parquet", "o_orderkey", nBuckets))
-    li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+      nBuckets: Int = 0): DataFrame = {
+    val li = s"$dir/lineitem.parquet"
+    val ord = s"$dir/orders.parquet"
+    val n = if (nBuckets > 0) nBuckets else deriveBuckets(Seq(li, ord))
+    val liT = spark.table(ensureBucketed(spark, li, "l_orderkey", n))
+    val ordT = spark.table(ensureBucketed(spark, ord, "o_orderkey", n))
+    liT.hint("merge").join(ordT, col("l_orderkey") === col("o_orderkey"))
   }
 
   /** Revenue by order priority over the co-located join — the j9
@@ -115,7 +136,7 @@ object BucketedJoin {
     * dependent in the last ulp; long sums are exact under any
     * partitioning).
     */
-  def revenueByPriority(spark: SparkSession, dir: String, nBuckets: Int = 32): DataFrame = {
+  def revenueByPriority(spark: SparkSession, dir: String, nBuckets: Int = 0): DataFrame = {
     val cents = round(col("l_extendedprice") * 100).cast("long")
     val pct = lit(100L) - round(col("l_discount") * 100).cast("long")
     colocatedJoin(spark, dir, nBuckets)

@@ -192,7 +192,16 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n)
+    // The per-doc shingle table is referenced by THREE subtrees (the
+    // exploded index and both verification sides), and the exploded
+    // index again by two (freq agg + prefix join) — without a barrier
+    // the tokenize+shingle UDF re-runs over the whole corpus once per
+    // reference (4 passes total; D2Probe: ~45% of the query at sf0.1).
+    // Materialize it once: the fingerprint-once pattern (guide §8) —
+    // at corpus scale this stores block-local shingle arrays instead of
+    // re-tokenizing the corpus four times, the same trade g6 makes for
+    // its cohort gVCF.
+    val sets = shingleSets(df, idCol, textCol, n).localCheckpoint()
     // candidate generation runs on 8-byte xxhash64 gram keys, not gram
     // strings: every downstream exchange (freq agg, freq join, prefix
     // self-join) carries a long instead of an n-token string. Exact up
@@ -288,7 +297,9 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n)
+    // same fingerprint-once materialization as [[ngramJaccardPairsPrefix]]:
+    // sets feeds the probe index and both exact-verify sides
+    val sets = shingleSets(df, idCol, textCol, n).localCheckpoint()
     val ex = sets.select(col("doc_id"), explode(col("shingles")).as("gs"))
       .select(col("doc_id"), xxhash64(col("gs")).as("g"))
     // rarest-first prefix of the probe side (same 8-byte-key, ride-the-

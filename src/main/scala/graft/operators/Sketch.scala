@@ -275,8 +275,14 @@ object Sketch {
     */
   def cmsHeavyHitters(df: DataFrame, textCol: String, k: Int,
       hashFamily: String = "md5"): DataFrame = {
+    // the exact token table feeds the counter build AND the estimate
+    // probe (which itself carries exact_cnt through) — three references
+    // that would each re-run the corpus-wide token aggregation.
+    // Vocabulary-bounded (Heaps-sublinear in the corpus), so one
+    // materialization is the production shape too.
     val exact = df.select(explode(split(col(textCol), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+      .localCheckpoint()
     val counters = cmsCounters(exact, "token", "exact_cnt", hashFamily)
     cmsEstimate(exact, "token", counters, hashFamily)
       .orderBy(col("est_cnt").desc, col("token"))

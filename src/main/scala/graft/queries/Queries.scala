@@ -600,10 +600,34 @@ object Queries {
       java.nio.file.Files.createSymbolicLink(
         staged.resolve(table),
         java.nio.file.Paths.get(dir, table).toAbsolutePath)
-      f(staged.toString)
+      withStreamStatePartitions(dir)(f(staged.toString))
     } finally {
       java.nio.file.Files.deleteIfExists(staged.resolve(table))
       java.nio.file.Files.deleteIfExists(staged)
+    }
+  }
+
+  /** Scope `spark.sql.shuffle.partitions` to the bytes-derived streaming
+    * STATE count ([[graft.util.Tuning.streamStatePartitions]] — the
+    * shuffle-sizing rule without the batch cpus floor) for the duration
+    * of a streaming catalog query, restoring the session value after.
+    * Structured Streaming pins its state-store count from this conf at
+    * query start, and each micro-batch pays O(partitions) store
+    * open/commit overhead per stateful operator; the session's
+    * batch-sized value is a pure constant tax at the small legs and
+    * identical from sf10 up (see the Tuning scaladoc for the measured
+    * A/B). Every streaming row funnels through [[withStagedTable]] /
+    * [[withStagedEventsAndSentinel]], so this is the one seam.
+    */
+  private def withStreamStatePartitions[T](dir: String)(body: => T): T = {
+    val spark = SparkSession.active
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, graft.util.Tuning.streamStatePartitions(dir))
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
   }
 
@@ -806,7 +830,7 @@ object Queries {
       } finally {
         Files.list(tmp).forEach(Files.delete(_)); Files.delete(tmp)
       }
-      f(staged.toString)
+      withStreamStatePartitions(dir)(f(staged.toString))
     } finally {
       Files.deleteIfExists(staged.resolve("zz_sentinel.parquet"))
       Files.deleteIfExists(staged.resolve("events.parquet"))

@@ -643,8 +643,14 @@ object StreamingOps {
         (expr("ts div 3600000000000") * 3600).as("window_start"),
         col("user_id").cast("string").as("u"))
       .groupBy("window_start", "u").agg(count(lit(1)).as("exact_cnt"))
+    // est is referenced twice (the typed top-k agg AND the join back
+    // that attaches counts to the winners); without a barrier the whole
+    // resolve chain — events agg, counter-log fold, d-row explode,
+    // broadcast probe — re-runs for the second reference. The probe set
+    // is bounded by |windows| x |users| (it IS the serving artifact), so
+    // materialize it once.
     val est = graft.operators.Sketch.cmsEstimateBy(
-      exact, "window_start", "u", counters)
+      exact, "window_start", "u", counters).localCheckpoint()
     val agg = new graft.operators.BoundedTopKByScoreAgg(k)
     val top = est.select(col("window_start"), col("u").cast("long").as("uid"),
         col("est_cnt"), col("exact_cnt"))

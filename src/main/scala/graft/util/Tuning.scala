@@ -48,4 +48,31 @@ object Tuning {
       val byBytes = ((legBytes(sfDir) + BytesPerPartition - 1) / BytesPerPartition).toInt
       math.max(cpus, math.min(MaxLocalPartitions, byBytes))
     }
+
+  /** Streaming STATE partition count for a leg: the same bytes-derived
+    * rule WITHOUT the core-count floor (floored at 4), env-overridable
+    * via SPARK_GRAFT_STATE_PARTITIONS.
+    *
+    * A stateful streaming operator creates one state store instance per
+    * shuffle partition, and EVERY micro-batch pays O(partitions) fixed
+    * cost per stateful operator: store open/load, delta write + CRC,
+    * commit bookkeeping — regardless of how much state each store
+    * holds. [[shufflePartitions]]'s cpus floor exists for batch sort/agg
+    * spill headroom; applied to streaming state it buys nothing (the
+    * floor only binds when per-partition state is far below the 64 MB
+    * sizing target, i.e. exactly when store-open overhead dominates
+    * compute) and costs ~3x per-trigger wall at the small legs
+    * (measured, StreamProbe at sf0.1: addBatch 3.4-4.1 s at 32
+    * partitions vs 1.1-1.2 s at 4 for the identical windowed agg).
+    * From sf10 up the bytes-derived count exceeds any core count and the
+    * two rules agree, so the at-scale posture is unchanged: state
+    * volume, not a constant, sizes the store count — on a cluster this
+    * is the `spark.sql.shuffle.partitions` a stateful job pins at its
+    * first checkpoint, sized to expected state, not to one node's cores.
+    */
+  def streamStatePartitions(sfDir: String): Int =
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.trim.toInt).getOrElse {
+      val byBytes = ((legBytes(sfDir) + BytesPerPartition - 1) / BytesPerPartition).toInt
+      math.max(4, math.min(MaxLocalPartitions, byBytes))
+    }
 }

@@ -53,6 +53,20 @@ class BucketedFuzzySpec extends SparkSpec {
     assert(spark.catalog.tableExists(t1))
   }
 
+  test("deriveBuckets: bytes-derived from the larger side, clamped [4, 4096]") {
+    // tiny SF legs sit at the floor — no 32-bucket 350 KB-file layouts
+    assert(BucketedJoin.deriveBuckets(Seq(
+      sf("0.001") + "/lineitem.parquet", sf("0.001") + "/orders.parquet")) === 4)
+    // the count follows the LARGER side (both sides must share it)
+    val bpp = graft.util.Tuning.BytesPerPartition
+    assert(BucketedJoin.deriveBuckets(Seq("/nonexistent")) === 4)
+    // distinct counts get distinct catalog names: differently-sized
+    // layouts of the same path never collide in a shared session
+    assert(BucketedJoin.tableName("/x/y/orders.parquet", 4) !==
+      BucketedJoin.tableName("/x/y/orders.parquet", 8))
+    assert(bpp === 64L << 20)
+  }
+
   // ---- j10: deletion-blocked edit-distance join --------------------
 
   /** plain Levenshtein, the naive reference */
