@@ -642,8 +642,14 @@ object Dedup {
       bands: Int = 8,
       minAgree: Double = 0.5,
       hashFamily: String = "xx64"): DataFrame =
+    // the signature table feeds THREE subtrees of the pair generator
+    // (band explode + both verify sides) — without a barrier the k-pass
+    // shingle kernel, the heavy map of this operator, runs 3x per query.
+    // Materialize once (it IS the persistent artifact of the incremental
+    // flavor; doc-bounded: k longs per doc) — the incrementalMinHash
+    // batch-side precedent applied to the batch operator.
     pairsFromSignatures(
-      minHashSignatures(df, idCol, textCol, n, k, hashFamily),
+      minHashSignatures(df, idCol, textCol, n, k, hashFamily).localCheckpoint(),
       k, bands, minAgree, hashFamily)
 
   /** Band keys via the same 60-bit hash family; the band id is embedded
@@ -729,7 +735,9 @@ object Dedup {
       bands: Int = 32,
       minAgree: Double = 0.5,
       hashFamily: String = "md5"): DataFrame = {
+    // same three-subtree reuse as [[minHashLshPairs]] — one kernel pass
     val sigs = minHashSignatures(df, idCol, textCol, n, k, hashFamily)
+      .localCheckpoint()
     val bandKeys = bandKeysUdf(k, bands, hashFamily)
     val banded = sigs.select(col("doc_id"), explode(bandKeys(col("sig"))).as("b"))
       .select(col("doc_id"), col("b._1").as("band"), col("b._2").as("bh"))
@@ -1311,7 +1319,9 @@ object Dedup {
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, hashFamily: String = "xx64"): DataFrame = {
     require(maxHamming <= 3, "chunking scheme assumes <= 3 for 4 chunks")
-    val sh = simHash(df, idCol, textCol, hashFamily)
+    // the sketch table feeds both self-join sides; one kernel pass
+    // (doc-bounded: one long per doc — the d19/d20 `classes` precedent)
+    val sh = simHash(df, idCol, textCol, hashFamily).localCheckpoint()
     val chunkStructs = array((0 until 4).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7fffL)).as("cv"))

@@ -79,7 +79,10 @@ object Merge {
       opCol: String = "op"): DataFrame = {
     val dataCols = base.columns.toSeq
     require(dataCols.contains(keyCol), s"base lacks key column $keyCol")
+    // batch-winner-bounded, read by the anti-join key set AND the union
+    // side — one max_by collapse of the change batch instead of two
     val won = winners(changes, keyCol, dataCols, versionCol, opCol)
+      .localCheckpoint()
 
     // untouched base rows + surviving winners. The winner key set is
     // batch-sized: AQE turns the anti-join into a broadcast and the

@@ -752,8 +752,12 @@ object Multimodal {
     * exact Hamming verify after `distinct` kills chunk-collision false
     * positives.
     */
-  def dHashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def dHashNearDupPairs(hashes0: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "chunking scheme assumes <= 3 for 4 chunks")
+    // both self-join sides read the hash table; without a barrier the
+    // upstream (the per-image DECODE kernel in the m6 pipeline) runs
+    // twice. Doc-bounded: two longs per image.
+    val hashes = hashes0.localCheckpoint()
     val chunkStructs = array(
       (0 until 2).map { c =>
         struct(lit(c).as("chunk"),
@@ -799,8 +803,12 @@ object Multimodal {
     */
   def dHashNearDupScaled(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "chunking scheme assumes <= 3 for 4 chunks")
+    // distinct-hash-bounded class table, read by the exact leg AND both
+    // self-join sides — one decode+collapse instead of three (the
+    // d19/d20 `classes` barrier)
     val grp = hashes.groupBy("dhash_hi", "dhash_lo")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
+      .localCheckpoint()
     val exact = grp.where(col("n") >= 2)
       .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
         lit(0L).as("hamming"), expr("(n * (n - 1)) DIV 2").as("weight"))
@@ -1019,8 +1027,11 @@ object Multimodal {
     */
   def audioNearDupCollapsed(fps: DataFrame, maxHamming: Int = 4): DataFrame = {
     require(maxHamming <= 4, "chunking scheme assumes <= 4 for 5 chunks")
+    // distinct-fp-bounded class table, read by the exact leg AND both
+    // self-join sides — one audio-decode+collapse instead of three
     val grp = fps.groupBy("fp")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
+      .localCheckpoint()
     val exact = grp.where(col("n") >= 2)
       .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
         lit(0L).as("hamming"), expr("(n * (n - 1)) DIV 2").as("weight"))
@@ -1066,9 +1077,14 @@ object Multimodal {
       .agg(sort_array(collect_set(col("frame_fp"))).as("fps"))
       .select(col("doc_id"), col("fps"), size(col("fps")).as("nf"),
         md5(concat_ws(",", col("fps"))).as("vkey"))
+    // distinct-video-bounded class table, read by the exact leg AND both
+    // sides of the shared-frame self-join — one container-parse + agg
+    // chain instead of three (the d19/d20 `classes` barrier applied to
+    // the video surface)
     val grp = vids.groupBy("vkey")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("n"),
         first("nf").as("nf"), first("fps").as("fps"))
+      .localCheckpoint()
     val exact = grp.where(col("n") >= 2)
       .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
         col("nf").cast("long").as("shared"),

@@ -361,11 +361,18 @@ object Sampling {
     val ts = filter(
       split(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +"),
       t => t =!= "")
+    // the hashed-unigram table is referenced by THREE subtrees (the
+    // bucket stats feed both the totals and the log-ratio frame, and
+    // the per-doc scoring join reads it again) — without a barrier the
+    // regex-tokenize + per-token md5 pass over the corpus runs 3x.
+    // Materialize once: (id, flag, 8-byte bucket) rows are far cheaper
+    // to store than to recompute (same fingerprint-once trade as d2).
     val g = df
       .select(col(idCol), isTarget.as("is_tgt"), explode(ts).as("gm"))
       .select(col(idCol), col("is_tgt"),
         pmod(conv(substring(md5(col("gm")), 1, 15), 16, 10).cast("long"),
           lit(buckets.toLong)).as("b"))
+      .localCheckpoint()
     val stats = g.groupBy("b").agg(
       count(lit(1)).as("raw_n"),
       sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_n"))

@@ -93,36 +93,57 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       scale: Int = 4): org.apache.spark.sql.DataFrame = {
+    // Every signal is a PER-DOCUMENT statistic of the doc's own token
+    // multiset, so nothing here needs a shuffle: total = array size,
+    // distinct = size(array_distinct), and the top gram count = the
+    // longest equal-run of the SORTED array (exact mode count). The
+    // former plan shuffled the exploded corpus through two
+    // (doc_id, gram) aggregations plus a join — two corpus-token-volume
+    // exchanges (guide §2.4: remove shuffles outright) for values each
+    // row can compute alone in O(n log n). Counts are integer-exact
+    // either way, so the rounded ratios are bit-identical.
     val base = df.select(col(idCol).as("doc_id"),
       filter(tokens(col(textCol)), t => t =!= "").as("toks"))
       .where(size(col("toks")) >= 1)
-    def stats(grams: org.apache.spark.sql.DataFrame, pfx: String) =
-      grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(
-          sum(col("c")).as(s"${pfx}_total"),
-          count(lit(1)).as(s"${pfx}_distinct"),
-          max(col("c")).as(s"${pfx}_top"))
-    val tok = stats(base.select(col("doc_id"), explode(col("toks")).as("g")), "tok")
-    // bigrams via one array pass per doc (the array is a projected
-    // attribute, so the explode evaluates it once, not per output row)
-    val bi = stats(base
-      .select(col("doc_id"),
-        zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (a, b) => concat_ws(" ", a, b)).as("bis"))
-      .where(size(col("bis")) >= 1)
-      .select(col("doc_id"), explode(col("bis")).as("g")), "bi")
-    tok.join(bi, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        round(lit(1.0) - col("tok_distinct") / col("tok_total").cast("double"), scale)
-          .as("dup_token_ratio"),
-        round(col("tok_top") / col("tok_total").cast("double"), scale)
-          .as("top_token_ratio"),
-        round(lit(1.0) - col("bi_distinct") / col("bi_total").cast("double"), scale)
-          .as("dup_bigram_ratio"),
-        round(col("bi_top") / col("bi_total").cast("double"), scale)
-          .as("top_bigram_ratio"))
+    // longest equal-run of a sorted array = exact max multiplicity;
+    // single fold over indices 2..n carrying (current run, best run)
+    def maxRun(sorted: Column): Column =
+      when(size(sorted) <= 1, size(sorted).cast("long")).otherwise(
+        aggregate(
+          sequence(lit(2), size(sorted)),
+          struct(lit(1L).as("cur"), lit(1L).as("best")),
+          (acc, i) => {
+            val cur = when(element_at(sorted, i) === element_at(sorted, i - 1),
+              acc.getField("cur") + 1L).otherwise(lit(1L))
+            struct(cur.as("cur"),
+              greatest(acc.getField("best"), cur).as("best"))
+          },
+          acc => acc.getField("best")))
+    def ratios(arr: Column, sorted: Column, pfx: String): Seq[Column] = {
+      val total = size(arr).cast("double")
+      val dup = round(lit(1.0) - size(array_distinct(arr)) / total, scale)
+      val top = round(maxRun(sorted) / total, scale)
+      // empty array (e.g. single-token docs have no bigrams) -> nulls,
+      // matching the former plan's left-join-miss semantics
+      Seq(when(size(arr) >= 1, dup).as(s"dup_${pfx}_ratio"),
+        when(size(arr) >= 1, top).as(s"top_${pfx}_ratio"))
+    }
+    val bis = zip_with(
+      slice(col("toks"), lit(1), size(col("toks")) - 1),
+      slice(col("toks"), lit(2), size(col("toks")) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    // the sorted arrays MUST be materialized attributes before maxRun:
+    // the fold's lambda dereferences them per element, and an inlined
+    // array_sort expression re-sorts the array once per element_at
+    // (O(n² log n)/doc — measured 23 s vs 1.4 s at sf0.1; same trap as
+    // the shingleIndex PERF NOTE). Multiple references below keep
+    // CollapseProject from re-inlining them.
+    base
+      .withColumn("bis", bis)
+      .withColumn("toks_s", array_sort(col("toks")))
+      .withColumn("bis_s", array_sort(col("bis")))
+      .select(col("doc_id") +: (ratios(col("toks"), col("toks_s"), "token") ++
+        ratios(col("bis"), col("bis_s"), "bigram")): _*)
   }
 
   def tfIdfTopTerms(
@@ -134,7 +155,11 @@ object TextAnalysis {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("term"))
       .where(col("term") =!= "")
+    // (doc, term) table read by the df table, the corpus-size scalar and
+    // the scoring join — one corpus tokenize+agg instead of three;
+    // distinct-terms-per-doc bounded (Heaps-sublinear)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
@@ -189,7 +214,10 @@ object TextAnalysis {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("term"))
       .where(col("term") =!= "")
+    // doc-bounded length table, read by the corpus stats AND the scoring
+    // join — one corpus tokenize for it instead of two
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .localCheckpoint()
     // 1-row corpus stats: N docs and summed length (avgdl = sl/nd)
     val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sl"))
     val tf = toks.where(col("term").isin(terms: _*))
@@ -229,10 +257,13 @@ object TextAnalysis {
     val allTerms = queries.flatMap(_._2).distinct
     val qdf = queries.flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
       .toDF("qid", "term")
+    // hit-bounded score table, read by the typed top-k AND the join that
+    // attaches scores to the winners — one contribution chain, not two
     val scored = bm25Contribs(df, idCol, textCol, allTerms)
       .join(broadcast(qdf), "term")
       .groupBy("qid", "doc_id")
       .agg(sum(col("c10k")).as("score_x10k"), count(lit(1)).as("n_hit"))
+      .localCheckpoint()
     val agg = new BoundedTopKByScoreAgg(k)
     val top = scored.select(col("qid"), col("doc_id"), col("score_x10k"))
       .as[(Long, Long, Long)]
@@ -361,7 +392,11 @@ object TextAnalysis {
       : org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("w"))
+    // vocab-bounded LM table, read by the total AND the scoring join —
+    // one corpus aggregation instead of three (each reference re-derived
+    // the whole explode+agg chain)
     val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val total = counts.agg(sum(col("c")).cast("double").as("t"))
     toks.join(counts, "w")
       .crossJoin(broadcast(total))
@@ -397,10 +432,19 @@ object TextAnalysis {
     val pairs = df.select(col(idCol).as("doc_id"),
         explode(mkPairs(split(col(textCol), " "))).as("p"))
       .select(col("doc_id"), col("p._1").as("prev"), col("p._2").as("w"))
-    val uni = pairs.groupBy("w").agg(count(lit(1)).as("c"))
+    // ONE (prev, w) aggregation — null prev = doc-initial — feeds every
+    // count table: uni(w) = Σ_prev, ctx(prev) = Σ_w over real bigrams,
+    // total = Σ (all integer-exact regroupings). Materialized because
+    // four subtrees read it; before this the corpus-wide pair kernel
+    // (UDF + explode) re-ran FIVE times per query (uni, bi, and their
+    // rollups each re-derived it). Bigram-TYPE-bounded (sub-vocab²),
+    // not corpus-bounded.
+    val pg = pairs.groupBy("prev", "w").agg(count(lit(1)).as("cpw"))
+      .localCheckpoint()
+    val uni = pg.groupBy("w").agg(sum(col("cpw")).as("c"))
     val total = uni.agg(sum(col("c")).cast("double").as("t"))
-    val bi = pairs.where(col("prev").isNotNull)
-      .groupBy("prev", "w").agg(count(lit(1)).as("cb"))
+    val bi = pg.where(col("prev").isNotNull)
+      .select(col("prev"), col("w"), col("cpw").as("cb"))
     val ctx = bi.groupBy("prev").agg(sum(col("cb")).as("cc"))
     val pUni = col("c").cast("double") / col("t")
     val p = when(col("prev").isNull, pUni)
@@ -631,11 +675,17 @@ object TextAnalysis {
     val ws = filter(
       split(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +"),
       t => t =!= "")
-    // corpus-sized work ends here: one partial+final agg to (doc, word)
+    // corpus-sized work ends here: one partial+final agg to (doc, word).
+    // Materialized because three subtrees read it (the word-frequency
+    // table feeds the vocab build AND the ntok side, and the final
+    // per-doc rollup joins it again) — without the barrier the corpus
+    // tokenize + agg runs 3x per query. (doc, word, cnt) is the
+    // distinct-words-per-doc table — Heaps-sublinear in the corpus.
     val docWords = df
       .select(col(idCol), explode(ws).as("w"))
       .groupBy(col(idCol), col("w"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val wc = docWords.groupBy("w").agg(sum(col("cnt")).as("wc"))
 
     // piece counts over the distinct vocabulary, weighted by word

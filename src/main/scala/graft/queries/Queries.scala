@@ -1951,8 +1951,11 @@ object Queries {
 
   private def incMinHashImpl(docs: DataFrame, hashFamily: String): DataFrame = {
     val history = docs.where(col("doc_id") % 3 === 0)
+    // the history signatures feed the verify join AND the band index —
+    // one kernel pass, not two (ev11 materializes the same artifact to
+    // parquet; this is the in-session equivalent)
     val hSigs = Dedup.minHashSignatures(history, "doc_id", "text",
-      n = 3, k = 64, hashFamily = hashFamily)
+      n = 3, k = 64, hashFamily = hashFamily).localCheckpoint()
     Dedup.incrementalMinHash(
       docs.where(col("doc_id") % 3 =!= 0),
       hSigs,

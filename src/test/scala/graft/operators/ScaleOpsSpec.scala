@@ -43,6 +43,17 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out(4L).getDouble(2) === 1.0 && out(4L).isNullAt(3) && out(4L).isNullAt(4))
   }
 
+  test("repetition signals plan is narrow: zero Exchange (r17 rewrite)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val plan = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // per-doc statistics of the doc's own token multiset: total/distinct/
+    // top multiplicity all compute row-locally (sorted-run fold), so the
+    // former two corpus-token-volume shuffles + join must stay gone
+    assert(!plan.contains("Exchange"), s"repetitionSignals must not shuffle:\n$plan")
+  }
+
   test("mrlRerank: full-width coarse == exact top-k; prefix coarse recalls") {
     import spark.implicits._
     val rnd = new scala.util.Random(19)
