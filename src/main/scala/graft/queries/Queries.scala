@@ -1157,8 +1157,9 @@ object Queries {
       // variant frame on the SNV and indel sides, but the duplicate
       // discovery overlaps with other stages across the 32 local threads
       // and a checkpoint barrier measured SLOWER (g2 4.8->6s, g4 6->7.5s
-      // at sf0.1). On a cluster where two cohort scans dominate, check-
-      // point here as g6 does.
+      // at sf0.1; re-measured r17: warm 6.0-8.3s plain vs 7.0-8.7s
+      // checkpointed, cold 16s vs 17-22s — three fresh JVMs each). On a
+      // cluster where two cohort scans dominate, checkpoint as g6 does.
     val called = BiallelicGenotyper.call(rds, variants, ploidy = 2, binSize = 20.0)
     graft.genomics.TrioCaller(called, "sN", "sA", "sR")
       .select(
