@@ -285,6 +285,20 @@ object Bench {
   }
   @volatile private var memSink = 0L
 
+  /** Memory-bandwidth conviction gate (round 18). The r17 driver run was
+    * ACCEPTED (CPU probes gate-clean) while its mid-suite mem probes
+    * dipped to 4.89 and 3.34 GB/s against a 7-8 GB/s quiet band — and
+    * the g-family rows inside exactly those windows recorded 2-7x their
+    * quiet-box cost (g6 77.3 s vs ~10 s re-measured). A compute-bound
+    * xxhash probe cannot see memory-bus contention (the r10 note), so
+    * the mem probe now CONVICTS its window the same way a hot CPU probe
+    * does. The reference is the best bandwidth this run has seen
+    * (host-independent); the gate sits below observed quiet-band
+    * variance (r17 accepted run: min/max 0.69 within the quiet band,
+    * stalls at 0.41-0.60).
+    */
+  val MemGate = 0.6
+
   /** Queries that spend less than this are not re-measured after a
     * conviction: their worst-case inflation is bounded by the floor
     * itself, and a re-run would cost more probe time than it could
@@ -434,8 +448,16 @@ object Bench {
       if (c != null && c.isCompilationTimeMonitoringSupported)
         c.getTotalCompilationTime else 0L
     }
+    // block-manager residue telemetry (round 18, VERDICT r17 #3): the
+    // peak count of bench-created persistent RDDs observed at any
+    // query boundary bounds how much barrier debris one query can leave
+    // for the next; the post-sweep count proves the suite exits clean.
+    var peakResidentRdds = 0
+    def residentRdds: Int = spark.sparkContext.getPersistentRDDs
+      .count { case (id, _) => !preexisting.contains(id) }
     def runOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      peakResidentRdds = math.max(peakResidentRdds, residentRdds)
       // release localCheckpoint blocks deterministically: queries that
       // materialize intermediates (g6's cohort gVCF, d9's bench grams)
       // pin RDD blocks until the ASYNC ContextCleaner gets to them, so
@@ -478,13 +500,21 @@ object Bench {
     val window = scala.collection.mutable.ArrayBuffer.empty[String]
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def fnFor(name: String) = overrides.get(name).orElse(SparkEntry.queries.get(name))
+    // best bandwidth seen this run — the mem-conviction reference
+    var memRef = memPre
+    // quiet = CPU probe under the gate AND memory bandwidth recovered to
+    // the run's own quiet band: a re-measurement taken during a bus
+    // stall would record the same inflation the conviction flagged
     def quietBox(maxWaitSec: Int): Boolean = {
       val deadline = System.nanoTime() + maxWaitSec * 1000000000L
-      var p = calibrate(spark)
-      while (p > CalGate * CalRefSec && System.nanoTime() < deadline) {
-        Thread.sleep(5000); p = calibrate(spark)
+      def quiet(): Boolean =
+        calibrate(spark) <= CalGate * CalRefSec &&
+          memProbeGbps() >= MemGate * memRef
+      var ok = quiet()
+      while (!ok && System.nanoTime() < deadline) {
+        Thread.sleep(5000); ok = quiet()
       }
-      p <= CalGate * CalRefSec
+      ok
     }
     // every query in a convicted window leaves a trace in the artifact:
     // re-measured (contention_reruns, min wins), skipped because cheap
@@ -517,15 +547,19 @@ object Bench {
       }
       // a re-measurement taken while the box was (still or again) hot
       // cannot clear the conviction — verify the box stayed quiet
-      // through the re-runs, else the whole window stays poisoned
-      if (calibrate(spark) > 1.5 * CalRefSec) contUnremediated ++= victims
+      // through the re-runs (CPU and memory bus), else the whole window
+      // stays poisoned
+      if (calibrate(spark) > 1.5 * CalRefSec ||
+        memProbeGbps() < MemGate * memRef) contUnremediated ++= victims
     }
     selected.zipWithIndex.foreach { case (name, qi) =>
       if (qi > 0 && qi % 6 == 0) {
         val p = calibrate(spark)
         midProbes += p
-        memMids += memProbeGbps()
-        if (p > 1.5 * CalRefSec) remeasureWindow()
+        val m = memProbeGbps()
+        memMids += m
+        memRef = math.max(memRef, m)
+        if (p > 1.5 * CalRefSec || m < MemGate * memRef) remeasureWindow()
         window.clear()
       }
       fnFor(name).foreach { fn =>
@@ -557,10 +591,21 @@ object Bench {
     locally {
       val p = calibrate(spark)
       midProbes += p
-      memMids += memProbeGbps()
-      if (p > 1.5 * CalRefSec) remeasureWindow()
+      val m = memProbeGbps()
+      memMids += m
+      memRef = math.max(memRef, m)
+      if (p > 1.5 * CalRefSec || m < MemGate * memRef) remeasureWindow()
     }
     val results = selected.flatMap(n => timings.get(n).map(n -> _))
+    // final sweep (same cleanup every query boundary runs), then record
+    // the residue: a non-zero post-sweep count would mean blocks the
+    // bench cannot release — the storage-leak signature the r16
+    // BloomJoin unpersist bug had
+    peakResidentRdds = math.max(peakResidentRdds, residentRdds)
+    spark.sparkContext.getPersistentRDDs
+      .foreach { case (id, rdd) =>
+        if (!preexisting.contains(id)) rdd.unpersist(blocking = true) }
+    val postSweepResidentRdds = residentRdds
     val calPost = probeMin(spark, 5)
     val memPost = memProbeGbps()
     val rejected = shouldReject(calPost, contUnremediated.toSeq)
@@ -609,7 +654,7 @@ object Bench {
       else
         s""""convicted windows not cleanly re-measured: ${contUnremediated.mkString(",")}""""
     val memMidJ = memMids.map(v => f"$v%.2f").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"normalized_value":${f"$normalized%.3f"},"unit":"sec","queries":$qs,"hash_family_overrides":$ov,"skipped":${namesJson(skipped.toSeq.sorted)},"failed":$fj,"failed_count":${failed.size},"calibration_sec":[$calPre,$calPost],"calibration_mid":$mids,"mem_probe_gbps":{"pre":${f"$memPre%.2f"},"mid":$memMidJ,"post":${f"$memPost%.2f"}},"gc_reruns":${rerunJson(gcReruns)},"contention_reruns":${rerunJson(contReruns)},"contention_skipped":${namesJson(contSkipped)},"contention_unremediated":${namesJson(contUnremediated)},"calibration_ref_sec":$CalRefSec,"calibration_gate":$CalGate,"contended":$contended,"rejected":$rejected,"reject_reason":$rejectReason,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"normalized_value":${f"$normalized%.3f"},"unit":"sec","queries":$qs,"hash_family_overrides":$ov,"skipped":${namesJson(skipped.toSeq.sorted)},"failed":$fj,"failed_count":${failed.size},"calibration_sec":[$calPre,$calPost],"calibration_mid":$mids,"mem_probe_gbps":{"pre":${f"$memPre%.2f"},"mid":$memMidJ,"post":${f"$memPost%.2f"}},"gc_reruns":${rerunJson(gcReruns)},"contention_reruns":${rerunJson(contReruns)},"contention_skipped":${namesJson(contSkipped)},"contention_unremediated":${namesJson(contUnremediated)},"peak_resident_rdds":$peakResidentRdds,"post_sweep_resident_rdds":$postSweepResidentRdds,"calibration_ref_sec":$CalRefSec,"calibration_gate":$CalGate,"contended":$contended,"rejected":$rejected,"reject_reason":$rejectReason,"sf":"$sfDir"}"""
     // stdout (unprefixed via fork + StdoutOutput) AND a file artifact,
     // so the driver's parse can't be defeated by log interleaving
     println(json)

@@ -78,11 +78,21 @@ object BucketedJoin {
     * (sf100 lineitem ≈ 6.4 GB -> ~100 buckets), so the layout write
     * stays right-sized without a local-mode constant.
     */
-  private[graft] def deriveBuckets(paths: Seq[String]): Int = {
-    val maxBytes = paths.map(graft.util.Tuning.legBytes).max
-    val by = ((maxBytes + graft.util.Tuning.BytesPerPartition - 1) /
-      graft.util.Tuning.BytesPerPartition).toInt
-    math.max(4, math.min(graft.util.Tuning.MaxLocalPartitions, by))
+  private[graft] def deriveBuckets(paths: Seq[String]): Int =
+    bucketsForBytes(paths.map(graft.util.Tuning.legBytes).max)
+
+  /** The pure ceil/clamp rule, factored out so the derivation above the
+    * floor and cap is unit-testable without multi-GB fixtures (ADVICE
+    * r17: the fixture-based spec only ever exercised the floor).
+    */
+  private[graft] def bucketsForBytes(maxBytes: Long): Int = {
+    // clamp as a Long BEFORE narrowing: a petabyte-scale byte count
+    // divided by 64 MB exceeds Int range and a bare .toInt truncates
+    // through zero (2^35.toInt == 0), which would return the FLOOR for
+    // the largest inputs
+    val by = (maxBytes + graft.util.Tuning.BytesPerPartition - 1) /
+      graft.util.Tuning.BytesPerPartition
+    math.max(4L, math.min(graft.util.Tuning.MaxLocalPartitions.toLong, by)).toInt
   }
 
   /** Idempotently materialize `parquetPath` as a bucketed+sorted managed

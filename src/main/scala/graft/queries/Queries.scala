@@ -560,7 +560,7 @@ object Queries {
     * it — so this shares ev7's oracle.
     */
   def ev8_stream_asof_enrich(spark: SparkSession, dir: String): DataFrame =
-    withStagedEvents(dir, "ev8_stream") { staged =>
+    withStagedEvents(spark, dir, "ev8_stream") { staged =>
       val ev = graft.streaming.StreamingOps.readEvents(spark, staged)
         .select(col("event_id"), col("user_id"), expr("ts div 1000000").as("ts_ms"))
       val ords = t(spark, dir, "orders").select(
@@ -590,17 +590,18 @@ object Queries {
     * query, and always remove the staging dir — the results live in the
     * memory sink after stop(), so nothing references the dir afterwards.
     */
-  private def withStagedEvents[T](dir: String, prefix: String)(f: String => T): T =
-    withStagedTable(dir, "events.parquet", prefix)(f)
+  private def withStagedEvents[T](spark: SparkSession, dir: String, prefix: String)(
+      f: String => T): T =
+    withStagedTable(spark, dir, "events.parquet", prefix)(f)
 
-  private def withStagedTable[T](dir: String, table: String, prefix: String)(
-      f: String => T): T = {
+  private def withStagedTable[T](spark: SparkSession, dir: String, table: String,
+      prefix: String)(f: String => T): T = {
     val staged = java.nio.file.Files.createTempDirectory(prefix)
     try {
       java.nio.file.Files.createSymbolicLink(
         staged.resolve(table),
         java.nio.file.Paths.get(dir, table).toAbsolutePath)
-      withStreamStatePartitions(dir)(f(staged.toString))
+      withStreamStatePartitions(spark, dir)(f(staged.toString))
     } finally {
       java.nio.file.Files.deleteIfExists(staged.resolve(table))
       java.nio.file.Files.deleteIfExists(staged)
@@ -619,8 +620,11 @@ object Queries {
     * A/B). Every streaming row funnels through [[withStagedTable]] /
     * [[withStagedEventsAndSentinel]], so this is the one seam.
     */
-  private def withStreamStatePartitions[T](dir: String)(body: => T): T = {
-    val spark = SparkSession.active
+  private def withStreamStatePartitions[T](spark: SparkSession, dir: String)(
+      body: => T): T = {
+    // the CALLER's session, not SparkSession.active: with a non-active
+    // session the conf would be set/restored on the wrong session and
+    // the sizing would silently not apply (ADVICE r17)
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, graft.util.Tuning.streamStatePartitions(dir))
@@ -638,7 +642,7 @@ object Queries {
     * windows align to the epoch.
     */
   def ev3_stream_window(spark: SparkSession, dir: String): DataFrame =
-    withStagedEvents(dir, "ev3_stream") { staged =>
+    withStagedEvents(spark, dir, "ev3_stream") { staged =>
       val counts = graft.streaming.StreamingOps
         .windowedCounts(graft.streaming.StreamingOps.readEvents(spark, staged))
       val name = "ev3_" + java.lang.Long.toHexString(System.nanoTime())
@@ -659,7 +663,7 @@ object Queries {
     * recomputes exactly that set with window functions.
     */
   def ev4_stream_sessions(spark: SparkSession, dir: String): DataFrame =
-    withStagedEvents(dir, "ev4_stream") { staged =>
+    withStagedEvents(spark, dir, "ev4_stream") { staged =>
       val sess = graft.streaming.StreamingOps
         .sessionizeStream(graft.streaming.StreamingOps.readEvents(spark, staged))
       val name = "ev4_" + java.lang.Long.toHexString(System.nanoTime())
@@ -683,7 +687,7 @@ object Queries {
     * which physical row survived.
     */
   def ev6_stream_dedup(spark: SparkSession, dir: String): DataFrame =
-    withStagedEvents(dir, "ev6_stream") { staged =>
+    withStagedEvents(spark, dir, "ev6_stream") { staged =>
       val dd = graft.streaming.StreamingOps.streamingDedup(
         graft.streaming.StreamingOps.readEvents(spark, staged),
         Seq("user_id", "event_type"))
@@ -703,7 +707,7 @@ object Queries {
     * customer dimension per micro-batch, then aggregates per segment.
     */
   def ev5_stream_enrich(spark: SparkSession, dir: String): DataFrame =
-    withStagedEvents(dir, "ev5_stream") { staged =>
+    withStagedEvents(spark, dir, "ev5_stream") { staged =>
       val ev = graft.streaming.StreamingOps.readEvents(spark, staged)
       val dim = t(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
       val agg = graft.streaming.StreamingOps
@@ -726,7 +730,7 @@ object Queries {
     * the batch self-join with the identical range predicate.
     */
   def ev9_stream_stream_join(spark: SparkSession, dir: String): DataFrame =
-    withStagedEvents(dir, "ev9_stream") { staged =>
+    withStagedEvents(spark, dir, "ev9_stream") { staged =>
       val p = graft.streaming.StreamingOps.readEvents(spark, staged)
         .where(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
@@ -830,7 +834,7 @@ object Queries {
       } finally {
         Files.list(tmp).forEach(Files.delete(_)); Files.delete(tmp)
       }
-      withStreamStatePartitions(dir)(f(staged.toString))
+      withStreamStatePartitions(spark, dir)(f(staged.toString))
     } finally {
       Files.deleteIfExists(staged.resolve("zz_sentinel.parquet"))
       Files.deleteIfExists(staged.resolve("events.parquet"))
@@ -1843,7 +1847,7 @@ object Queries {
     * must land on the identical report.
     */
   def ev18_stream_funnel(spark: SparkSession, dir: String): DataFrame =
-    withStagedEvents(dir, "ev18_stream") { staged =>
+    withStagedEvents(spark, dir, "ev18_stream") { staged =>
       val reaches = graft.streaming.StreamingOps.funnelStream(
         graft.streaming.StreamingOps.readEvents(spark, staged),
         Seq("view", "click", "purchase"))
@@ -1863,7 +1867,7 @@ object Queries {
     * straddle rule applied to arrival order).
     */
   def ev23_stream_budget_fill(spark: SparkSession, dir: String): DataFrame =
-    withStagedTable(dir, "documents.parquet", "ev23_stream") { staged =>
+    withStagedTable(spark, dir, "documents.parquet", "ev23_stream") { staged =>
       val adm = graft.streaming.StreamingOps.budgetFillStream(
         graft.streaming.StreamingOps.readDocuments(spark, staged), budget = 800L)
       graft.streaming.StreamingOps.runToMemorySink(adm.toDF(),
@@ -1879,7 +1883,7 @@ object Queries {
     * arrival order, as in any real ingest).
     */
   def ev10_stream_incremental_dedup(spark: SparkSession, dir: String): DataFrame =
-    withStagedTable(dir, "documents.parquet", "ev10_stream") { staged =>
+    withStagedTable(spark, dir, "documents.parquet", "ev10_stream") { staged =>
       val docs = graft.streaming.StreamingOps.readDocuments(spark, staged)
         .where(col("doc_id") % 3 =!= 0)
       val hist = Dedup.exactFingerprintIndex(
@@ -1907,7 +1911,7 @@ object Queries {
     * state evidence lives in StreamingNearDupSpec.
     */
   def ev11_stream_neardup(spark: SparkSession, dir: String): DataFrame =
-    withStagedTable(dir, "documents.parquet", "ev11_stream") { staged =>
+    withStagedTable(spark, dir, "documents.parquet", "ev11_stream") { staged =>
       val tmp = java.nio.file.Files.createTempDirectory("ev11_idx").toString
       val hist = t(spark, dir, "documents").where(col("doc_id") % 3 === 0)
       val hSigs = Dedup.minHashSignatures(hist, "doc_id", "text",
@@ -2119,7 +2123,7 @@ object Queries {
     * batch register pipeline per hour window. Exact counts alongside.
     */
   def ev15_stream_hll_users(spark: SparkSession, dir: String): DataFrame =
-    withStagedTable(dir, "events.parquet", "ev15_stream") { staged =>
+    withStagedTable(spark, dir, "events.parquet", "ev15_stream") { staged =>
       val tmp = java.nio.file.Files.createTempDirectory("ev15_log").toString
       graft.streaming.StreamingOps.hllWindowStream(
         graft.streaming.StreamingOps.readEvents(spark, staged), s"$tmp/log")
@@ -2141,7 +2145,7 @@ object Queries {
     * cohort min are both associative. Shares ev17's oracle.
     */
   def ev21_stream_retention(spark: SparkSession, dir: String): DataFrame =
-    withStagedTable(dir, "events.parquet", "ev21_stream") { staged =>
+    withStagedTable(spark, dir, "events.parquet", "ev21_stream") { staged =>
       val tmp = java.nio.file.Files.createTempDirectory("ev21_log").toString
       graft.streaming.StreamingOps.retentionLogStream(
         graft.streaming.StreamingOps.readEvents(spark, staged), s"$tmp/log")
@@ -2156,7 +2160,7 @@ object Queries {
     * with exact counts and the overestimate gap alongside.
     */
   def ev20_stream_heavy_hitters(spark: SparkSession, dir: String): DataFrame =
-    withStagedTable(dir, "events.parquet", "ev20_stream") { staged =>
+    withStagedTable(spark, dir, "events.parquet", "ev20_stream") { staged =>
       val tmp = java.nio.file.Files.createTempDirectory("ev20_log").toString
       graft.streaming.StreamingOps.cmsWindowStream(
         graft.streaming.StreamingOps.readEvents(spark, staged), s"$tmp/log")
@@ -2170,7 +2174,7 @@ object Queries {
     * t22's exact report at read. Shares t22's oracle.
     */
   def ev22_stream_hist_quantiles(spark: SparkSession, dir: String): DataFrame =
-    withStagedTable(dir, "documents.parquet", "ev22_stream") { staged =>
+    withStagedTable(spark, dir, "documents.parquet", "ev22_stream") { staged =>
       val tmp = java.nio.file.Files.createTempDirectory("ev22_log").toString
       graft.streaming.StreamingOps.histLogStream(
         graft.streaming.StreamingOps.readDocuments(spark, staged), s"$tmp/log")
@@ -2305,7 +2309,7 @@ object Queries {
     * serving evidence lives in StreamingAnnSpec.
     */
   def ev12_stream_ann(spark: SparkSession, dir: String): DataFrame =
-    withStagedTable(dir, "embeddings.parquet", "ev12_stream") { staged =>
+    withStagedTable(spark, dir, "embeddings.parquet", "ev12_stream") { staged =>
       val tmp = java.nio.file.Files.createTempDirectory("ev12_idx").toString
       SimilaritySearch.writeBucketed(t(spark, dir, "embeddings"),
         "vec_id", "embedding", dim = 64, path = s"$tmp/corpus", nBits = 4)
@@ -2329,7 +2333,7 @@ object Queries {
     * and the probe sort spilled past the disk.
     */
   def ev12_stream_ann_prod(spark: SparkSession, dir: String): DataFrame =
-    withStagedTable(dir, "embeddings.parquet", "ev12_stream") { staged =>
+    withStagedTable(spark, dir, "embeddings.parquet", "ev12_stream") { staged =>
       val tmp = java.nio.file.Files.createTempDirectory("ev12_idx").toString
       SimilaritySearch.writeBucketed(t(spark, dir, "embeddings"),
         "vec_id", "embedding", dim = 64, path = s"$tmp/corpus",
@@ -2352,7 +2356,7 @@ object Queries {
     * lives in the spec.
     */
   def ev13_stream_cdc_upsert(spark: SparkSession, dir: String): DataFrame =
-    withStagedTable(dir, "documents.parquet", "ev13_stream") { staged =>
+    withStagedTable(spark, dir, "documents.parquet", "ev13_stream") { staged =>
       val tmp = java.nio.file.Files.createTempDirectory("ev13_log").toString
       val changes = docChanges(
         graft.streaming.StreamingOps.readDocuments(spark, staged))
@@ -2386,7 +2390,7 @@ object Queries {
     * and the oracle is the plain batch SQL of the same gates.
     */
   def ev14_stream_quality_gate(spark: SparkSession, dir: String): DataFrame =
-    withStagedTable(dir, "documents.parquet", "ev14_stream") { staged =>
+    withStagedTable(spark, dir, "documents.parquet", "ev14_stream") { staged =>
       val gated = graft.streaming.StreamingOps.qualityGateStream(
         graft.streaming.StreamingOps.readDocuments(spark, staged))
       val name = "ev14_" + java.lang.Long.toHexString(System.nanoTime())
@@ -2666,7 +2670,7 @@ object Queries {
     * shares ev24's oracle.
     */
   def ev25_stream_psi_drift(spark: SparkSession, dir: String): DataFrame =
-    withStagedEvents(dir, "ev25_stream") { staged =>
+    withStagedEvents(spark, dir, "ev25_stream") { staged =>
       val tmp = java.nio.file.Files.createTempDirectory("ev25_log").toString
       graft.streaming.StreamingOps.psiLogStream(
         graft.streaming.StreamingOps.readEvents(spark, staged), s"$tmp/log")
@@ -2733,7 +2737,7 @@ object Queries {
     * boundaries — shares ev26's oracle.
     */
   def ev27_stream_zscore(spark: SparkSession, dir: String): DataFrame =
-    withStagedEvents(dir, "ev27_stream") { staged =>
+    withStagedEvents(spark, dir, "ev27_stream") { staged =>
       val tmp = java.nio.file.Files.createTempDirectory("ev27_log").toString
       graft.streaming.StreamingOps.dailyCountLogStream(
         graft.streaming.StreamingOps.readEvents(spark, staged), s"$tmp/log")
@@ -2785,7 +2789,7 @@ object Queries {
     * the batch one whatever the batch boundaries. Shares t27's oracle.
     */
   def ev28_stream_tdigest(spark: SparkSession, dir: String): DataFrame =
-    withStagedTable(dir, "documents.parquet", "ev28_stream") { staged =>
+    withStagedTable(spark, dir, "documents.parquet", "ev28_stream") { staged =>
       val tmp = java.nio.file.Files.createTempDirectory("ev28_log").toString
       graft.streaming.StreamingOps.tdigestLogStream(
         graft.streaming.StreamingOps.readDocuments(spark, staged), s"$tmp/log")

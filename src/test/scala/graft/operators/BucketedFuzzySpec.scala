@@ -65,6 +65,14 @@ class BucketedFuzzySpec extends SparkSpec {
     assert(BucketedJoin.tableName("/x/y/orders.parquet", 4) !==
       BucketedJoin.tableName("/x/y/orders.parquet", 8))
     assert(bpp === 64L << 20)
+    // the pure rule above the floor and cap (ADVICE r17: the fixture
+    // cases only ever hit the floor of 4)
+    assert(BucketedJoin.bucketsForBytes(0L) === 4)
+    assert(BucketedJoin.bucketsForBytes(bpp) === 4) // 1 by bytes -> floor
+    assert(BucketedJoin.bucketsForBytes(100 * bpp) === 100) // ceil rules
+    assert(BucketedJoin.bucketsForBytes(100 * bpp + 1) === 101)
+    assert(BucketedJoin.bucketsForBytes(bpp * 6000) === 4096) // cap
+    assert(BucketedJoin.bucketsForBytes(Long.MaxValue / 4) === 4096)
   }
 
   // ---- j10: deletion-blocked edit-distance join --------------------

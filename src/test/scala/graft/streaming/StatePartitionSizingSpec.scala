@@ -30,12 +30,24 @@ class StatePartitionSizingSpec extends SparkSpec {
   test("streaming catalog query restores the session's batch partition conf") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "13")
+    // the sizing must scope the CALLER's session (ADVICE r17: the old
+    // SparkSession.active plumbing mutated whatever session happened to
+    // be active and the restore assertion passed vacuously) — pin the
+    // active session to a sentinel and prove it is never touched
+    val activePrev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "17")
     // run a stateful streaming catalog row end-to-end under the scoped
     // sizing; the session conf must come back to the batch value
-    val out = graft.queries.Queries.ev3_stream_window(s2, sf("0.001"))
-    assert(out.count() > 0)
-    assert(s2.conf.get("spark.sql.shuffle.partitions") === "13",
-      "withStreamStatePartitions must restore the session conf")
+    val out =
+      try {
+        val o = graft.queries.Queries.ev3_stream_window(s2, sf("0.001"))
+        assert(o.count() > 0)
+        assert(s2.conf.get("spark.sql.shuffle.partitions") === "13",
+          "withStreamStatePartitions must restore the caller session's conf")
+        assert(spark.conf.get("spark.sql.shuffle.partitions") === "17",
+          "withStreamStatePartitions must not mutate a session it was not given")
+        o
+      } finally spark.conf.set("spark.sql.shuffle.partitions", activePrev)
     // and the streamed result still equals the batch twin (ev1 oracle
     // shape): 5-minute buckets by event_type
     val batch = StreamingOps.readEventsBatch(s2, sf("0.001") + "/events.parquet")
