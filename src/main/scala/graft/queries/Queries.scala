@@ -865,7 +865,20 @@ object Queries {
     val altBase = when(col("l_orderkey") % 3 === 0, "C")
       .when(col("l_orderkey") % 3 === 1, "G")
       .otherwise("T")
-    t(spark, dir, "lineitem").select(
+    // the fixture parquet has 3 row groups, so WITHOUT this the string
+    // synthesis AND every map-side kernel fused above it (discovery
+    // flatMap, pileup bin-explode) run in 3 tasks on a 32-thread box
+    // (stage listener: three ~3-5 s 3-task stages dominate g2's wall).
+    // One cheap hash shuffle of the RAW lineitem columns — BEFORE the
+    // heavy select, so the synthesis itself runs post-exchange at full
+    // width — unlocks it; the key has 600 k distinct values (guide §2.5)
+    // and the count follows spark.sql.shuffle.partitions, so it stays
+    // scale-adaptive. On a real cluster the 100 TB scan already yields
+    // thousands of splits and this exchange is the same cheap rebalance
+    // the kernels' own shuffles pay anyway.
+    t(spark, dir, "lineitem")
+      .repartition(col("l_orderkey"), col("l_linenumber"))
+      .select(
       concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("readName"),
       concat(lit("chr"), col("l_returnflag")).as("contigName"),
       ((col("l_partkey") % 1000) * 20).as("start"),
@@ -1010,7 +1023,22 @@ object Queries {
     val altBase = when(col("l_orderkey") % 3 === 0, "C")
       .when(col("l_orderkey") % 3 === 1, "G")
       .otherwise("T")
-    t(spark, dir, "lineitem").select(
+    // the fixture parquet has 3 row groups, so WITHOUT this the whole
+    // per-read kernel chain runs map-side in 3 tasks on a 32-thread box
+    // (stage-listener measured: the two 3-task kernel stages dominate
+    // g4's wall). The shuffle moved BELOW the select in round 18: keyed
+    // on the raw (l_orderkey, l_linenumber) — 600 k distinct values —
+    // the string synthesis itself also runs post-exchange at full
+    // width; the old (contigName, start) keying computed the synthesis
+    // in the 3 scan tasks and no downstream stage reused that
+    // partitioning anyway (pileup and discovery re-shuffle on their own
+    // keys). One cheap shuffle of the raw columns (~10 MB/sample)
+    // unlocks full parallelism — and mirrors the real cluster, where a
+    // 100 TB scan yields thousands of tasks and the kernel is never
+    // scan-bound.
+    t(spark, dir, "lineitem")
+      .repartition(col("l_orderkey"), col("l_linenumber"))
+      .select(
       concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("readName"),
       concat(lit("chr"), col("l_returnflag")).as("contigName"),
       ((col("l_partkey") % 1000) * 20).as("start"),
@@ -1029,14 +1057,6 @@ object Queries {
       lit(null).cast("string").as("mateContigName"),
       lit(null).cast("long").as("mateStart"),
       lit(false).as("mateMapped"))
-      // the fixture parquet has 3 row groups, so WITHOUT this the whole
-      // per-read observation kernel chain runs map-side in 3 tasks on a
-      // 32-thread box (stage-listener measured: the two 3-task kernel
-      // stages dominate g4's wall). One cheap shuffle of the raw reads
-      // (~10 MB/sample) unlocks full kernel parallelism — and mirrors
-      // the real cluster, where a 100 TB scan yields thousands of tasks
-      // and the kernel is never scan-bound.
-      .repartition(col("contigName"), col("start"))
       .as[Read]
   }
 
@@ -1134,7 +1154,12 @@ object Queries {
     val altBase = when(col("l_orderkey") % 3 === 0, "C")
       .when(col("l_orderkey") % 3 === 1, "G")
       .otherwise("T")
-    val rds = t(spark, dir, "lineitem").select(
+    // same 3-row-group fixture as syntheticReads: shuffle the raw
+    // columns first so synthesis + kernels run at full width (see the
+    // syntheticReads comment)
+    val rds = t(spark, dir, "lineitem")
+      .repartition(col("l_orderkey"), col("l_linenumber"))
+      .select(
       concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("readName"),
       concat(lit("chr"), col("l_linestatus")).as("contigName"),
       ((col("l_partkey") % 1000) * 20).as("start"),
