@@ -109,10 +109,20 @@ object HardFilterGenotypes {
       indel: Thresholds = indelDefaults): DataFrame = {
     val isSnp = length(col("referenceAllele")) === 1 &&
       length(col("alternateAllele")) === 1
-    val snpFails = filters(snp, "SNP").map { case (n, p) => when(isSnp && p, n) }
-    val indelFails = filters(indel, "INDEL").map { case (n, p) => when(!isSnp && p, n) }
-    df.withColumn("filtersFailed",
-      array_compact(array(snpFails ++ indelFails: _*)))
+    // concat of per-predicate 0/1-element arrays, NOT
+    // array_compact(array(when(p, n), ...)): array_compact plans as the
+    // higher-order filter(array, lambda) which is CodegenFallback, so
+    // the whole 18-predicate matrix was evaluated INTERPRETED — the
+    // plan showed a bare non-codegen Project between two codegen spans
+    // and p6b spent ~3 s on a 600 k-row scan. The concat form is
+    // value-identical (non-null names in declaration order) and keeps
+    // every predicate inside one whole-stage-codegen span.
+    val none = typedLit(Seq.empty[String])
+    val snpFails = filters(snp, "SNP")
+      .map { case (n, p) => when(isSnp && p, array(lit(n))).otherwise(none) }
+    val indelFails = filters(indel, "INDEL")
+      .map { case (n, p) => when(!isSnp && p, array(lit(n))).otherwise(none) }
+    df.withColumn("filtersFailed", concat(snpFails ++ indelFails: _*))
       .withColumn("filtersPassed", size(col("filtersFailed")) === 0)
   }
 
