@@ -238,21 +238,37 @@ object Dedup {
       .withColumn("rank", row_number().over(w))
       .withColumn("n_sh", count(lit(1)).over(wAll))
       .where(col("rank") <= col("n_sh") - ceil(col("n_sh") * threshold - 1e-7) + 1)
-      .select(col("doc_id"), col("g"), col("n_sh"))
+      .select(col("doc_id"), col("g"), col("n_sh"), col("rank"))
 
     // candidates: prefix-to-prefix collisions, pruned by the AllPairs
     // length filter — J(A,B) >= t forces |common| >= t/(1+t)·(|A|+|B|)
     // and |common| <= min(|A|,|B|), hence min >= t·max: a 40-shingle doc
     // can never reach J >= 0.5 against a 200-shingle doc, so the pair
     // never leaves the join (real corpora are length-diverse; this is
-    // free insurance the uniform synthetic corpus doesn't exercise)
+    // free insurance the uniform synthetic corpus doesn't exercise) —
+    // AND by the ppjoin positional filter (Xiao et al. 2008): both
+    // sides' grams are sorted by the same global order, so the common
+    // grams of a pair appear in the same relative order in both docs
+    // and overlap <= 1 + min(na − ra, nb − rb) at any common gram at
+    // ranks (ra, rb). J >= t needs overlap >= t/(1+t)·(na+nb); a
+    // collision whose positional bound cannot reach that is pruned
+    // BEFORE the distinct and the verify join. Exact: for a true pair
+    // the FIRST common gram (the one AllPairs guarantees inside both
+    // prefixes) always satisfies the bound, so at least one collision
+    // row survives per true pair. −1e-7 on the ceil: guarded LOW so
+    // binary rounding can only weaken the filter, never cut a J = t
+    // exact pair (same float-boundary family as the prefix length).
+    val alpha = ceil(
+      (col("pa.n_sh") + col("pb.n_sh")) * lit(threshold / (1.0 + threshold)) - 1e-7)
     val cand = prefix.alias("pa")
       .join(prefix.alias("pb"),
         col("pa.g") === col("pb.g") && col("pa.doc_id") < col("pb.doc_id") &&
           least(col("pa.n_sh"), col("pb.n_sh")) >=
             // −1e-7: min = t·max exactly is a VALID pair (|A|=4, |B|=5,
             // t=0.8, common=4 ⇒ J=0.8) and 0.8·5 rounds to 4.0000…04
-            lit(threshold) * greatest(col("pa.n_sh"), col("pb.n_sh")) - 1e-7)
+            lit(threshold) * greatest(col("pa.n_sh"), col("pb.n_sh")) - 1e-7 &&
+          lit(1) + least(col("pa.n_sh") - col("pa.rank"),
+            col("pb.n_sh") - col("pb.rank")) >= alpha)
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
 
