@@ -1824,7 +1824,12 @@ object Queries {
     * t10's sort-based exact path with one bounded groupBy.
     */
   def t22_hist_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    // referenced by the union AND the '__all' merge, and histQuantiles
+    // references its input twice more — without a barrier the documents
+    // scan + hist agg re-ran per reference. Bounded sketch state
+    // (|sources| x |bins|): materialize once (guide §8).
     val perSource = Sketch.histBins(t(spark, dir, "documents"), "source", "n_chars")
+      .localCheckpoint()
     Sketch.histQuantiles(
       perSource.unionByName(Sketch.histMerge(perSource, "__all")),
       Seq(10, 50, 90, 99))
@@ -2684,7 +2689,12 @@ object Queries {
     val ev = t(spark, dir, "events").select(
       expr("ts div 86400000000000").as("wnd"),
       floor(col("value") * 100).cast("long").as("cents"))
-    val winBins = Sketch.histBins(ev, "wnd", "cents")
+    // psiDrift references the window-bin table 3x (left join side,
+    // per-window totals, pooled reference) and each reference re-ran
+    // the full events scan + hist agg. The bin table is SKETCH state —
+    // bounded by |windows| x |bins|, never events — so materialize it
+    // once (fingerprint-once, guide §8): one corpus pass instead of 3.
+    val winBins = Sketch.histBins(ev, "wnd", "cents").localCheckpoint()
     Sketch.psiDrift(winBins, Sketch.histMerge(winBins, "__ref"))
   }
 
