@@ -1187,8 +1187,11 @@ object Queries {
       // discovery overlaps with other stages across the 32 local threads
       // and a checkpoint barrier measured SLOWER (g2 4.8->6s, g4 6->7.5s
       // at sf0.1; re-measured r17: warm 6.0-8.3s plain vs 7.0-8.7s
-      // checkpointed, cold 16s vs 17-22s — three fresh JVMs each). On a
-      // cluster where two cohort scans dominate, checkpoint as g6 does.
+      // checkpointed, cold 16s vs 17-22s — three fresh JVMs each;
+      // re-measured r18 AFTER the full-width synthesis fix, 3 reps:
+      // g2 warm ~4.3s plain vs 5.5-5.8s checkpointed, g5 ~4.5 vs
+      // 5.1-5.9 — the barrier still loses locally). On a cluster where
+      // two cohort scans dominate, checkpoint as g6 does.
     val called = BiallelicGenotyper.call(rds, variants, ploidy = 2, binSize = 20.0)
     graft.genomics.TrioCaller(called, "sN", "sA", "sR")
       .select(
