@@ -184,7 +184,7 @@ object BiallelicGenotyper {
     // runs a job, so the default call() stays a pure plan constructor)
     // evaluates the compression once instead of twice
     val pileup0 = Observer.compressedPileup(reads)
-    val pileup = if (materializePileup) pileup0.localCheckpoint() else pileup0
+    val pileup = if (materializePileup) graft.util.Barriers.corpusScale(pileup0) else pileup0
     val snvSide = if (broadcastVariants) broadcast(snvV) else snvV
     val snvCond = {
       val base = pileup("contigName") === snvV("v_contig") && pileup("pos") === snvV("v_start")

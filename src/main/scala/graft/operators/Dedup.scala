@@ -201,7 +201,7 @@ object Dedup {
     // at corpus scale this stores block-local shingle arrays instead of
     // re-tokenizing the corpus four times, the same trade g6 makes for
     // its cohort gVCF.
-    val sets = shingleSets(df, idCol, textCol, n).localCheckpoint()
+    val sets = graft.util.Barriers.corpusScale(shingleSets(df, idCol, textCol, n))
     // candidate generation runs on 8-byte xxhash64 gram keys, not gram
     // strings: every downstream exchange (freq agg, freq join, prefix
     // self-join) carries a long instead of an n-token string. Exact up
@@ -315,7 +315,7 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     // same fingerprint-once materialization as [[ngramJaccardPairsPrefix]]:
     // sets feeds the probe index and both exact-verify sides
-    val sets = shingleSets(df, idCol, textCol, n).localCheckpoint()
+    val sets = graft.util.Barriers.corpusScale(shingleSets(df, idCol, textCol, n))
     val ex = sets.select(col("doc_id"), explode(col("shingles")).as("gs"))
       .select(col("doc_id"), xxhash64(col("gs")).as("g"))
     // rarest-first prefix of the probe side (same 8-byte-key, ride-the-
@@ -504,7 +504,7 @@ object Dedup {
       .select(explode(col("shingles")).as("g")).distinct()
       // referenced twice (sketch build + verify join); tiny relative to
       // the corpus, and re-deriving it would re-shingle the benchmark
-      .localCheckpoint()
+      .transform(graft.util.Barriers.corpusScale)
     val benchIds = sc.getPersistentRDDs.keySet.toSet -- pinnedBefore
     val nGrams = bench.count()
     // empty eval set: nothing to decontaminate — and Spark's
@@ -665,7 +665,7 @@ object Dedup {
     // flavor; doc-bounded: k longs per doc) — the incrementalMinHash
     // batch-side precedent applied to the batch operator.
     pairsFromSignatures(
-      minHashSignatures(df, idCol, textCol, n, k, hashFamily).localCheckpoint(),
+      graft.util.Barriers.corpusScale(minHashSignatures(df, idCol, textCol, n, k, hashFamily)),
       k, bands, minAgree, hashFamily)
 
   /** Band keys via the same 60-bit hash family; the band id is embedded
@@ -1264,7 +1264,7 @@ object Dedup {
     val bench = shingleSets(benchmark, idCol, textCol, n)
       .select(explode(col("shingles")).as("g")).distinct()
       // referenced twice (sketch build + exact verify join)
-      .localCheckpoint()
+      .transform(graft.util.Barriers.corpusScale)
     val (ex, nsh) = shingleIndex(corpus, idCol, textCol, n)
     val nGrams = bench.count()
     val scored =
@@ -1337,7 +1337,7 @@ object Dedup {
     require(maxHamming <= 3, "chunking scheme assumes <= 3 for 4 chunks")
     // the sketch table feeds both self-join sides; one kernel pass
     // (doc-bounded: one long per doc — the d19/d20 `classes` precedent)
-    val sh = simHash(df, idCol, textCol, hashFamily).localCheckpoint()
+    val sh = graft.util.Barriers.corpusScale(simHash(df, idCol, textCol, hashFamily))
     val chunkStructs = array((0 until 4).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7fffL)).as("cv"))
@@ -1443,7 +1443,7 @@ object Dedup {
     // corpus otherwise re-runs for the corpus count, the guard aggregate
     // and BOTH self-join sides (4x). The count for autoBits then reads
     // the checkpointed blocks instead of re-scanning the source.
-    val sh = simHash120(df, idCol, textCol, hashFamily).localCheckpoint(true)
+    val sh = graft.util.Barriers.corpusScale(simHash120(df, idCol, textCol, hashFamily))
     val w = SimilaritySearch.autoBits(sh.count(), targetOccupancy)
     val mask = (1L << w) - 1L
     // 4 disjoint chunk keys: the low w bits of each 30-bit region
@@ -1525,7 +1525,7 @@ object Dedup {
     val classes = simHash120(df, idCol, textCol, hashFamily)
       .groupBy("sh_lo", "sh_hi")
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
-      .localCheckpoint(true) // feeds the exact leg + both join sides
+      .transform(graft.util.Barriers.corpusScale) // feeds the exact leg + both join sides
     val chunkStructs = array(
       struct(lit(0).as("chunk"), col("sh_lo").bitwiseAND(lit(mask)).as("cv")),
       struct(lit(1).as("chunk"), shiftright(col("sh_lo"), 30).bitwiseAND(lit(mask)).as("cv")),

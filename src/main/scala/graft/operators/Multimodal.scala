@@ -757,7 +757,7 @@ object Multimodal {
     // both self-join sides read the hash table; without a barrier the
     // upstream (the per-image DECODE kernel in the m6 pipeline) runs
     // twice. Doc-bounded: two longs per image.
-    val hashes = hashes0.localCheckpoint()
+    val hashes = graft.util.Barriers.corpusScale(hashes0)
     val chunkStructs = array(
       (0 until 2).map { c =>
         struct(lit(c).as("chunk"),
@@ -808,7 +808,7 @@ object Multimodal {
     // d19/d20 `classes` barrier)
     val grp = hashes.groupBy("dhash_hi", "dhash_lo")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
-      .localCheckpoint()
+      .transform(graft.util.Barriers.corpusScale)
     val exact = grp.where(col("n") >= 2)
       .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
         lit(0L).as("hamming"), expr("(n * (n - 1)) DIV 2").as("weight"))
@@ -1031,7 +1031,7 @@ object Multimodal {
     // self-join sides — one audio-decode+collapse instead of three
     val grp = fps.groupBy("fp")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
-      .localCheckpoint()
+      .transform(graft.util.Barriers.corpusScale)
     val exact = grp.where(col("n") >= 2)
       .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
         lit(0L).as("hamming"), expr("(n * (n - 1)) DIV 2").as("weight"))
@@ -1084,7 +1084,7 @@ object Multimodal {
     val grp = vids.groupBy("vkey")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("n"),
         first("nf").as("nf"), first("fps").as("fps"))
-      .localCheckpoint()
+      .transform(graft.util.Barriers.corpusScale)
     val exact = grp.where(col("n") >= 2)
       .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
         col("nf").cast("long").as("shared"),

@@ -372,7 +372,7 @@ object Sampling {
       .select(col(idCol), col("is_tgt"),
         pmod(conv(substring(md5(col("gm")), 1, 15), 16, 10).cast("long"),
           lit(buckets.toLong)).as("b"))
-      .localCheckpoint()
+      .transform(graft.util.Barriers.corpusScale)
     val stats = g.groupBy("b").agg(
       count(lit(1)).as("raw_n"),
       sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_n"))

@@ -109,7 +109,7 @@ object Sharding {
       .withColumn("pid", spark_partition_id())
       // referenced twice (offset counts + rank): evaluate the range
       // shuffle once
-      .localCheckpoint()
+      .transform(graft.util.Barriers.corpusScale)
     val counts = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L

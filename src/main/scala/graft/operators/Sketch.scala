@@ -282,7 +282,7 @@ object Sketch {
     // materialization is the production shape too.
     val exact = df.select(explode(split(col(textCol), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("exact_cnt"))
-      .localCheckpoint()
+      .transform(graft.util.Barriers.corpusScale)
     val counters = cmsCounters(exact, "token", "exact_cnt", hashFamily)
     cmsEstimate(exact, "token", counters, hashFamily)
       .orderBy(col("est_cnt").desc, col("token"))

@@ -159,7 +159,7 @@ object TextAnalysis {
     // the scoring join — one corpus tokenize+agg instead of three;
     // distinct-terms-per-doc bounded (Heaps-sublinear)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .transform(graft.util.Barriers.corpusScale)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
@@ -217,7 +217,7 @@ object TextAnalysis {
     // doc-bounded length table, read by the corpus stats AND the scoring
     // join — one corpus tokenize for it instead of two
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      .localCheckpoint()
+      .transform(graft.util.Barriers.corpusScale)
     // 1-row corpus stats: N docs and summed length (avgdl = sl/nd)
     val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sl"))
     val tf = toks.where(col("term").isin(terms: _*))
@@ -263,7 +263,7 @@ object TextAnalysis {
       .join(broadcast(qdf), "term")
       .groupBy("qid", "doc_id")
       .agg(sum(col("c10k")).as("score_x10k"), count(lit(1)).as("n_hit"))
-      .localCheckpoint()
+      .transform(graft.util.Barriers.corpusScale)
     val agg = new BoundedTopKByScoreAgg(k)
     val top = scored.select(col("qid"), col("doc_id"), col("score_x10k"))
       .as[(Long, Long, Long)]
@@ -396,7 +396,7 @@ object TextAnalysis {
     // one corpus aggregation instead of three (each reference re-derived
     // the whole explode+agg chain)
     val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .transform(graft.util.Barriers.corpusScale)
     val total = counts.agg(sum(col("c")).cast("double").as("t"))
     toks.join(counts, "w")
       .crossJoin(broadcast(total))
@@ -440,7 +440,7 @@ object TextAnalysis {
     // rollups each re-derived it). Bigram-TYPE-bounded (sub-vocab²),
     // not corpus-bounded.
     val pg = pairs.groupBy("prev", "w").agg(count(lit(1)).as("cpw"))
-      .localCheckpoint()
+      .transform(graft.util.Barriers.corpusScale)
     val uni = pg.groupBy("w").agg(sum(col("cpw")).as("c"))
     val total = uni.agg(sum(col("c")).cast("double").as("t"))
     val bi = pg.where(col("prev").isNotNull)
@@ -546,7 +546,7 @@ object TextAnalysis {
       .where(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
       .select(regexp_replace(col("w"), "(.)", "($1)").as("seq"), col("wc"))
-      .localCheckpoint()
+      .transform(graft.util.Barriers.corpusScale)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var k = 1
     var done = false
@@ -685,7 +685,7 @@ object TextAnalysis {
       .select(col(idCol), explode(ws).as("w"))
       .groupBy(col(idCol), col("w"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .transform(graft.util.Barriers.corpusScale)
     val wc = docWords.groupBy("w").agg(sum(col("cnt")).as("wc"))
 
     // piece counts over the distinct vocabulary, weighted by word

@@ -1132,7 +1132,7 @@ object Queries {
       .select("contigName", "start", "end", "referenceAllele", "alternateAllele",
         "sampleId", "genotypeState", "genotypeQuality", "readDepth",
         "gl_0", "gl_1", "gl_2")
-      .localCheckpoint()
+      .transform(graft.util.Barriers.corpusScale)
     val squared = graft.genomics.SquareOff.squareOff(cohort, binSize = 20.0)
     graft.genomics.JointAnnotatorCaller(squared)
       .select(
@@ -1992,8 +1992,8 @@ object Queries {
     // the history signatures feed the verify join AND the band index —
     // one kernel pass, not two (ev11 materializes the same artifact to
     // parquet; this is the in-session equivalent)
-    val hSigs = Dedup.minHashSignatures(history, "doc_id", "text",
-      n = 3, k = 64, hashFamily = hashFamily).localCheckpoint()
+    val hSigs = graft.util.Barriers.corpusScale(Dedup.minHashSignatures(history, "doc_id", "text",
+      n = 3, k = 64, hashFamily = hashFamily))
     Dedup.incrementalMinHash(
       docs.where(col("doc_id") % 3 =!= 0),
       hSigs,
@@ -2133,7 +2133,7 @@ object Queries {
     // IS the union row (source is non-null in the corpus, no collision).
     val dist = docs.select(col("source"),
       explode(Sketch.docShingleHashes("text", "md5")).as("__h"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.util.Barriers.corpusScale)
     val regs = Sketch.hllRegistersFromHashes(dist, "source", "__h")
       .localCheckpoint(true)
     val est = Sketch.hllEstimate(

@@ -650,7 +650,8 @@ object StreamingOps {
     // is bounded by |windows| x |users| (it IS the serving artifact), so
     // materialize it once.
     val est = graft.operators.Sketch.cmsEstimateBy(
-      exact, "window_start", "u", counters).localCheckpoint()
+      exact, "window_start", "u", counters)
+      .transform(graft.util.Barriers.corpusScale)
     val agg = new graft.operators.BoundedTopKByScoreAgg(k)
     val top = est.select(col("window_start"), col("u").cast("long").as("uid"),
         col("est_cnt"), col("exact_cnt"))
